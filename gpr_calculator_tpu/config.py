@@ -1,0 +1,41 @@
+"""Global configuration for the TPU-native GPR calculator.
+
+The reference framework (MaterSim/GPR_calculator) computes everything in
+float64 (NumPy/C++ doubles).  We default to float64 as well -- JAX on TPU
+supports f64 (emulated where needed) and the parity targets (1e-8 agreement,
+see /root/repo/BASELINE.md) require it.  A float32 fast path is available for
+throughput benchmarking via ``set_dtype``.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+
+# Enable x64 unless explicitly disabled.  Must happen before any jnp array is
+# created, hence at package import time (config is imported from __init__).
+if os.environ.get("GPR_CALC_TPU_X64", "1") != "0":
+    jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402  (after x64 flag)
+
+_DTYPE = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+_INT_DTYPE = jnp.int32
+
+# Numerical guard used throughout the kernel math.  Mirrors the reference's
+# eps=1e-8 guards (gpr_calc/kernels/rbf_kernel.cpp:10, kernels/base.py:40).
+EPS = 1e-8
+
+
+def set_dtype(dtype) -> None:
+    """Set the default floating dtype for kernel/descriptor computation."""
+    global _DTYPE
+    _DTYPE = jnp.dtype(dtype)
+
+
+def dtype():
+    return _DTYPE
+
+
+def int_dtype():
+    return _INT_DTYPE

@@ -1,0 +1,347 @@
+r"""Many-body GPR kernel blocks as batched MXU matmuls.
+
+Replaces the reference's C++ pairwise loops (gpr_calc/kernels/rbf_kernel.cpp,
+dot_kernel.cpp) and their MPI row-split orchestration (kernels/RBF_mb.py,
+Dot_mb.py).  The mathematical spec is the NumPy reference implementation in
+gpr_calc/kernels/base.py:40-130 plus the C++ semantics (normalisations in
+rbf_kernel.py:56,70,161 and sign conventions rbf_kernel.cpp:163-165).
+
+Key TPU-first idea
+------------------
+For environments x1 (lhs) and x2 (rhs) with unit vectors u = x/|x| and
+normalised dot c = u1.u2, the descriptor-space Hessian of both kernels has
+the low-rank structure
+
+    d2k/dx1 dx2 = A(c)/(r1 r2) * (I - u2 (x) u2 + c u1 (x) u2 - u1 (x) u1)
+                + B(c)/(r1 r2) * (u2 - c u1) (x) (u1 - c u2)
+
+so the contraction  J1^T H J2  (J = dX/dR) needs only four large matmuls --
+``c`` (env dot), ``P1 = J1^T u2``, ``P2 = u1^T J2`` and ``M = J1^T J2`` --
+all of which map directly onto the MXU, instead of the O(N1*N2*d^2) scalar
+loops of rbf_kernel.cpp:342-473.
+
+Per-pair scalar coefficients:
+
+  RBF  (k = s2 exp(-(1-c^z)/(2 l2))):
+      k_pair = s2 exp(-(1-D)/(2 l2)),  dk_dD = k/(2 l2)
+      A = dk_dD * z * c^(z-1)
+      B = dk_dD * (z (z-1) c^(z-2) + z^2 c^(2z-2) / (2 l2))
+  Dot  (k = s2 (s0^2 + c^z)):
+      k_pair = s2 (D + s0^2),          dk_dD = s2
+      A = s2 * z * c^(z-1)
+      B = s2 * z (z-1) c^(z-2)
+
+Energy-force block (rbf_kernel.cpp:102-171, dot wrapper sign
+dot_kernel.py:131):
+
+    K_EF[p, (q,v)] = -(1/N_p) sum_{i in p, j in q} dk_dD z c^(z-1)
+                     (u1 - c u2)/r2 . J2[j,:,v]
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from .packing import EnergyData, ForceData
+
+EPS = config.EPS
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _safe_unit(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Return (unit_vectors, norms, valid_mask) with zero rows masked out."""
+    n2 = jnp.sum(x * x, axis=-1)
+    n = jnp.sqrt(n2)
+    valid = n > EPS
+    u = x / jnp.where(valid, n, 1.0)[..., None]
+    return u, n, valid
+
+
+def _ipow(c: jnp.ndarray, z: int) -> jnp.ndarray:
+    """c**z for a static non-negative integer exponent (exact, no NaN for c<0,
+    matching C++ pow(x, integral_double))."""
+    if z == 0:
+        return jnp.ones_like(c)
+    out = c
+    for _ in range(z - 1):
+        out = out * c
+    return out
+
+
+def _pair_coeffs(c, params, kind: str, zeta: int, grad_block: bool):
+    """Per-pair scalars (k, A, B) as defined in the module docstring.
+
+    grad_block=False -> only k is returned (energy-energy use).
+    """
+    if kind == "rbf":
+        sigma, l = params["sigma"], params["l"]
+        s2, l2 = sigma * sigma, l * l
+        D = _ipow(c, zeta)
+        k = s2 * jnp.exp(-(1.0 - D) / (2.0 * l2))
+        if not grad_block:
+            return k, None, None
+        dk_dD = k / (2.0 * l2)
+        d1 = _ipow(c, zeta - 1)
+        d2 = _ipow(c, zeta - 2) if zeta >= 2 else jnp.zeros_like(c)
+        A = dk_dD * zeta * d1
+        B = dk_dD * (zeta * (zeta - 1) * d2 + (zeta * d1) ** 2 / (2.0 * l2))
+        return k, A, B
+    elif kind == "dot":
+        sigma, sigma0 = params["sigma"], params["sigma0"]
+        s2 = sigma * sigma
+        D = _ipow(c, zeta)
+        k = s2 * (D + sigma0 * sigma0)
+        if not grad_block:
+            return k, None, None
+        d1 = _ipow(c, zeta - 1)
+        d2 = _ipow(c, zeta - 2) if zeta >= 2 else jnp.zeros_like(c)
+        A = s2 * zeta * d1
+        B = s2 * zeta * (zeta - 1) * d2
+        return k, A, B
+    raise ValueError(f"unknown kernel kind {kind!r}")
+
+
+def _flatten_energy(e: EnergyData):
+    m, A, d = e.x.shape
+    x = e.x.reshape(m * A, d)
+    ele = e.ele.reshape(m * A)
+    u, n, valid = _safe_unit(x)
+    valid = valid & (ele > 0)
+    return u, n, ele, valid
+
+
+def _flatten_force(f: ForceData):
+    m, B, d = f.x.shape
+    x = f.x.reshape(m * B, d)
+    ele = f.ele.reshape(m * B)
+    J = f.dxdr.reshape(m * B, d, f.dxdr.shape[3])
+    u, n, valid = _safe_unit(x)
+    valid = valid & (ele > 0)
+    return u, n, ele, valid, J
+
+
+def _pair_mask(ele1, valid1, ele2, valid2):
+    return (
+        (ele1[:, None] == ele2[None, :])
+        & valid1[:, None]
+        & valid2[None, :]
+    )
+
+
+# ---------------------------------------------------------------------------
+# K_EE
+# ---------------------------------------------------------------------------
+
+def kee(e1: EnergyData, e2: EnergyData, params, kind: str = "rbf",
+        zeta: int = 2) -> jnp.ndarray:
+    """Energy-energy covariance block, (m1, m2).
+
+    Mirrors rbf_kee_many (rbf_kernel.cpp:6-49) + the 1/(N1*N2) normalisation
+    applied in the wrapper (rbf_kernel.py:70).
+    """
+    u1, _, ele1, v1 = _flatten_energy(e1)
+    u2, _, ele2, v2 = _flatten_energy(e2)
+    c = u1 @ u2.T
+    mask = _pair_mask(ele1, v1, ele2, v2)
+    k, _, _ = _pair_coeffs(c, params, kind, zeta, grad_block=False)
+    k = jnp.where(mask, k, 0.0)
+    m1, A1 = e1.ele.shape
+    m2, A2 = e2.ele.shape
+    K = k.reshape(m1, A1, m2, A2).sum(axis=(1, 3))
+    return K / (e1.counts[:, None] * e2.counts[None, :])
+
+
+# ---------------------------------------------------------------------------
+# K_EF
+# ---------------------------------------------------------------------------
+
+def kef(e1: EnergyData, f2: ForceData, params, kind: str = "rbf",
+        zeta: int = 2) -> jnp.ndarray:
+    """Energy-force covariance block, (m1, 3*m2).
+
+    Mirrors rbf_kef_many (rbf_kernel.cpp:102-171): the C loop accumulates
+    -sum dk_dD * dD_dx2 . dx2dr, and the wrapper divides by N1
+    (rbf_kernel.py:161).
+    """
+    u1, _, ele1, v1 = _flatten_energy(e1)
+    u2, r2, ele2, v2, J2 = _flatten_force(f2)
+    m1, A1 = e1.ele.shape
+    m2, B2 = f2.ele.shape
+    d = u1.shape[1]
+    ncart = J2.shape[2]
+
+    c = u1 @ u2.T                                   # (N1, N2)
+    mask = _pair_mask(ele1, v1, ele2, v2)
+    _, A_c, _ = _pair_coeffs(c, params, kind, zeta, grad_block=True)
+    # include the 1/r2 factor from dd_dx2 = (u1 - c u2)/r2
+    s = jnp.where(mask, A_c, 0.0) / jnp.where(v2, r2, 1.0)[None, :]
+
+    # out1[p, j, v] = sum_d (sum_{a in p} s[pa, j] u1[pa, d]) J2[j, d, v]
+    s3 = s.reshape(m1, A1, -1)                      # (m1, A1, N2)
+    u13 = u1.reshape(m1, A1, d)
+    T = jnp.einsum("paj,pad->pjd", s3, u13)          # (m1, N2, d)
+    out1 = jnp.einsum("pjd,jdv->pjv", T, J2)         # (m1, N2, ncart)
+    # out2[p, j, v] = (sum_{a in p} s*c) * Q2[j, v]
+    Q2 = jnp.einsum("jdv,jd->jv", J2, u2)            # (N2, ncart)
+    R = jnp.einsum("paj,paj->pj", s3, c.reshape(m1, A1, -1))
+    out2 = R[:, :, None] * Q2[None, :, :]
+    out = -(out1 - out2) / e1.counts[:, None, None]
+    out = out.reshape(m1, m2, B2, ncart).sum(axis=2)  # (m1, m2, ncart)
+    return out.reshape(m1, m2 * ncart)
+
+
+# ---------------------------------------------------------------------------
+# K_FF
+# ---------------------------------------------------------------------------
+
+def _kff_env_blocks(u1, r1, v1, J1, u2, r2, v2, J2, pm, params, kind, zeta):
+    """Dense (N1, C1, N2, C2) env-pair force kernel for already-flattened
+    inputs.  pm is the (N1, N2) pair mask."""
+    N1, d, C1 = J1.shape
+    N2, _, C2 = J2.shape
+
+    c = u1 @ u2.T                                               # (N1, N2)
+    _, A_c, B_c = _pair_coeffs(c, params, kind, zeta, grad_block=True)
+    rr = 1.0 / (jnp.where(v1, r1, 1.0)[:, None] * jnp.where(v2, r2, 1.0)[None, :])
+    A_c = jnp.where(pm, A_c * rr, 0.0)
+    B_c = jnp.where(pm, B_c * rr, 0.0)
+
+    # Large MXU matmuls
+    J1t = jnp.swapaxes(J1, 1, 2).reshape(N1 * C1, d)            # (N1*C1, d)
+    J2r = J2.reshape(N2, d * C2)
+    P1 = (J1t @ u2.T).reshape(N1, C1, N2)                        # J1^T u2
+    P2 = (u1 @ J2r.reshape(N2, d, C2).transpose(1, 0, 2).reshape(d, N2 * C2))
+    P2 = P2.reshape(N1, N2, C2)                                  # u1^T J2
+    M = (J1t @ J2.transpose(1, 0, 2).reshape(d, N2 * C2))
+    M = M.reshape(N1, C1, N2, C2)                                # J1^T J2
+    Q1 = jnp.einsum("ndc,nd->nc", J1, u1)                        # (N1, C1)
+    Q2 = jnp.einsum("ndc,nd->nc", J2, u2)                        # (N2, C2)
+
+    # A-part: J1^T (I - u2u2 + c u1u2 - u1u1) J2
+    termA = (
+        M
+        - P1[:, :, :, None] * Q2[None, None, :, :]
+        + (c[:, None, :, None] * Q1[:, :, None, None]) * Q2[None, None, :, :]
+        - Q1[:, :, None, None] * P2[:, None, :, :]
+    )
+    # B-part: (J1^T (u2 - c u1)) (x) ((u1 - c u2)^T J2)
+    L1 = P1 - c[:, None, :] * Q1[:, :, None]                     # (N1, C1, N2)
+    L2 = P2 - c[:, :, None] * Q2[None, :, :]                     # (N1, N2, C2)
+    out = (
+        A_c[:, None, :, None] * termA
+        + B_c[:, None, :, None] * (L1[:, :, :, None] * L2[:, None, :, :])
+    )
+    return out
+
+
+def kff(f1: ForceData, f2: ForceData, params, kind: str = "rbf",
+        zeta: int = 2, row_chunk: int = 0) -> jnp.ndarray:
+    """Force-force covariance block, (C1*m1, 3*m2) with row = p*C1+u.
+
+    Mirrors rbf_kff_many (rbf_kernel.cpp:342-473).  C1 is 3, or 9 when
+    stress rows are appended (then rows 3..9 of each point are the stress
+    kernel, cf. rbf_kff_many_stress cpp:643-822).
+
+    row_chunk > 0 computes the block in chunks of ``row_chunk`` force points
+    to bound the (N1*C1, N2*C2) intermediate.
+    """
+    m1, B1 = f1.ele.shape
+    m2, B2 = f2.ele.shape
+    C1 = f1.dxdr.shape[3]
+    C2 = f2.dxdr.shape[3]
+    u2, r2, ele2, v2, J2 = _flatten_force(f2)
+
+    def block(fsub: ForceData) -> jnp.ndarray:
+        u1, r1, ele1, v1, J1 = _flatten_force(fsub)
+        pm = _pair_mask(ele1, v1, ele2, v2)
+        env = _kff_env_blocks(u1, r1, v1, J1, u2, r2, v2, J2, pm,
+                              params, kind, zeta)
+        mc = fsub.ele.shape[0]
+        env = env.reshape(mc, B1, C1, m2, B2, C2).sum(axis=(1, 4))
+        return env.reshape(mc * C1, m2 * C2)
+
+    if row_chunk and row_chunk < m1 and m1 % row_chunk == 0:
+        nchunk = m1 // row_chunk
+        fs = ForceData(
+            x=f1.x.reshape(nchunk, row_chunk, B1, -1),
+            dxdr=f1.dxdr.reshape(nchunk, row_chunk, B1, -1, C1),
+            ele=f1.ele.reshape(nchunk, row_chunk, B1),
+            nreal=f1.nreal,
+        )
+        out = jax.lax.map(
+            lambda t: block(ForceData(t[0], t[1], t[2], f1.nreal)),
+            (fs.x, fs.dxdr, fs.ele),
+        )
+        return out.reshape(m1 * C1, m2 * C2)
+    return block(f1)
+
+
+# ---------------------------------------------------------------------------
+# diagonals (for predictive variance, cf. RBF_mb.diag RBF_mb.py:62-133)
+# ---------------------------------------------------------------------------
+
+def diag_energy(e: EnergyData, params, kind: str = "rbf",
+                zeta: int = 2) -> jnp.ndarray:
+    """Per-point K_EE(p, p) diagonal, (m,)."""
+
+    def point(x, ele, count):
+        u, _, valid = _safe_unit(x)
+        valid = valid & (ele > 0)
+        c = u @ u.T
+        mask = _pair_mask(ele, valid, ele, valid)
+        k, _, _ = _pair_coeffs(c, params, kind, zeta, grad_block=False)
+        return jnp.where(mask, k, 0.0).sum() / (count * count)
+
+    return jax.vmap(point)(e.x, e.ele, e.counts)
+
+
+def diag_force(f: ForceData, params, kind: str = "rbf",
+               zeta: int = 2) -> jnp.ndarray:
+    """Per-point diag of the 3x3 K_FF(p, p) block, (m, 3)."""
+
+    def point(x, dxdr, ele):
+        u, n, valid = _safe_unit(x)
+        valid = valid & (ele > 0)
+        pm = _pair_mask(ele, valid, ele, valid)
+        env = _kff_env_blocks(u, n, valid, dxdr, u, n, valid, dxdr, pm,
+                              params, kind, zeta)
+        blk = env.sum(axis=(0, 2))  # -> (C, C) summed over both env axes
+        return jnp.diagonal(blk)
+
+    return jax.vmap(point)(f.x, f.dxdr, f.ele)
+
+
+# ---------------------------------------------------------------------------
+# full covariance assembly (cf. build_covariance, kernels/base.py:3-30)
+# ---------------------------------------------------------------------------
+
+def k_block(e1: EnergyData, f1: ForceData, e2: EnergyData, f2: ForceData,
+            params, kind: str = "rbf", zeta: int = 2,
+            row_chunk: int = 0) -> jnp.ndarray:
+    """[[K_EE, K_EF], [K_FE, K_FF]] for (rows: data1, cols: data2)."""
+    K_ee = kee(e1, e2, params, kind, zeta)
+    K_ef = kef(e1, f2, params, kind, zeta)
+    K_fe = kef(e2, f1, params, kind, zeta).T
+    K_ff = kff(f1, f2, params, kind, zeta, row_chunk=row_chunk)
+    top = jnp.concatenate([K_ee, K_ef], axis=1)
+    bot = jnp.concatenate([K_fe, K_ff], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def k_self(e: EnergyData, f: ForceData, params, kind: str = "rbf",
+           zeta: int = 2, row_chunk: int = 0) -> jnp.ndarray:
+    """Symmetric training covariance (reuses K_EF^T for K_FE, like
+    RBF_mb.k_total RBF_mb.py:161-165)."""
+    K_ee = kee(e, e, params, kind, zeta)
+    K_ef = kef(e, f, params, kind, zeta)
+    K_ff = kff(f, f, params, kind, zeta, row_chunk=row_chunk)
+    top = jnp.concatenate([K_ee, K_ef], axis=1)
+    bot = jnp.concatenate([K_ef.T, K_ff], axis=1)
+    return jnp.concatenate([top, bot], axis=0)

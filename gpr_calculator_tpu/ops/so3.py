@@ -1,0 +1,376 @@
+r"""SO(3) power-spectrum descriptor, TPU-native.
+
+Re-implements the reference descriptor (gpr_calc/SO3.py) as a jitted JAX
+program over a padded neighbour-pair list:
+
+  p_{n1 n2 l}(i) = Re sum_m c_{n1 l m}(i) conj(c_{n2 l m}(i)),  n1 >= n2
+
+  c_{nlm}(i) = 4 pi sum_{j in N(i)} w_j f_cut(r_ij) Y_lm(r_ij^)
+               * e^{-alpha r^2} Integral_0^rcut q^2 g_n(q) e^{-alpha q^2}
+                 i_l(2 alpha r q) dq
+
+with the radial integral evaluated by Gauss-Chebyshev quadrature
+(SO3.py:446-453) and g_n built from the W overlap matrix (SO3.py:417-444).
+
+TPU-first differences from the reference:
+  * scaled Bessels: the integrand is computed as
+    G0_n(q) * exp(-alpha (r-q)^2) * e^{-z} i_l(z), z = 2 alpha r q, so no
+    e^{+z}-sized intermediates appear (the reference materialises raw i_l,
+    SO3.py:480,564).  Mathematically identical.
+  * everything after the host-built neighbour list is one jitted program:
+    Bessel/Ylm recurrences, the einsum chain (SO3.py:640-727), pair->seq
+    segment sums, and the translation-invariance self rows (SO3.py:266-273).
+  * the MPI decompositions P6/P7 (SO3.py:229-296,537-600) are replaced by
+    data parallelism over the pair axis inside XLA.
+
+The outputs match the reference dict contract exactly:
+  {'x': (natoms, ncoef), 'dxdr': (nseq, ncoef, 3), 'rdxdr': (nseq, ncoef, 3, 3)
+   or None, 'elements': [str], 'seq': (nseq, 2)}
+with dxdr[s] = dP(center i_s)/dr_{j_s} and the (i, i) rows carrying
+-sum_{j != i} dP_i/dr_j (SO3.py:270-273).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from .bessel import scaled_in
+from .sph import ylm_all, ylm_gradients
+
+
+# ---------------------------------------------------------------------------
+# static radial machinery (host, NumPy -- tiny)
+# ---------------------------------------------------------------------------
+
+def W_matrix(nmax: int) -> np.ndarray:
+    """Symmetric orthonormalisation of the (rcut - r)^(a+2) radial basis
+    (S^{-1/2} of the overlap matrix, SO3.py:417-430)."""
+    S = np.zeros((nmax, nmax))
+    for a in range(1, nmax + 1):
+        ta = (2 * a + 5) * (2 * a + 6) * (2 * a + 7)
+        for b in range(1, a + 1):
+            tb = (2 * b + 5) * (2 * b + 6) * (2 * b + 7)
+            S[a - 1, b - 1] = math.sqrt(ta * tb) / (
+                (5 + a + b) * (6 + a + b) * (7 + a + b))
+            S[b - 1, a - 1] = S[a - 1, b - 1]
+    sinv = np.linalg.inv(S)
+    eigvals, V = np.linalg.eig(sinv)
+    return (V @ np.diag(np.sqrt(eigvals)) @ np.linalg.inv(V)).real
+
+
+def gauss_chebyshev(nmax: int, lmax: int):
+    """Chebyshev nodes and the uniform weight pi/N (SO3.py:446-453)."""
+    N = (nmax + lmax + 1) * 10
+    i = np.arange(1, N + 1)
+    return np.cos((2 * i - 1) * np.pi / (2 * N)), np.pi / N
+
+
+def radial_quadrature(nmax: int, lmax: int, rcut: float, alpha: float):
+    """Quadrature nodes q, and G0[n, j] = w_j q^2 g_n(q) sqrt(1-x^2)
+    WITHOUT the e^{-alpha q^2} factor (folded into the pair Gaussian)."""
+    gc, w = gauss_chebyshev(nmax, lmax)
+    w = w * rcut / 2.0
+    q = rcut / 2.0 * (gc + 1.0)
+    Wm = W_matrix(nmax)
+    # phi_a(q) = (rcut-q)^(a+2) / sqrt(2 rcut^(2a+7) / ((2a+5)(2a+6)(2a+7)))
+    phis = np.stack([
+        (rcut - q) ** (a + 2)
+        / math.sqrt(2 * rcut ** (2 * a + 7)
+                    / ((2 * a + 5) * (2 * a + 6) * (2 * a + 7)))
+        for a in range(1, nmax + 1)
+    ])  # (nmax, NQ)
+    g = Wm @ phis                                   # (nmax, NQ)
+    G0 = g * (q ** 2) * np.sqrt(1.0 - gc ** 2) * w  # (nmax, NQ)
+    return q, G0
+
+
+# ---------------------------------------------------------------------------
+# cutoff functions (SO3.py:409-415; only 'cosine' is implemented in the
+# reference -- the other names there resolve to absent symbols)
+# ---------------------------------------------------------------------------
+
+def cosine_cutoff(r, rcut, derivative=False):
+    if derivative:
+        return -0.5 * jnp.pi / rcut * jnp.sin(jnp.pi * r / rcut)
+    return 0.5 * (jnp.cos(jnp.pi * r / rcut) + 1.0)
+
+
+CUTOFFS = {"cosine": cosine_cutoff}
+
+
+# ---------------------------------------------------------------------------
+# jitted core
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nmax", "lmax", "natoms", "nseq", "derivative",
+                     "stress", "cutoff"))
+def _so3_core(rij, weights, pair_center, pair_seq, pair_Ri, pair_Rj,
+              self_seq, seq_center, q, G0,
+              *, nmax: int, lmax: int, natoms: int, nseq: int,
+              rcut: float, alpha: float, derivative: bool, stress: bool,
+              cutoff: str):
+    """One device program: pair c/dc -> per-centre power spectrum + grads.
+
+    Shapes (P = padded pair count):
+      rij (P,3), weights (P,), pair_center (P,), pair_seq (P,),
+      pair_Ri/Rj (P,3) absolute positions, self_seq (natoms,) seq row of
+      (i,i), seq_center (nseq,) centre of each seq row, q (NQ,), G0 (nmax,NQ)
+    """
+    fdt = rij.dtype
+    P = rij.shape[0]
+    NQ = q.shape[0]
+    ncoef = nmax * (nmax + 1) // 2 * (lmax + 1)
+    cut_fn = CUTOFFS[cutoff]
+
+    r = jnp.sqrt(jnp.sum(rij * rij, axis=1))
+    valid = weights != 0
+    rs = jnp.where(valid, r, 1.0)
+    u = rij / rs[:, None]
+
+    # scaled radial integrand: E[p, j] = exp(-alpha (r - q_j)^2)
+    E = jnp.exp(-alpha * (rs[:, None] - q[None, :]) ** 2)
+    z = 2.0 * alpha * rs[:, None] * q[None, :]
+    lmax_b = lmax
+    b, db = scaled_in(lmax_b, z)                     # (P, NQ, lmax+1)
+
+    # I~[p, n, l] = sum_j G0[n, j] E[p, j] b[p, j, l]
+    Eb = E[:, :, None] * b
+    I = jnp.einsum("nj,pjl->pnl", G0.astype(fdt), Eb)
+
+    # angular part
+    norm_l = jnp.sqrt(2.0 * jnp.sqrt(2.0) * jnp.pi
+                      / jnp.sqrt(2.0 * jnp.arange(lmax + 1, dtype=fdt) + 1.0))
+    fourpi = 4.0 * jnp.pi
+    fcut = cut_fn(rs, rcut)
+
+    if not derivative:
+        Y = ylm_all(lmax, u, jnp.ones_like(rs))      # unit vectors, r=1
+        # c[p, n, l, m] = 4pi fcut w Y I~ norm_l
+        c = (fourpi * (weights * fcut)[:, None, None, None]
+             * I[:, :, :, None] * Y[:, None, :, :])
+        c = c * norm_l[None, None, :, None]
+        ctot = jax.ops.segment_sum(c, pair_center, num_segments=natoms + 1)
+        ctot = ctot[:natoms]
+        Pfull = jnp.einsum("anlm,aklm->ankl", ctot, jnp.conj(ctot)).real
+        tri = np.tril_indices(nmax)
+        x = Pfull[:, tri[0], tri[1], :].reshape(natoms, ncoef)
+        return x, None, None
+
+    # derivative path: Y to lmax+1 for the gradient recurrence
+    Yext = ylm_all(lmax + 1, u, jnp.ones_like(rs))
+    mid_ext = lmax + 1
+    Y = Yext[:, :lmax + 1, mid_ext - lmax: mid_ext + lmax + 1]
+    dY = ylm_gradients(lmax, Yext, rs)               # (P, lmax+1, 2l+1, 3)
+
+    # dI~/dr [p, n, l] = sum_j G0 E (2 alpha q db - 2 alpha r b)
+    dEb = E[:, :, None] * (2.0 * alpha * q[None, :, None] * db
+                           - 2.0 * alpha * rs[:, None, None] * b)
+    dIdr = jnp.einsum("nj,pjl->pnl", G0.astype(fdt), dEb)
+
+    wvalid = weights * valid
+    pref = fourpi * wvalid                            # (P,)
+    # c0 (no cutoff): 4pi w Y I~
+    c0 = pref[:, None, None, None] * I[:, :, :, None] * Y[:, None, :, :]
+    # dc0 = 4pi w (dY I~ + Y u dI~/dr)
+    dc0 = (pref[:, None, None, None, None]
+           * (dY[:, None, :, :, :] * I[:, :, :, None, None]
+              + Y[:, None, :, :, None] * u[:, None, None, None, :]
+              * dIdr[:, :, :, None, None]))
+    dfcut = cut_fn(rs, rcut, derivative=True)
+    dc = (dc0 * fcut[:, None, None, None, None]
+          + c0[..., None] * (dfcut[:, None] * u)[:, None, None, None, :])
+    c = c0 * fcut[:, None, None, None]
+    c = c * norm_l[None, None, :, None]
+    dc = dc * norm_l[None, None, :, None, None]
+
+    ctot = jax.ops.segment_sum(c, pair_center, num_segments=natoms + 1)
+    ctot = ctot[:natoms]                              # (natoms, nmax, l, m)
+
+    # power spectrum per centre
+    Pfull = jnp.einsum("anlm,aklm->ankl", ctot, jnp.conj(ctot)).real
+    tri = np.tril_indices(nmax)
+    x = Pfull[:, tri[0], tri[1], :].reshape(natoms, ncoef)
+
+    # per-pair dP[p, n, k, l, d] = dc[p,n,l,m,d] conj(ctot[i_p,k,l,m]) + h.c.
+    ctot_i = ctot[jnp.minimum(pair_center, natoms - 1)]
+    A = jnp.einsum("pnlmd,pklm->pnkld", dc, jnp.conj(ctot_i))
+    dP = (A + jnp.conj(jnp.swapaxes(A, 1, 2))).real   # (P, n, k, l, 3)
+    dP = dP * valid[:, None, None, None, None]
+    dP_tri = dP[:, tri[0], tri[1], :, :].reshape(P, ncoef, 3)
+
+    # seq accumulation + translation-invariance self rows (SO3.py:261-273)
+    dxdr = jax.ops.segment_sum(dP_tri, pair_seq, num_segments=nseq + 1)[:nseq]
+    center_tot = jax.ops.segment_sum(
+        dxdr, seq_center, num_segments=natoms + 1)[:natoms]
+    dxdr = dxdr.at[self_seq].add(-center_tot)
+
+    rdxdr = None
+    if stress:
+        # pstress[(i,j)] -= sum_w Rj (x) dP_w ; [(i,i)] += sum_{w in i} Ri(x)dP
+        rdPj = jnp.einsum("pw,pcd->pcdw", pair_Rj, dP_tri)  # (P,ncoef,3,3w)
+        # reference: rdPj = einsum('wn,wijkm->wijknm', Rjs, dP):
+        # index order (coef, cart_n=R, cart_m=grad) -> stored as (ncoef,3,3)
+        rdPj = jnp.einsum("pn,pcm->pcnm", pair_Rj, dP_tri)
+        pstress = -jax.ops.segment_sum(
+            rdPj, pair_seq, num_segments=nseq + 1)[:nseq]
+        rdPi = jnp.einsum("pn,pcm->pcnm", pair_Ri, dP_tri)
+        rdPi_center = jax.ops.segment_sum(
+            rdPi, pair_center, num_segments=natoms + 1)[:natoms]
+        pstress = pstress.at[self_seq].add(rdPi_center)
+        rdxdr = pstress  # caller applies the -1/vol (SO3.py:306)
+
+    return x, dxdr, rdxdr
+
+
+# ---------------------------------------------------------------------------
+# host-facing descriptor class
+# ---------------------------------------------------------------------------
+
+class SO3:
+    """Drop-in equivalent of gpr_calc.SO3.SO3 (constructor contract
+    SO3.py:23-34, validation SO3.py:67-174)."""
+
+    def __init__(self, nmax: int = 3, lmax: int = 3, rcut: float = 3.5,
+                 alpha: float = 2.0, derivative: bool = True,
+                 stress: bool = False, cutoff_function: str = "cosine",
+                 weight_on: bool = False):
+        if not isinstance(nmax, int) or not (1 <= nmax <= 11):
+            raise ValueError("nmax must be an integer in [1, 11]")
+        if not isinstance(lmax, int) or not (0 <= lmax <= 32):
+            raise ValueError("lmax must be an integer in [0, 32]")
+        if rcut <= 0:
+            raise ValueError("rcut must be positive")
+        if alpha <= 0:
+            raise ValueError("alpha must be positive")
+        if cutoff_function not in CUTOFFS:
+            raise NotImplementedError(
+                f"cutoff function {cutoff_function!r} not implemented")
+        self.nmax = nmax
+        self.lmax = lmax
+        self.rcut = float(rcut)
+        self.alpha = float(alpha)
+        self.derivative = derivative
+        self.stress = stress
+        self.cutoff_function = cutoff_function
+        self.weight_on = weight_on
+        self._type = "SO3"
+        q, G0 = radial_quadrature(nmax, lmax, self.rcut, self.alpha)
+        self._q = jnp.asarray(q, config.dtype())
+        self._G0 = jnp.asarray(G0, config.dtype())
+
+    # -- persistence (SO3.py:45-65) --
+    def save_dict(self):
+        return {"nmax": self.nmax, "lmax": self.lmax, "rcut": self.rcut,
+                "alpha": self.alpha, "derivative": self.derivative,
+                "stress": self.stress, "_type": "SO3"}
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls(nmax=d["nmax"], lmax=d["lmax"], rcut=d["rcut"],
+                   alpha=d["alpha"], derivative=d.get("derivative", True),
+                   stress=d.get("stress", False))
+
+    def load_from_dict(self, d):
+        self.__init__(nmax=d["nmax"], lmax=d["lmax"], rcut=d["rcut"],
+                      alpha=d["alpha"], derivative=d.get("derivative", True),
+                      stress=d.get("stress", False))
+
+    @property
+    def ncoef(self) -> int:
+        return self.nmax * (self.nmax + 1) // 2 * (self.lmax + 1)
+
+    def __str__(self):
+        return (f"SO3 descriptor with Cutoff: {self.rcut:6.3f} "
+                f"lmax: {self.lmax:d}, nmax: {self.nmax:d}, "
+                f"alpha: {self.alpha:.3f}\n")
+
+    # -- main API (mirrors SO3.calculate, SO3.py:186-323) --
+    def calculate(self, atoms, atom_ids=None, use_mpi: bool = False):
+        from ..atoms.neighborlist import neighbor_pairs
+
+        del use_mpi  # parallelism is handled by XLA sharding, not MPI
+        positions = np.asarray(atoms.positions, float)
+        numbers = np.asarray(atoms.numbers, int)
+        natoms = len(numbers)
+        if atom_ids is None:
+            atom_ids = list(range(natoms))
+
+        pi, pj, rij = neighbor_pairs(atoms, self.rcut)
+
+        # atomic weights: neighbour Z, negated for unlike species when
+        # weight_on (SO3.py:381-385)
+        w = numbers[pj].astype(float)
+        if self.weight_on:
+            w = np.where(numbers[pj] != numbers[pi], -w, w)
+
+        # seq construction (SO3.py:389-404)
+        seq = []
+        seq_index = {}
+        for i in atom_ids:
+            js = np.unique(np.concatenate(
+                [pj[pi == i], [i]]))
+            for j in np.sort(js):
+                seq_index[(i, int(j))] = len(seq)
+                seq.append((i, int(j)))
+        seq = np.asarray(seq, np.int64).reshape(-1, 2)
+        nseq = len(seq)
+        pair_seq = np.asarray([seq_index[(int(a), int(b))]
+                               for a, b in zip(pi, pj)], np.int32)
+        self_seq = np.asarray([seq_index[(i, i)] for i in atom_ids], np.int32)
+        seq_center = seq[:, 0].astype(np.int32)
+
+        # pad the pair axis to a bucket for shape reuse
+        from .packing import bucket_size
+        P = len(pi)
+        P_pad = bucket_size(max(P, 1), multiple=64)
+        pad = P_pad - P
+        rij_p = np.concatenate([rij, np.tile([[1.0, 0, 0]], (pad, 1))])
+        w_p = np.concatenate([w, np.zeros(pad)])
+        pc_p = np.concatenate([pi.astype(np.int32),
+                               np.full(pad, natoms, np.int32)])
+        ps_p = np.concatenate([pair_seq, np.full(pad, nseq, np.int32)])
+        Ri = positions[np.concatenate([pi, np.zeros(pad, int)])]
+        Rj = Ri + rij_p
+
+        dt = config.dtype()
+        x, dxdr, pstress = _so3_core(
+            jnp.asarray(rij_p, dt), jnp.asarray(w_p, dt),
+            jnp.asarray(pc_p), jnp.asarray(ps_p),
+            jnp.asarray(Ri, dt), jnp.asarray(Rj, dt),
+            jnp.asarray(self_seq), jnp.asarray(seq_center),
+            self._q, self._G0,
+            nmax=self.nmax, lmax=self.lmax, natoms=natoms, nseq=nseq,
+            rcut=self.rcut, alpha=self.alpha,
+            derivative=self.derivative, stress=self.stress,
+            cutoff=self.cutoff_function)
+
+        out = {
+            "x": np.asarray(x),
+            "dxdr": None if dxdr is None else np.asarray(dxdr),
+            "elements": list(getattr(atoms, "symbols", [])) or [
+                _SYMBOLS.get(int(zz), str(zz)) for zz in numbers],
+            "seq": seq if self.derivative else None,
+        }
+        if self.stress and pstress is not None:
+            vol = atoms.get_volume()
+            out["rdxdr"] = -np.asarray(pstress) / vol
+        else:
+            out["rdxdr"] = None
+        return out
+
+
+_SYMBOLS = {
+    1: "H", 2: "He", 3: "Li", 4: "Be", 5: "B", 6: "C", 7: "N", 8: "O",
+    9: "F", 10: "Ne", 11: "Na", 12: "Mg", 13: "Al", 14: "Si", 15: "P",
+    16: "S", 17: "Cl", 18: "Ar", 19: "K", 20: "Ca", 22: "Ti", 24: "Cr",
+    26: "Fe", 28: "Ni", 29: "Cu", 30: "Zn", 46: "Pd", 47: "Ag", 78: "Pt",
+    79: "Au",
+}
