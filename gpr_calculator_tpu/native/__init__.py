@@ -1,0 +1,63 @@
+"""Native (C++) host runtime components, built on demand with g++.
+
+The compiled library is cached next to the sources; if no compiler is
+available the callers fall back to NumPy implementations.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+
+_HERE = Path(__file__).parent
+_LIB = None
+_TRIED = False
+
+
+def _build() -> Path | None:
+    src = _HERE / "neighbor.cpp"
+    out = _HERE / "_libgprnative.so"
+    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+        return out
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            tmp_out = Path(td) / "lib.so"
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", str(src), "-o", str(tmp_out)],
+                check=True, capture_output=True, timeout=120)
+            tmp_out.replace(out)
+        return out
+    except Exception:
+        return None
+
+
+def get_lib():
+    """Return the loaded native library, or None when unavailable."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _build()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(str(path))
+        lib.neighbor_build.restype = ctypes.c_longlong
+        lib.neighbor_build.argtypes = [
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_double,
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB

@@ -1,0 +1,214 @@
+"""SO(3) descriptor validation: special functions vs scipy, gradients vs
+finite differences, and invariance properties."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import scipy.special as sp
+
+from gpr_calculator_tpu.ops.bessel import scaled_in
+from gpr_calculator_tpu.ops.sph import ylm_all, ylm_gradients
+from gpr_calculator_tpu.ops.so3 import SO3
+from gpr_calculator_tpu.atoms import Atoms, FixAtoms
+
+
+def test_scaled_bessel_vs_scipy():
+    lmax = 6
+    z = np.concatenate([np.linspace(1e-3, 2, 7), np.linspace(2, 60, 9),
+                        [120.0, 400.0]])
+    b, db = scaled_in(lmax, jnp.asarray(z))
+    b, db = np.asarray(b), np.asarray(db)
+    for li in range(lmax + 1):
+        ref = sp.spherical_in(li, z) * np.exp(-z)
+        dref = sp.spherical_in(li, z, derivative=True) * np.exp(-z)
+        np.testing.assert_allclose(b[:, li], ref, rtol=1e-12, atol=1e-300)
+        np.testing.assert_allclose(db[:, li], dref, rtol=1e-11, atol=1e-300)
+
+
+def test_scaled_bessel_at_zero():
+    b, db = scaled_in(4, jnp.asarray([0.0]))
+    np.testing.assert_allclose(np.asarray(b)[0], [1, 0, 0, 0, 0], atol=1e-15)
+    np.testing.assert_allclose(np.asarray(db)[0], [0, 1 / 3, 0, 0, 0],
+                               atol=1e-15)
+
+
+def test_ylm_vs_scipy():
+    lmax = 5
+    rng = np.random.RandomState(3)
+    pos = rng.randn(12, 3)
+    r = np.linalg.norm(pos, axis=1)
+    u = pos / r[:, None]
+    Y = np.asarray(ylm_all(lmax, jnp.asarray(u), jnp.ones(12)))
+    theta = np.arccos(u[:, 2])
+    phi = np.arctan2(u[:, 1], u[:, 0])
+    for l in range(lmax + 1):
+        for m in range(-l, l + 1):
+            ref = sp.sph_harm_y(l, m, theta, phi)
+            np.testing.assert_allclose(Y[:, l, lmax + m], ref,
+                                       rtol=1e-10, atol=1e-12)
+
+
+def test_ylm_gradients_vs_finite_difference():
+    lmax = 4
+    rng = np.random.RandomState(5)
+    pos = rng.randn(6, 3) * 1.5
+    r = np.linalg.norm(pos, axis=1)
+    u = pos / r[:, None]
+    Yext = ylm_all(lmax + 1, jnp.asarray(u), jnp.ones(len(pos)))
+    G = np.asarray(ylm_gradients(lmax, Yext, jnp.asarray(r)))
+
+    eps = 1e-6
+    for d in range(3):
+        pp = pos.copy(); pp[:, d] += eps
+        pm = pos.copy(); pm[:, d] -= eps
+        up = pp / np.linalg.norm(pp, axis=1)[:, None]
+        um = pm / np.linalg.norm(pm, axis=1)[:, None]
+        Yp = np.asarray(ylm_all(lmax, jnp.asarray(up), jnp.ones(len(pos))))
+        Ym = np.asarray(ylm_all(lmax, jnp.asarray(um), jnp.ones(len(pos))))
+        fd = (Yp - Ym) / (2 * eps)
+        np.testing.assert_allclose(G[:, 1:, :, d], fd[:, 1:, :],
+                                   rtol=2e-6, atol=1e-8)
+
+
+def _make_cluster(seed=0, n=6):
+    rng = np.random.RandomState(seed)
+    pos = rng.uniform(0, 3.0, (n, 3))
+    # keep a minimum separation
+    for _ in range(50):
+        d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+        np.fill_diagonal(d, 10)
+        if d.min() > 1.2:
+            break
+        i, j = np.unravel_index(np.argmin(d), d.shape)
+        pos[i] += 0.3 * (pos[i] - pos[j])
+    numbers = ([13] * (n // 2) + [79] * (n - n // 2))
+    return Atoms(numbers=numbers, positions=pos,
+                 cell=np.eye(3) * 12.0, pbc=False)
+
+
+def _reference_power_spectrum(atoms, nmax, lmax, rcut, alpha):
+    """Independent scipy implementation of the power spectrum (formula from
+    'On Representing Chemical Environments', quadrature per SO3.py docs)."""
+    from gpr_calculator_tpu.ops.so3 import W_matrix, gauss_chebyshev
+    n_at = len(atoms)
+    pos = atoms.positions
+    W = W_matrix(nmax)
+    gc, wq = gauss_chebyshev(nmax, lmax)
+    wq *= rcut / 2
+    q = rcut / 2 * (gc + 1)
+    phis = np.stack([
+        (rcut - q) ** (a + 2) / np.sqrt(
+            2 * rcut ** (2 * a + 7) / ((2 * a + 5) * (2 * a + 6) * (2 * a + 7)))
+        for a in range(1, nmax + 1)])
+    g = W @ phis
+    norm = np.sqrt(2 * np.sqrt(2) * np.pi / np.sqrt(2 * np.arange(lmax + 1) + 1))
+
+    ncoef = nmax * (nmax + 1) // 2 * (lmax + 1)
+    out = np.zeros((n_at, ncoef))
+    tri = np.tril_indices(nmax)
+    for i in range(n_at):
+        c = np.zeros((nmax, lmax + 1, 2 * lmax + 1), complex)
+        for j in range(n_at):
+            if i == j:
+                continue
+            rij = pos[j] - pos[i]
+            r = np.linalg.norm(rij)
+            if r >= rcut:
+                continue
+            # radial integral
+            integ = np.zeros((nmax, lmax + 1))
+            for li in range(lmax + 1):
+                bes = sp.spherical_in(li, 2 * alpha * r * q)
+                integ[:, li] = (g * q ** 2 * np.exp(-alpha * q ** 2)
+                                * np.sqrt(1 - gc ** 2) * wq * bes).sum(axis=1)
+            pref = (4 * np.pi * np.exp(-alpha * r ** 2)
+                    * 0.5 * (np.cos(np.pi * r / rcut) + 1)
+                    * atoms.numbers[j])
+            theta = np.arccos(rij[2] / r)
+            phi = np.arctan2(rij[1], rij[0])
+            for li in range(lmax + 1):
+                for m in range(-li, li + 1):
+                    y = sp.sph_harm_y(li, m, theta, phi)
+                    c[:, li, lmax + m] += pref * integ[:, li] * y * norm[li]
+        P = np.einsum("nlm,klm->nkl", c, np.conj(c)).real
+        out[i] = P[tri].reshape(-1)
+    return out
+
+
+def test_so3_x_vs_scipy_reference():
+    atoms = _make_cluster()
+    des = SO3(nmax=3, lmax=4, rcut=5.0, alpha=2.0, derivative=False)
+    d = des.calculate(atoms)
+    ref = _reference_power_spectrum(atoms, 3, 4, 5.0, 2.0)
+    np.testing.assert_allclose(d["x"], ref, rtol=1e-9, atol=1e-12)
+
+
+def test_so3_derivative_path_x_matches_energy_path():
+    atoms = _make_cluster(seed=2)
+    des_e = SO3(nmax=3, lmax=3, rcut=4.5, derivative=False)
+    des_d = SO3(nmax=3, lmax=3, rcut=4.5, derivative=True)
+    xe = des_e.calculate(atoms)["x"]
+    xd = des_d.calculate(atoms)["x"]
+    np.testing.assert_allclose(xe, xd, rtol=1e-12, atol=1e-14)
+
+
+def test_so3_dxdr_vs_finite_difference():
+    atoms = _make_cluster(seed=4, n=5)
+    des = SO3(nmax=2, lmax=2, rcut=4.5, derivative=True)
+    d = des.calculate(atoms)
+    seq, dxdr = d["seq"], d["dxdr"]
+    des0 = SO3(nmax=2, lmax=2, rcut=4.5, derivative=False)
+    eps = 1e-6
+    for s, (i, j) in enumerate(seq):
+        for comp in range(3):
+            ap = atoms.copy(); ap.positions[j, comp] += eps
+            am = atoms.copy(); am.positions[j, comp] -= eps
+            xp = des0.calculate(ap)["x"][i]
+            xm = des0.calculate(am)["x"][i]
+            fd = (xp - xm) / (2 * eps)
+            np.testing.assert_allclose(
+                dxdr[s, :, comp], fd, rtol=5e-5, atol=5e-7,
+                err_msg=f"seq row {s} = ({i},{j}) comp {comp}")
+
+
+def test_so3_dxdr_translation_invariance():
+    atoms = _make_cluster(seed=6)
+    des = SO3(nmax=3, lmax=3, rcut=5.0, derivative=True)
+    d = des.calculate(atoms)
+    seq, dxdr = d["seq"], d["dxdr"]
+    for i in range(len(atoms)):
+        rows = dxdr[seq[:, 0] == i]
+        np.testing.assert_allclose(rows.sum(axis=0), 0.0, atol=1e-10)
+
+
+def test_so3_periodic_neighbor_consistency():
+    """Native and NumPy neighbour builders agree on a periodic cell."""
+    from gpr_calculator_tpu.atoms.neighborlist import (_numpy_pairs,
+                                                       _native_pairs)
+    from gpr_calculator_tpu.native import get_lib
+    rng = np.random.RandomState(1)
+    cell = np.array([[4.0, 0.2, 0], [0, 3.8, 0.1], [0.3, 0, 4.2]])
+    pos = rng.uniform(0, 4, (8, 3))
+    i1, j1, r1 = _numpy_pairs(pos, cell, np.array([True] * 3), 3.0)
+    lib = get_lib()
+    assert lib is not None, "native neighbor lib failed to build"
+    i2, j2, r2 = _native_pairs(lib, pos, cell, np.array([True] * 3), 3.0)
+    assert len(i1) == len(i2)
+    # same multiset of pairs
+    k1 = np.lexsort((np.round(r1[:, 0], 9), j1, i1))
+    k2 = np.lexsort((np.round(r2[:, 0], 9), j2, i2))
+    np.testing.assert_array_equal(i1[k1], i2[k2])
+    np.testing.assert_array_equal(j1[k1], j2[k2])
+    np.testing.assert_allclose(
+        np.sort(np.linalg.norm(r1, axis=1)),
+        np.sort(np.linalg.norm(r2, axis=1)), rtol=1e-12)
+
+
+def test_so3_stress_terms_finite_difference():
+    """rdxdr: virial terms dP/d(strain) via -1/V sum r (x) dP/dr."""
+    atoms = _make_cluster(seed=8, n=4)
+    atoms.pbc = np.array([True] * 3)
+    atoms.cell.array[:] = np.eye(3) * 8.0
+    des = SO3(nmax=2, lmax=2, rcut=4.0, derivative=True, stress=True)
+    d = des.calculate(atoms)
+    assert d["rdxdr"] is not None
+    assert d["rdxdr"].shape == (len(d["seq"]), des.ncoef, 3, 3)
