@@ -1,0 +1,146 @@
+"""Hybrid on-the-fly GPR calculator (the dispatcher).
+
+Behavioural parity with gpr_calc/calculator.py:10-181: predict with
+uncertainty, compare against tolerances, answer from the surrogate or call
+the base calculator, grow the training set, refit on the queue schedule,
+and gate on training error.  The MPI position broadcasts (calculator.py:
+58-59) are unnecessary here -- there is a single host program; device-level
+parallelism lives inside the jitted kernels.
+"""
+from __future__ import annotations
+
+import copy as _copy
+
+import numpy as np
+
+from .calculators.base import Calculator
+
+
+class GPR(Calculator):
+    name = "gpr"
+    implemented_properties = ["energy", "forces", "stress", "var_e", "var_f"]
+    nolabel = True
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.results = {}
+        self.force_base = False
+        self.allow_base = True
+        self.update_gpr = True
+        self.verbose = True
+        self.ignore_E_std = True
+        self.tag = self.parameters.get("tag", "GPR")
+        self.freq = self.parameters.get("freq", 10)
+        self.save = self.parameters.get("save", True)
+
+    def __copy__(self):
+        new = GPR(**dict(self.parameters))
+        new.force_base = self.force_base
+        new.allow_base = self.allow_base
+        new.update_gpr = self.update_gpr
+        new.ignore_E_std = self.ignore_E_std
+        return new
+
+    def freeze(self):
+        """Disable base-calculator fallback (NEB endpoint handling,
+        calculator.py:40-46)."""
+        self.allow_base = False
+        self.update = False
+
+    def unfreeze(self):
+        self.update = True
+        self.allow_base = True
+
+    def calculate(self, atoms=None, properties=("energy", "forces"),
+                  system_changes=None):
+        gp_model = self.parameters.ff
+        self._calculate(atoms, properties)
+
+        if self.ignore_E_std:
+            e_tol = 100.0
+        else:
+            e_tol = 1.2 * len(atoms) * gp_model.noise_e
+        f_tol = 1.2 * gp_model.noise_f
+        E_std = self.results["var_e"] * len(atoms)
+        F_std = self.results["var_f"].max()
+        E = self.results["energy"]
+        Fmax = np.abs(self.results["forces"]).max()
+        E_fail = E_std > e_tol
+        f_ref = max(f_tol, Fmax / 2.5)  # calculator.py:72
+        force_fail = not (self.results["var_f"] < f_ref).all()
+
+        if self.force_base or (self.allow_base and (E_fail or force_fail)):
+            gp_model.use_base += 1
+            base = self.parameters.base
+            fix_ids = atoms.fixed_indices() if hasattr(
+                atoms, "fixed_indices") else []
+            prev_calc = atoms.calc
+            atoms.calc = base
+            eng = atoms.get_potential_energy()
+            forces = atoms.get_forces()
+            if len(fix_ids):
+                forces[np.asarray(fix_ids, int)] = 0.0
+            atoms.calc = prev_calc
+            f_max = np.abs(forces).max()
+            if self.verbose:
+                print(f"From Base model E: {E_std:.3f}/{E:.3f}/{eng:.3f}, "
+                      f"F: {F_std:.3f}/{Fmax:.3f}/{f_max:.3f}")
+            gp_model.add_structure((atoms.copy(), eng, forces))
+            self.results["energy"] = eng
+            self.results["free_energy"] = eng
+            self.results["forces"] = forces
+        else:
+            gp_model.use_surrogate += 1
+            if self.verbose:
+                print(f"From Surrogate  E: {E_std:.3f}/{e_tol:.3f}/{E:.3f}, "
+                      f"F: {F_std:.3f}/{f_tol:.3f}/{Fmax:.3f}")
+
+        # refit cadence (calculator.py:101-104)
+        freq = (max(2, self.freq // 2) if gp_model.N_forces > 100
+                else self.freq)
+        if self.update_gpr and (gp_model.N_queue > freq
+                                or gp_model.N_energy_queue >= 2):
+            gp_model.fit(opt=True, show=False, maxiter=10)
+            if self.save:
+                gp_model.save(f"{self.tag}-gpr.json", f"{self.tag}-gpr.db",
+                              verbose=False)
+                print(gp_model)
+            gp_model.validate_data(show=True)
+            if (gp_model.error["energy_mae"] > 0.1
+                    or gp_model.error["forces_mae"] > 0.3):
+                # hard quality gate (calculator.py:112-117)
+                raise RuntimeError(
+                    "GPR training error is too large "
+                    f"({gp_model.error}); check the data")
+
+    def _calculate(self, atoms, properties=("energy", "forces")):
+        stress = self.parameters.get("stress", False)
+        f_tol = self.parameters.get("f_tol", 1e-12)
+        return_std = self.parameters.get("return_std", True)
+
+        res = self.parameters.ff.predict_structure(
+            atoms, stress, return_std, f_tol=f_tol)
+        if return_std:
+            self.results["var_e"] = res[3]
+            self.results["var_f"] = res[4]
+        self.results["energy"] = res[0]
+        self.results["free_energy"] = res[0]
+        self.results["forces"] = res[1]
+        if stress:
+            self.results["stress"] = res[2].sum(axis=0)
+        else:
+            self.results["stress"] = None
+        self.forces = res[1]
+
+    # accessors (calculator.py:157-170)
+    def get_var_e(self, total=False):
+        if total:
+            return self.results["var_e"] * len(self.results["forces"])
+        return self.results["var_e"]
+
+    def get_var_f(self):
+        return self.results["var_f"]
+
+    def get_e(self, peratom=True):
+        e = self.results["energy"]
+        return e / len(self.results["forces"]) if peratom else e

@@ -1,0 +1,860 @@
+"""Gaussian-process regressor for on-the-fly force fields (TPU-native).
+
+Re-implements the reference GP class (gpr_calc/gaussianprocess.py:22-1161)
+with the same observable behaviour -- covariance structure, per-atom energy
+labels, queue semantics, dispatch thresholds, JSON/db persistence -- but a
+different mechanism:
+
+  * covariance blocks and their hyperparameter gradients come from one
+    jitted JAX program (ops/kernels.py + jax.value_and_grad), replacing the
+    C++ kernels and the hand-derived *_with_grad variants
+    (rbf_kernel.cpp:52,174,476);
+  * the MPI row-splits P1-P5 and replicated-solve pattern P9/P10
+    (SURVEY.md section 2) disappear: under jit + sharding every device holds
+    the solve's result implicitly;
+  * Cholesky / cho_solve run on device (jnp.linalg), not scipy-on-rank-0
+    (gaussianprocess.py:297-299);
+  * training data lives in bucketed padded arrays, so the jit cache is
+    reused as the training set grows.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import logging
+import os
+from copy import deepcopy
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.optimize import minimize
+
+from .. import config
+from ..atoms.atoms import ATOMIC_NUMBERS
+from ..ops import kernels as K_ops
+from ..ops.packing import (EnergyData, ForceData, bucket_size, pack_energy,
+                           pack_force)
+from ..ops.so3 import SO3
+from .kernels import RBF, Dot, kernel_from_dict
+
+
+# ---------------------------------------------------------------------------
+# jitted numerical core
+# ---------------------------------------------------------------------------
+
+def _params_from_theta(kind: str, kp):
+    if kind == "rbf":
+        return {"sigma": kp[0], "l": kp[1]}
+    return {"sigma": kp[0], "sigma0": kp[1]}
+
+
+def _noise_diag(e: EnergyData, f: ForceData, noise_e, noise_f):
+    """Noise diagonal with padded rows pinned to 1.0 so padding contributes
+    nothing to the LML or its gradients."""
+    mE, mF = e.m, f.m
+    valid_e = jnp.arange(mE) < e.nreal
+    valid_f = jnp.arange(mF) < f.nreal
+    de = jnp.where(valid_e, noise_e ** 2, 1.0)
+    df = jnp.repeat(jnp.where(valid_f, noise_f ** 2, 1.0), 3)
+    return jnp.concatenate([de, df])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kind", "zeta", "noise_opt", "row_chunk"))
+def _nll_value_and_grad(theta, e: EnergyData, f: ForceData, y,
+                        noise_fixed, f_coef,
+                        kind: str, zeta: int, noise_opt: bool,
+                        row_chunk: int = 0):
+    """(-LML, -dLML/dtheta); mirrors log_marginal_likelihood
+    (gaussianprocess.py:133-202) incl. Eq. 5.9 of GPML via autodiff."""
+
+    def negative_lml(theta):
+        if noise_opt:
+            noise_e = theta[-1]
+            noise_f = f_coef * noise_e
+            kp = theta[:-1]
+        else:
+            noise_e, noise_f = noise_fixed[0], noise_fixed[1]
+            kp = theta
+        params = _params_from_theta(kind, kp)
+        K = K_ops.k_self(e, f, params, kind, zeta, row_chunk=row_chunk)
+        K = K + jnp.diag(_noise_diag(e, f, noise_e, noise_f))
+        L = jnp.linalg.cholesky(K)
+        alpha = jax.scipy.linalg.cho_solve((L, True), y)
+        n_real = e.nreal + 3 * f.nreal
+        ll = (-0.5 * jnp.sum(y * alpha)
+              - jnp.sum(jnp.log(jnp.diagonal(L)))
+              - 0.5 * n_real * jnp.log(2 * jnp.pi))
+        return -ll
+
+    return jax.value_and_grad(negative_lml)(theta)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "zeta", "row_chunk"))
+def _factorize(e: EnergyData, f: ForceData, y, params, noise_e, noise_f,
+               kind: str, zeta: int, row_chunk: int = 0):
+    """K -> (L, alpha, K_inv); replaces the rank-0 Cholesky + bcast pattern
+    (gaussianprocess.py:288-310)."""
+    K = K_ops.k_self(e, f, params, kind, zeta, row_chunk=row_chunk)
+    K = K + jnp.diag(_noise_diag(e, f, noise_e, noise_f))
+    L = jnp.linalg.cholesky(K)
+    alpha = jax.scipy.linalg.cho_solve((L, True), y)
+    K_inv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(K.shape[0],
+                                                          dtype=K.dtype))
+    return L, alpha, K_inv
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kind", "zeta", "return_std",
+                                    "row_chunk"))
+def _predict_packed(pe: EnergyData, pf: ForceData, te: EnergyData,
+                    tf: ForceData, params, alpha, K_inv,
+                    kind: str, zeta: int, return_std: bool,
+                    row_chunk: int = 0):
+    """Cross covariance + GEMV (+ variance) in one device program
+    (replaces predict_structure's kernel/GEMV/variance chain,
+    gaussianprocess.py:873-911)."""
+    Kt = K_ops.k_block(pe, pf, te, tf, params, kind, zeta,
+                       row_chunk=row_chunk)
+    mean = Kt @ alpha
+    if not return_std:
+        return mean, None
+    diag = jnp.concatenate([
+        K_ops.diag_energy(pe, params, kind, zeta),
+        K_ops.diag_force(pf, params, kind, zeta).reshape(-1),
+    ])
+    var = diag - jnp.einsum("ij,ij->i", Kt @ K_inv, Kt)
+    var = jnp.maximum(var, 0.0)          # clamp (gaussianprocess.py:371-375)
+    return mean, jnp.sqrt(var)
+
+
+# ---------------------------------------------------------------------------
+# novelty filter (utilities.py:32-42)
+# ---------------------------------------------------------------------------
+
+def new_pt(data, refs, d_tol: float = 1e-1, eps: float = 1e-8) -> bool:
+    X, ele = data
+    X = X / (np.linalg.norm(X) + eps)
+    for X1, ele1 in refs:
+        if ele1 == ele:
+            X1 = X1 / np.linalg.norm(X1 + eps)
+            d = X @ X1.T
+            if 1 - d ** 2 < d_tol:
+                return False
+    return True
+
+
+def metric_values(y_true, y_pred):
+    """r2 / MAE / RMSE (utilities.py:44-95)."""
+    y_true, y_pred = np.asarray(y_true, float), np.asarray(y_pred, float)
+    n = max(len(y_true), 1)
+    mae = float(np.sum(np.abs(y_true - y_pred)) / n)
+    rmse = float(np.sqrt(np.sum((y_true - y_pred) ** 2) / n))
+    if len(y_true) == 0:
+        return 1.0, mae, rmse
+    tbar = y_true.mean()
+    r2 = float(1 - np.sum((y_true - y_pred) ** 2)
+               / (np.sum((y_true - tbar) ** 2) + 1e-8))
+    return r2, mae, rmse
+
+
+# ---------------------------------------------------------------------------
+# GP
+# ---------------------------------------------------------------------------
+
+class GP:
+    """Drop-in equivalent of gpr_calc.gaussianprocess.GP."""
+
+    def __init__(self, kernel=None, descriptor=None, base_potential=None,
+                 noise_e=0.005, noise_f=0.1, f_coef=10,
+                 log_file: str = "gpr.log", row_chunk: int = 0):
+        self.log_file = log_file
+        logging.getLogger().handlers.clear()
+        logging.basicConfig(level=logging.INFO,
+                            format="%(asctime)s| %(message)s",
+                            filename=self.log_file)
+        self.logging = logging
+
+        if isinstance(noise_e, (list, tuple)):
+            self.noise_e = float(noise_e[0])
+            self.noise_f = float(noise_f[0]) if isinstance(
+                noise_f, (list, tuple)) else float(noise_f)
+            self.noise_bounds = list(noise_e[1:])
+        else:
+            self.noise_e = float(noise_e)
+            self.noise_f = float(noise_f)
+            self.noise_bounds = None
+        self.f_coef = f_coef
+        self.error = None
+
+        self.descriptor = descriptor
+        self.kernel = kernel
+        self.base_potential = base_potential
+        self.row_chunk = row_chunk
+
+        # host-side ragged training store
+        self._energy_pts: List[Tuple[np.ndarray, np.ndarray]] = []
+        self._energy_y: List[float] = []
+        self._force_pts: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self._force_y: List[np.ndarray] = []
+        self.train_db: list = []
+
+        self.N_energy = 0
+        self.N_forces = 0
+        self.N_energy_queue = 0
+        self.N_forces_queue = 0
+        self.N_queue = 0
+
+        self.alpha_ = None
+        self.L_ = None
+        self._K_inv = None
+        self._fit_snapshot = None   # (EnergyData, ForceData) used by alpha_
+
+        self.fits = 0
+        self.use_base = 0
+        self.use_surrogate = 0
+        self.logging.info(self)
+
+    # -- reference-compatible train_x/train_y views -------------------------
+    @property
+    def train_y(self):
+        return {"energy": list(self._energy_y),
+                "force": [np.asarray(f) for f in self._force_y]}
+
+    def __str__(self):
+        s = "------Gaussian Process Regression (TPU)------\n"
+        s += "Kernel: {:s}".format(str(self.kernel))
+        s += " {:d} energy ({:.5f})".format(self.N_energy, self.noise_e)
+        s += " {:d} forces ({:.5f})\n".format(self.N_forces, self.noise_f)
+        if self.use_base > 0:
+            s += "Total base/surrogate/gpr_fit calls: {}/{}/{}\n".format(
+                self.use_base, self.use_surrogate, self.fits)
+        return s
+
+    __repr__ = __str__
+
+    def todict(self):
+        return {}
+
+    # -- packing -------------------------------------------------------------
+    def _pack(self, nE: int, nF: int) -> Tuple[EnergyData, ForceData]:
+        d = self.descriptor.ncoef if self.descriptor is not None else 1
+        epts = [(x, e) for (x, e) in self._energy_pts[:nE]]
+        fpts = self._force_pts[:nF]
+        if epts:
+            d = epts[0][0].shape[1]
+            a_max = max(p[0].shape[0] for p in epts)
+        else:
+            a_max = 1
+        if fpts:
+            d = fpts[0][0].shape[1]
+            b_max = max(p[0].shape[0] for p in fpts)
+        else:
+            b_max = 1
+        e = pack_energy(epts, m_pad=bucket_size(nE, 4),
+                        a_pad=bucket_size(a_max, 4), d=d)
+        f = pack_force(fpts, m_pad=bucket_size(nF, 8),
+                       b_pad=bucket_size(b_max, 4), d=d)
+        return e, f
+
+    def _y_vector(self, e: EnergyData, f: ForceData, nE: int, nF: int):
+        y = np.zeros(e.m + 3 * f.m)
+        y[:nE] = self._energy_y[:nE]
+        yf = np.asarray(self._force_y[:nF], float).reshape(-1)
+        y[e.m:e.m + 3 * nF] = yf
+        return jnp.asarray(y, config.dtype())
+
+    # -- training-data management (gaussianprocess.py:381-629) --------------
+    def set_train_pts(self, data: Dict, mode: str = "w"):
+        if mode == "w":
+            self._energy_pts, self._energy_y = [], []
+            self._force_pts, self._force_y = [], []
+            self.train_db = []
+            self.N_energy = self.N_forces = 0
+            self.N_energy_queue = self.N_forces_queue = self.N_queue = 0
+
+        N_E, N_F = 0, 0
+        for d in data.get("db", []):
+            (atoms, energy, force, energy_in, force_in) = d
+            N_E += 1 if energy_in else 0
+            N_F += len(force_in)
+            self.train_db.append((atoms, energy, force, energy_in, force_in))
+
+        for (x, e, ele) in data.get("energy", []):
+            self._energy_pts.append((np.asarray(x, float),
+                                     np.asarray(ele, int)))
+            self._energy_y.append(float(e))
+        for (x, dxdr, fval, ele) in data.get("force", []):
+            self._force_pts.append((np.asarray(x, float),
+                                    np.asarray(dxdr, float),
+                                    np.asarray(ele, int)))
+            self._force_y.append(np.asarray(fval, float))
+
+        self.N_energy = len(self._energy_pts)
+        self.N_forces = len(self._force_pts)
+        self.N_energy_queue += N_E
+        self.N_forces_queue += N_F
+        self.N_queue += N_E + N_F
+
+    def remove_train_pts(self, e_ids, f_ids):
+        """Delete points and refit (gaussianprocess.py:427-464)."""
+        data = {"energy": [], "force": [], "db": []}
+        for i, (x, ele) in enumerate(self._energy_pts):
+            if i not in e_ids:
+                data["energy"].append((x, self._energy_y[i], ele))
+        for i, (x, dxdr, ele) in enumerate(self._force_pts):
+            if i not in f_ids:
+                data["force"].append((x, dxdr, self._force_y[i], ele))
+        # rebuild db membership flags
+        e_seen, f_seen = 0, 0
+        for (atoms, energy, force, energy_in, force_in) in self.train_db:
+            new_energy_in = energy_in and (e_seen not in e_ids)
+            if energy_in:
+                e_seen += 1
+            new_force_in = []
+            for fi in force_in:
+                if f_seen not in f_ids:
+                    new_force_in.append(fi)
+                f_seen += 1
+            if new_energy_in or new_force_in:
+                data["db"].append((atoms, energy, force, new_energy_in,
+                                   new_force_in))
+        self.set_train_pts(data, mode="w")
+        self.fit()
+
+    # -- LML / fit -----------------------------------------------------------
+    def log_marginal_likelihood(self, params, eval_gradient=False,
+                                clone_kernel=False):
+        theta = jnp.asarray(params, config.dtype())
+        noise_opt = self.noise_bounds is not None
+        e, f = self._pack(self.N_energy, self.N_forces)
+        y = self._y_vector(e, f, self.N_energy, self.N_forces)
+        noise_fixed = jnp.asarray([self.noise_e, self.noise_f],
+                                  config.dtype())
+        nll, grad = _nll_value_and_grad(
+            theta, e, f, y, noise_fixed,
+            jnp.asarray(float(self.f_coef), config.dtype()),
+            self.kernel.kind, self.kernel.zeta, noise_opt, self.row_chunk)
+        lml = -float(nll)
+        if not np.isfinite(lml):
+            lml = -np.inf
+        if eval_gradient:
+            g = -np.asarray(grad)   # d(LML)/dtheta = -d(NLL)/dtheta
+            if not np.all(np.isfinite(g)):
+                g = np.zeros_like(g)
+            return lml, g
+        return lml
+
+    def optimize(self, fun, theta0, bounds, maxiter: int = 10):
+        """L-BFGS-B host loop over the jitted objective (same optimizer
+        configuration as gaussianprocess.py:204-220)."""
+        res = minimize(fun, theta0, method="L-BFGS-B", bounds=bounds,
+                       jac=True, options={"maxiter": maxiter, "ftol": 1e-2})
+        return res.x, res.fun
+
+    def fit(self, TrainData=None, show: bool = True, opt: bool = True,
+            maxiter: int = 10):
+        if TrainData is not None:
+            self.set_train_pts(TrainData)
+        if show:
+            print(self)
+
+        noise_opt = self.noise_bounds is not None
+        e, f = self._pack(self.N_energy, self.N_forces)
+        y = self._y_vector(e, f, self.N_energy, self.N_forces)
+        f_coef = jnp.asarray(float(self.f_coef), config.dtype())
+
+        if opt:
+            print(f"Update GP model => {self.N_queue}/{maxiter}")
+
+            def obj(theta):
+                noise_fixed = jnp.asarray([self.noise_e, self.noise_f],
+                                          config.dtype())
+                nll, grad = _nll_value_and_grad(
+                    jnp.asarray(theta, config.dtype()), e, f, y, noise_fixed,
+                    f_coef, self.kernel.kind, self.kernel.zeta, noise_opt,
+                    self.row_chunk)
+                nll = float(nll)
+                grad = np.asarray(grad, float)
+                if not np.isfinite(nll):
+                    return np.inf, np.zeros_like(grad)
+                if show:
+                    strs = "Loss: {:12.3f} ".format(nll)
+                    for para in theta:
+                        strs += "{:6.3f} ".format(para)
+                    print(strs)
+                    self.logging.info(strs)
+                return nll, grad
+
+            theta0 = list(self.kernel.parameters())
+            bounds = [list(b) for b in self.kernel.bounds]
+            if noise_opt:
+                theta0 = theta0 + [self.noise_e]
+                bounds = bounds + [list(self.noise_bounds)]
+            params, _ = self.optimize(obj, theta0, bounds, maxiter=maxiter)
+            if noise_opt:
+                self.kernel.update(params[:-1])
+                self.noise_e = float(params[-1])
+                self.noise_f = float(self.f_coef * params[-1])
+            else:
+                self.kernel.update(params)
+
+        dt = config.dtype()
+        L, alpha, K_inv = _factorize(
+            e, f, y, self.kernel.jax_params(),
+            jnp.asarray(self.noise_e, dt), jnp.asarray(self.noise_f, dt),
+            self.kernel.kind, self.kernel.zeta, self.row_chunk)
+        self.L_, self.alpha_, self._K_inv = L, alpha, K_inv
+        self._fit_snapshot = (e, f, self.N_energy, self.N_forces)
+        self.logging.info("Cholesky decomposition complete")
+
+        self.N_energy_queue = self.N_forces_queue = self.N_queue = 0
+        self.fits += 1
+
+    def set_K_inv(self):
+        """Kept for API parity (gaussianprocess.py:128-131); the inverse is
+        produced inside fit()."""
+        return
+
+    # -- prediction ----------------------------------------------------------
+    def _train_view(self):
+        """Training snapshot excluding queued points (get_train_x,
+        gaussianprocess.py:553-577): predictions must use the data the
+        current alpha_ was fitted on."""
+        if self._fit_snapshot is None:
+            raise RuntimeError("model is not fitted")
+        return self._fit_snapshot
+
+    def _predict_points(self, energy_pts, force_pts, return_std=False,
+                        total_E=False):
+        """Predict means (and stds) for explicit descriptor points.
+
+        energy_pts: list of (x, ele); force_pts: list of (x, dxdr, ele).
+        Returns arrays ordered [energies..., forces...] like GP.predict
+        (gaussianprocess.py:319-379).
+        """
+        te, tf, nE_t, nF_t = self._train_view()
+        d = te.d
+        pe = pack_energy(energy_pts, d=d)
+        pf = pack_force(force_pts, d=d)
+        mean, std = _predict_packed(
+            pe, pf, te, tf, self.kernel.jax_params(), self.alpha_,
+            self._K_inv, self.kernel.kind, self.kernel.zeta,
+            return_std, self.row_chunk)
+        mean = np.asarray(mean)
+        nE, nF = len(energy_pts), len(force_pts)
+        mean_e = mean[:nE]
+        mean_f = mean[pe.m:pe.m + 3 * nF]
+        if total_E:
+            mean_e = mean_e * np.asarray([len(p[0]) for p in energy_pts])
+        if return_std:
+            std = np.asarray(std)
+            std_e = std[:nE]
+            std_f = std[pe.m:pe.m + 3 * nF]
+            if total_E:
+                std_e = std_e * np.asarray([len(p[0]) for p in energy_pts])
+            return mean_e, mean_f, std_e, std_f
+        return mean_e, mean_f
+
+    def predict(self, X: Dict, total_E=False, return_std=False,
+                stress=False):
+        energy_pts = [(np.asarray(p[0], float), np.asarray(p[-1], int))
+                      for p in X.get("energy", [])]
+        force_pts = [(np.asarray(p[0], float), np.asarray(p[1], float),
+                      np.asarray(p[-1], int))
+                     for p in X.get("force", [])]
+        out = self._predict_points(energy_pts, force_pts,
+                                   return_std=return_std, total_E=total_E)
+        if return_std:
+            mean_e, mean_f, std_e, std_f = out
+            return (np.concatenate([mean_e, mean_f]),
+                    np.concatenate([std_e, std_f]))
+        mean_e, mean_f = out
+        return np.concatenate([mean_e, mean_f])
+
+    def predict_structure(self, struc, stress: bool = False,
+                          return_std: bool = False, f_tol: float = 1e-8):
+        """Main per-structure API (gaussianprocess.py:834-918)."""
+        d = self.descriptor.calculate(struc)
+        ele = np.asarray([ATOMIC_NUMBERS[s] for s in d["elements"]], int)
+        n_atoms = len(struc)
+        fix_ids = set(int(i) for i in struc.fixed_indices()) \
+            if hasattr(struc, "fixed_indices") else set()
+        free_ids = [i for i in range(n_atoms) if i not in fix_ids]
+
+        energy_pts = [(d["x"], ele)]
+        force_pts = []
+        seq = d["seq"]
+        for i in (range(n_atoms) if stress else free_ids):
+            ids = np.flatnonzero(seq[:, 1] == i)
+            _i = seq[ids, 0]
+            if stress:
+                rd = d["rdxdr"][ids].reshape(len(ids), -1, 9)
+                rd = rd[:, :, [0, 4, 8, 1, 2, 5]]
+                force_pts.append((d["x"][_i], np.concatenate(
+                    (d["dxdr"][ids], rd), axis=2), ele[_i]))
+            else:
+                force_pts.append((d["x"][_i], d["dxdr"][ids], ele[_i]))
+
+        te, tf, _, _ = self._train_view()
+        pe = pack_energy(energy_pts, d=te.d)
+        pf = pack_force(force_pts, d=te.d,
+                        ncart=9 if stress else 3)
+        mean, std = _predict_packed(
+            pe, pf, te, tf, self.kernel.jax_params(), self.alpha_,
+            self._K_inv, self.kernel.kind, self.kernel.zeta, return_std,
+            self.row_chunk)
+        mean = np.asarray(mean)
+        ncart = 9 if stress else 3
+        E = mean[0] * n_atoms
+        rows = mean[pe.m:pe.m + ncart * len(force_pts)].reshape(
+            len(force_pts), ncart)
+        F = np.zeros((n_atoms, 3))
+        if stress:
+            F[:] = rows[:, :3]
+            F[sorted(fix_ids)] = 0.0
+            S = rows[:, 3:]
+        else:
+            F[free_ids] = rows[:, :3]
+            S = None
+
+        if self.base_potential is not None:
+            e_off, f_off, s_off = self.compute_base_potential(struc)
+            E += e_off
+            F += f_off
+            if stress and s_off is not None:
+                S = S + s_off
+
+        if not return_std:
+            return E, F, S
+        std = np.asarray(std)
+        E_std = std[0]
+        rows_s = std[pe.m:pe.m + ncart * len(force_pts)].reshape(
+            len(force_pts), ncart)
+        F_std = np.zeros((n_atoms, 3))
+        if stress:
+            F_std[:] = rows_s[:, :3]
+        else:
+            F_std[free_ids] = rows_s[:, :3]
+        return E, F, S, E_std, F_std
+
+    # -- validation (gaussianprocess.py:490-551) -----------------------------
+    def validate_data(self, test_data=None, total_E=False,
+                      return_std=False, show=False):
+        if test_data is None:
+            energy_pts = list(self._energy_pts[:self.N_energy])
+            force_pts = list(self._force_pts[:self.N_forces])
+            E = np.asarray(self._energy_y[:self.N_energy])
+            F = np.asarray(self._force_y[:self.N_forces]).reshape(-1)
+        else:
+            energy_pts = [(p[0], p[2]) for p in test_data["energy"]]
+            force_pts = [(p[0], p[1], p[3]) for p in test_data["force"]]
+            E = np.asarray([p[1] for p in test_data["energy"]], float)
+            F = np.asarray([p[2] for p in test_data["force"]],
+                           float).reshape(-1)
+        if total_E:
+            E = E * np.asarray([len(p[0]) for p in energy_pts])
+
+        out = self._predict_points(energy_pts, force_pts,
+                                   return_std=return_std, total_E=total_E)
+        if return_std:
+            E_pred, F_pred, E_std, F_std = out
+            if show:
+                self.update_error(E, E_pred, F, F_pred)
+            return E, E_pred, E_std, F, F_pred, F_std
+        E_pred, F_pred = out
+        if show:
+            self.update_error(E, E_pred, F, F_pred)
+        return E, E_pred, F, F_pred
+
+    def update_error(self, E, E_pred, F, F_pred):
+        e_r2, e_mae, e_rmse = metric_values(E, E_pred)
+        f_r2, f_mae, f_rmse = metric_values(F, F_pred)
+        self.error = {"energy_r2": e_r2, "energy_mae": e_mae,
+                      "energy_rmse": e_rmse, "forces_r2": f_r2,
+                      "forces_mae": f_mae, "forces_rmse": f_rmse}
+        for key, val in self.error.items():
+            self.logging.info(f"{key:<12s}: {val:.4f}")
+
+    # -- base potential -------------------------------------------------------
+    def compute_base_potential(self, atoms):
+        return self.base_potential.calculate(atoms)
+
+    # -- active learning (gaussianprocess.py:921-1002) ------------------------
+    def convert_train_data(self, data, N_force=100000):
+        """(struc, energy, forces) list -> descriptor training dict
+        (fixes the undefined-name bug of utilities.py:97-129)."""
+        energy_data, force_data, db_data = [], [], []
+        for (struc, energy, forces) in data:
+            d = self.descriptor.calculate(struc)
+            ele = np.asarray([ATOMIC_NUMBERS[s] for s in d["elements"]], int)
+            f_ids = []
+            for i in range(len(struc)):
+                if len(force_data) < N_force:
+                    ids = np.flatnonzero(d["seq"][:, 1] == i)
+                    _i = d["seq"][ids, 0]
+                    force_data.append((d["x"][_i], d["dxdr"][ids],
+                                       forces[i], ele[_i]))
+                    f_ids.append(i)
+            energy_data.append((d["x"], energy / len(struc), ele))
+            db_data.append((struc, energy, forces, True, f_ids))
+        return {"energy": energy_data, "force": force_data, "db": db_data}
+
+    def add_structure(self, data, N_max: int = 20, tol_e_var: float = 1.2,
+                      tol_f_var: float = 1.2, add_force: bool = True):
+        tol_e_var *= self.noise_e
+        tol_f_var *= self.noise_f
+        pts_to_add = {"energy": [], "force": [], "db": []}
+        (atoms, energy, force) = data
+        energy = float(energy)
+        force = np.asarray(force, float)
+
+        if self.base_potential is not None:
+            energy_off, force_off, _ = self.compute_base_potential(atoms)
+        else:
+            energy_off, force_off = 0.0, np.zeros((len(atoms), 3))
+        energy = energy - energy_off
+        force = force - force_off
+        my_data = self.convert_train_data([(atoms, energy, force)])
+
+        if self.alpha_ is not None:
+            E, E1, E_std, F, F1, F_std = self.validate_data(
+                my_data, return_std=True)
+            E_std = float(E_std[0])
+            F_std = F_std.reshape(-1, 3)
+            # expand predictions back to per-atom arrays
+            f_sel = my_data["db"][0][4]
+            F_full = np.zeros((len(atoms), 3))
+            F1_full = np.zeros((len(atoms), 3))
+            Fstd_full = 2 * tol_f_var * np.ones((len(atoms), 3))
+            F_full[f_sel] = F.reshape(-1, 3)
+            F1_full[f_sel] = F1.reshape(-1, 3)
+            Fstd_full[f_sel] = F_std
+            F, F1, F_std = F_full, F1_full, Fstd_full
+            E, E1 = [float(E[0])], [float(E1[0])]
+        else:
+            E = E1 = [energy / len(atoms)]
+            F = F1 = force.copy()
+            E_std = 2 * tol_e_var
+            F_std = 2 * tol_f_var * np.ones((len(atoms), 3))
+
+        F = np.asarray(F).reshape(len(atoms), 3)
+        F1 = np.asarray(F1).reshape(len(atoms), 3)
+
+        # energy row is always added (gaussianprocess.py:964-969, QZ note)
+        pts_to_add["energy"] = my_data["energy"]
+        energy_in = True
+
+        force_in = []
+        if add_force:
+            xs_added = []
+            sel_map = {fi: k for k, fi in enumerate(my_data["db"][0][4])}
+            for f_id in range(len(atoms)):
+                include = False
+                if (np.max(F_std[f_id]) > tol_f_var
+                        or np.max(abs(F[f_id] - F1[f_id])) > 1.5 * tol_f_var):
+                    X = my_data["energy"][0][0][f_id]
+                    _ele = my_data["energy"][0][2][f_id]
+                    if f_id in sel_map and (
+                            len(xs_added) == 0 or new_pt((X, _ele),
+                                                         xs_added)):
+                        include = True
+                if include:
+                    force_in.append(f_id)
+                    xs_added.append((X, _ele))
+                    pts_to_add["force"].append(
+                        my_data["force"][sel_map[f_id]])
+                if len(force_in) == N_max:
+                    break
+
+        N_pts = (1 if energy_in else 0) + len(force_in)
+        if N_pts > 0:
+            pts_to_add["db"].append((atoms, energy, force, energy_in,
+                                     force_in))
+            self.set_train_pts(pts_to_add, mode="a+")
+        errors = (E[0] + energy_off, E1[0] + energy_off, E_std,
+                  F.reshape(-1) + force_off.reshape(-1),
+                  F1.reshape(-1) + force_off.reshape(-1), F_std)
+        return pts_to_add, N_pts, errors
+
+    # -- sparsification (gaussianprocess.py:1004-1023, 1165-1182) -------------
+    def sparsify(self, e_tol=1e-10, f_tol=1e-10):
+        e, f = self._pack(self.N_energy, self.N_forces)
+        K = np.asarray(K_ops.k_self(e, f, self.kernel.jax_params(),
+                                    self.kernel.kind, self.kernel.zeta))
+        N_e, N_f = self.N_energy, self.N_forces
+        Kee = K[:N_e, :N_e]
+        Kff = K[e.m:e.m + 3 * N_f, e.m:e.m + 3 * N_f]
+        pts_e = CUR(Kee, e_tol)
+        pts = CUR(Kff, f_tol)
+        pts_f = []
+        for i in range(N_f):
+            if (len(pts[pts == i * 3]) == 1 and len(pts[pts == i * 3 + 1]) == 1
+                    and len(pts[pts == i * 3 + 2]) == 1):
+                pts_f.append(i)
+        print("{:d} energy and {:d} forces will be removed".format(
+            len(pts_e), len(pts_f)))
+        if len(pts_e) + len(pts_f) > 0:
+            self.remove_train_pts(pts_e, pts_f)
+
+    # -- persistence (gaussianprocess.py:632-724, 1118-1161) ------------------
+    def save_dict(self, db_filename):
+        noise = {"energy": self.noise_e, "force": self.noise_f,
+                 "f_coef": self.f_coef, "bounds": self.noise_bounds}
+        d = {"noise": noise, "kernel": self.kernel.save_dict(),
+             "descriptor": self.descriptor.save_dict(),
+             "db_filename": db_filename}
+        if self.error is not None:
+            d["error"] = self.error
+        if self.base_potential is not None:
+            d["base_potential"] = self.base_potential.save_dict()
+        return d
+
+    def save(self, filename, db_filename, verbose=True):
+        with open(filename, "w") as fp:
+            json.dump(self.save_dict(db_filename), fp, indent=4)
+        self.export_ase_db(db_filename, permission="w")
+        if verbose:
+            print(f"save model to {filename} and {db_filename}")
+
+    def export_ase_db(self, db_filename, permission="w"):
+        from ..io.ase_db import write_db
+        rows = []
+        for (struc, energy, force, energy_in, force_in) in self.train_db:
+            actual_energy = deepcopy(energy)
+            actual_forces = np.asarray(force).copy()
+            if self.base_potential is not None:
+                e_off, f_off, _ = self.compute_base_potential(struc)
+                actual_energy += e_off
+                actual_forces += f_off
+            rows.append({
+                "atoms": struc,
+                "data": {"energy": energy, "force": np.asarray(force),
+                         "energy_in": energy_in,
+                         "force_in": list(force_in)},
+                "key_value_pairs": {
+                    "dft_energy": actual_energy / len(force),
+                    "dft_fmax": float(np.max(np.abs(
+                        np.asarray(actual_forces).reshape(-1)))),
+                },
+            })
+        write_db(db_filename, rows, permission=permission)
+
+    @classmethod
+    def load(cls, filename, N_max=None, device="tpu", **kwargs):
+        with open(filename, "r") as fp:
+            dict0 = json.load(fp)
+        instance = cls.load_from_dict(dict0, device=device, **kwargs)
+        db_file = dict0["db_filename"]
+        if not os.path.isabs(db_file):
+            cand = os.path.join(os.path.dirname(os.path.abspath(filename)),
+                                os.path.basename(db_file))
+            if os.path.exists(cand) and not os.path.exists(db_file):
+                db_file = cand
+        instance.extract_db(db_file, N_max)
+        print(f"load GP model from {filename}")
+        print(instance)
+        instance.logging.info(f"load GP model from {filename}")
+        return instance
+
+    @classmethod
+    def load_from_dict(cls, dict0, device="tpu", **kwargs):
+        instance = cls(kernel=None, descriptor=None, base_potential=None,
+                       **kwargs)
+        instance.kernel = kernel_from_dict(dict0["kernel"])
+        if dict0["descriptor"]["_type"] == "SO3":
+            instance.descriptor = SO3.from_dict(dict0["descriptor"])
+        else:
+            raise NotImplementedError(
+                "unknown descriptor {}".format(dict0["descriptor"]))
+        if "base_potential" in dict0:
+            if dict0["base_potential"]["name"] == "LJ":
+                from ..calculators.lj import LJ
+                instance.base_potential = LJ(dict0["base_potential"])
+            else:
+                raise NotImplementedError("unknown base potential")
+        instance.noise_e = dict0["noise"]["energy"]
+        instance.noise_f = dict0["noise"]["force"]
+        instance.f_coef = dict0["noise"]["f_coef"]
+        instance.noise_bounds = dict0["noise"]["bounds"]
+        return instance
+
+    def extract_db(self, db_filename, N_max=None):
+        """Rebuild descriptors for every structure in an (ASE-compatible)
+        database (gaussianprocess.py:726-821; the MPI scatter becomes plain
+        batching -- descriptor evaluation is already data-parallel on
+        device)."""
+        from ..io.ase_db import read_db
+        rows = read_db(db_filename)
+        if N_max is not None:
+            rows = rows[:N_max]
+        pts = {"energy": [], "force": [], "db": []}
+        for row in rows:
+            atoms = row["atoms"]
+            energy = row["data"]["energy"]
+            force = np.asarray(row["data"]["force"], float)
+            energy_in = bool(row["data"]["energy_in"])
+            force_in = list(row["data"]["force_in"])
+            d = self.descriptor.calculate(atoms)
+            ele = np.asarray([ATOMIC_NUMBERS[s] for s in d["elements"]], int)
+            if energy_in:
+                pts["energy"].append((d["x"], energy / len(atoms), ele))
+            for fid in force_in:
+                ids = np.flatnonzero(d["seq"][:, 1] == fid)
+                _i = d["seq"][ids, 0]
+                pts["force"].append((d["x"][_i], d["dxdr"][ids],
+                                     force[fid], ele[_i]))
+            pts["db"].append((atoms, energy, force, energy_in, force_in))
+        self.set_train_pts(pts, "w")
+        print(f"Loaded {len(rows)} structures from {db_filename}")
+
+    # -- bootstrap (gaussianprocess.py:1025-1116) -----------------------------
+    @classmethod
+    def set_GPR(cls, images, base, kernel="RBF", zeta=2.0, noise_e=0.002,
+                noise_f=0.1, lmax=4, nmax=3, rcut=5.0, json_file=None,
+                overwrite=False, **kwargs):
+        if json_file is not None and os.path.exists(json_file):
+            instance = cls.load(json_file, **kwargs)
+            if overwrite:
+                instance.noise_e = noise_e
+                instance.noise_f = noise_f
+                if instance.kernel.name != kernel:
+                    instance.kernel = (RBF(para=[1.0, 0.1], zeta=zeta)
+                                       if kernel == "RBF"
+                                       else Dot(para=[2, 2.0], zeta=zeta))
+            instance.fit()
+        else:
+            instance = cls(kernel=None, descriptor=None,
+                           base_potential=None, **kwargs)
+            instance.kernel = (Dot(para=[2, 2.0], zeta=int(zeta))
+                               if kernel == "Dot"
+                               else RBF(para=[1.0, 0.1], zeta=int(zeta)))
+            instance.descriptor = SO3(nmax=nmax, lmax=lmax, rcut=rcut)
+            instance.noise_e = float(noise_e)
+            instance.noise_f = float(noise_f)
+            instance.train_images(images, base)
+        return instance
+
+    def train_images(self, images, base):
+        for i, image in enumerate(images):
+            image.calc = base
+            eng = float(image.get_potential_energy())
+            forces = np.asarray(image.get_forces(), float)
+            print(f"Calculate E/F for image {i}: {eng:.6f}")
+            image.calc = None
+            self.add_structure((image.copy(), eng, forces))
+        self.fit()
+        self.validate_data(show=True)
+
+
+def CUR(K, l_tol=1e-10):
+    """CUR decomposition scores (gaussianprocess.py:1165-1182; Appendix D of
+    Jinnouchi et al., PRB 100, 014105 (2019))."""
+    L, U = np.linalg.eigh(K)
+    N_low = len(L[L < l_tol])
+    low = L < l_tol
+    omega = np.sum(U[:, low] ** 2, axis=1)
+    ids = np.argsort(-omega)
+    return ids[:N_low]

@@ -1,0 +1,158 @@
+"""GP model integration tests: fit/predict plumbing vs a straight NumPy GP,
+active-learning bookkeeping, and save/load round-trips."""
+import numpy as np
+import pytest
+
+from gpr_calculator_tpu.atoms import Atoms
+from gpr_calculator_tpu.calculators import EMT, LJ
+from gpr_calculator_tpu.models import GP, RBF
+from gpr_calculator_tpu.ops.so3 import SO3
+from gpr_calculator_tpu.ops import kernels as K_ops
+
+
+def make_structs(n=4, natoms=5, seed=0):
+    """Jittered near-fcc Cu clusters (physical separations ~2.5 A)."""
+    rng = np.random.RandomState(seed)
+    a = 2.55
+    grid = np.array([[0, 0, 0], [a, 0, 0], [0.5 * a, 0.5 * a, 0],
+                     [0, a, 0], [0.5 * a, 0, 0.5 * a],
+                     [0, 0.5 * a, 0.5 * a], [a, a, 0], [a, 0, a]])
+    base = grid[:natoms]
+    structs = []
+    for k in range(n):
+        pos = base + 0.12 * rng.randn(natoms, 3)
+        structs.append(Atoms(numbers=[29] * natoms, positions=pos,
+                             cell=np.eye(3) * 12, pbc=False))
+    return structs
+
+
+@pytest.fixture(scope="module")
+def fitted_gp():
+    structs = make_structs()
+    calc = EMT()
+    gp = GP(kernel=RBF(para=[1.0, 1.0]), descriptor=SO3(nmax=2, lmax=2,
+                                                        rcut=4.0),
+            noise_e=0.005, noise_f=0.1, log_file="/tmp/gpr_test.log")
+    for s in structs:
+        e = calc.get_potential_energy(s)
+        f = calc.get_forces(s)
+        gp.add_structure((s, e, f))
+    gp.fit(show=False, opt=True, maxiter=6)
+    return gp, structs, calc
+
+
+def test_fit_reduces_to_consistent_train_error(fitted_gp):
+    gp, structs, calc = fitted_gp
+    E, E_pred, F, F_pred = gp.validate_data(show=True)
+    assert gp.error["energy_mae"] < 0.05
+    assert gp.error["forces_mae"] < 0.25
+
+
+def test_alpha_matches_numpy_solve(fitted_gp):
+    """The jitted factorize path equals a plain NumPy Cholesky solve on the
+    same covariance (validates padding/noise handling)."""
+    gp, _, _ = fitted_gp
+    e, f = gp._pack(gp.N_energy, gp.N_forces)
+    K = np.asarray(K_ops.k_self(e, f, gp.kernel.jax_params(),
+                                gp.kernel.kind, gp.kernel.zeta))
+    nE, nF = gp.N_energy, gp.N_forces
+    mE = e.m
+    rows = np.r_[np.arange(nE), mE + np.arange(3 * nF)]
+    K_real = K[np.ix_(rows, rows)]
+    K_real[np.diag_indices(nE)] += gp.noise_e ** 2
+    K_real[nE:, nE:][np.diag_indices(3 * nF)] += gp.noise_f ** 2
+    y = np.concatenate([gp._energy_y,
+                        np.asarray(gp._force_y).reshape(-1)])
+    alpha_np = np.linalg.solve(K_real, y)
+    alpha_jax = np.asarray(gp.alpha_)[rows]
+    np.testing.assert_allclose(alpha_jax, alpha_np, rtol=1e-7, atol=1e-9)
+
+
+def test_predict_structure_on_train_point(fitted_gp):
+    gp, structs, calc = fitted_gp
+    s = structs[0]
+    E_ref = calc.get_potential_energy(s)
+    F_ref = calc.get_forces(s)
+    E, F, S, E_std, F_std = gp.predict_structure(s, stress=False,
+                                                 return_std=True)
+    assert abs(E - E_ref) < 0.2
+    assert np.abs(F - F_ref).max() < 0.5
+    assert E_std >= 0 and np.all(F_std >= 0)
+
+
+def test_predict_structure_with_stress(fitted_gp):
+    gp, structs, _ = fitted_gp
+    gp.descriptor.stress = True
+    E, F, S = gp.predict_structure(structs[1], stress=True)
+    gp.descriptor.stress = False
+    assert S.shape == (len(structs[1]), 6)
+    assert np.all(np.isfinite(S))
+
+
+def test_queue_semantics(fitted_gp):
+    gp, structs, calc = fitted_gp
+    assert gp.N_queue == 0
+    s = make_structs(n=1, seed=99)[0]
+    e = calc.get_potential_energy(s)
+    f = calc.get_forces(s)
+    n_before = gp.N_energy + gp.N_forces
+    gp.add_structure((s, e, f))
+    assert gp.N_queue > 0
+    # predictions still use the pre-queue snapshot
+    te, tf, nE, nF = gp._train_view()
+    assert nE + nF == n_before - 0 or nE <= gp.N_energy
+    gp.fit(show=False, opt=False)
+    assert gp.N_queue == 0
+
+
+def test_save_load_roundtrip(tmp_path, fitted_gp):
+    gp, structs, _ = fitted_gp
+    json_f = str(tmp_path / "model.json")
+    db_f = str(tmp_path / "model.db")
+    gp.validate_data(show=True)
+    gp.save(json_f, db_f)
+
+    gp2 = GP.load(json_f, log_file="/tmp/gpr_test2.log")
+    gp2.fit(show=False, opt=False)
+    E1, F1, _ = gp.predict_structure(structs[2])
+    E2, F2, _ = gp2.predict_structure(structs[2])
+    np.testing.assert_allclose(E1, E2, rtol=1e-8)
+    np.testing.assert_allclose(F1, F2, rtol=1e-6, atol=1e-10)
+
+
+def test_read_reference_bundled_db():
+    """The bundled reference artifact decodes without ASE."""
+    from gpr_calculator_tpu.io.ase_db import read_db
+    rows = read_db("/root/reference/examples/database/pd4-RBF.db")
+    assert len(rows) == 206
+    r = rows[0]
+    assert len(r["atoms"]) == 220
+    assert r["data"]["force"].shape == (220, 3)
+    assert isinstance(r["data"]["energy_in"], bool)
+    assert "dft_energy" in r["key_value_pairs"]
+
+
+def test_lj_base_potential_offsets():
+    structs = make_structs(n=3, natoms=4, seed=3)
+    calc = EMT()
+    base = LJ({"rc": 4.0, "sigma": 2.2, "epsilon": 0.1})
+    gp = GP(kernel=RBF(para=[1.0, 1.0]), descriptor=SO3(nmax=2, lmax=2,
+                                                        rcut=4.0),
+            base_potential=base, noise_e=0.01, noise_f=0.1,
+            log_file="/tmp/gpr_test3.log")
+    for s in structs:
+        gp.add_structure((s, calc.get_potential_energy(s),
+                          calc.get_forces(s)))
+    gp.fit(show=False, opt=False)
+    E, F, _ = gp.predict_structure(structs[0])
+    assert np.isfinite(E) and np.all(np.isfinite(F))
+
+
+def test_cur_sparsify_runs(fitted_gp):
+    gp, _, _ = fitted_gp
+    from gpr_calculator_tpu.models.gp import CUR
+    rng = np.random.RandomState(0)
+    A = rng.randn(10, 3)
+    K = A @ A.T  # rank 3 -> 7 low eigenvalues
+    ids = CUR(K, l_tol=1e-8)
+    assert len(ids) == 7

@@ -1,0 +1,69 @@
+"""End-to-end NEB workloads: the emt-serial.py equivalent (reference
+examples/emt-serial.py:1-35) on the bundled Au-on-Al(100) trajectory files,
+comparing the pure-EMT path with the on-the-fly GPR surrogate path."""
+import numpy as np
+import pytest
+
+from gpr_calculator_tpu import (EMT, GP, GPR, get_images, neb_calc)
+from gpr_calculator_tpu.io import read
+
+INIT = "/root/reference/examples/database/initial.traj"
+FINAL = "/root/reference/examples/database/final.traj"
+
+
+def test_read_bundled_traj():
+    initial = read(INIT)
+    final = read(FINAL)
+    assert len(initial) == 13 and len(final) == 13
+    assert initial.symbols.count("Au") == 1
+    assert len(initial.fixed_indices()) == 8
+    # relaxed structures: stored EMT energy present
+    assert "energy" in initial.info
+
+
+def test_traj_roundtrip(tmp_path):
+    from gpr_calculator_tpu.io.trajectory import TrajectoryWriter
+    initial = read(INIT)
+    f = str(tmp_path / "out.traj")
+    w = TrajectoryWriter(f)
+    w.write(initial)
+    frames = read(f, index=":")
+    assert len(frames) == 1
+    np.testing.assert_allclose(frames[0].positions, initial.positions)
+    np.testing.assert_array_equal(frames[0].numbers, initial.numbers)
+    assert list(frames[0].fixed_indices()) == list(initial.fixed_indices())
+
+
+@pytest.fixture(scope="module")
+def emt_neb():
+    images = get_images(INIT, FINAL, num_images=5)
+    neb = neb_calc(images, EMT(), fmax=0.05, steps=150)
+    return neb
+
+
+def test_pure_emt_neb_converges(emt_neb):
+    neb = emt_neb
+    assert neb.converged
+    barrier = max(neb.energies) - neb.energies[0]
+    # Au hollow-hollow diffusion on Al(100) with EMT: ~0.4 eV (ASE tutorial)
+    assert 0.1 < barrier < 1.0, barrier
+
+
+@pytest.mark.slow
+def test_gpr_neb_matches_emt_barrier(emt_neb, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    images = get_images(INIT, FINAL, num_images=5)
+    gp = GP.set_GPR(images, EMT(),
+                    noise_e=0.05 / len(images[0]), noise_f=0.05,
+                    log_file=str(tmp_path / "gpr.log"))
+    calc = GPR(base=EMT(), ff=gp, save=False)
+    neb = neb_calc(images, calc, fmax=0.05, steps=150, climb=False)
+
+    barrier_ref = max(emt_neb.energies) - emt_neb.energies[0]
+    barrier_gpr = max(neb.energies) - neb.energies[0]
+    print(f"\nEMT barrier {barrier_ref:.4f} eV, GPR {barrier_gpr:.4f} eV, "
+          f"base/surrogate: {gp.use_base}/{gp.use_surrogate}")
+    assert abs(barrier_gpr - barrier_ref) < 0.1
+    # the surrogate must actually take over
+    assert gp.use_surrogate > 0
+    assert gp.use_base < gp.use_base + gp.use_surrogate
