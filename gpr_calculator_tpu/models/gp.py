@@ -438,7 +438,8 @@ class GP:
         te, tf, nE_t, nF_t = self._train_view()
         d = te.d
         pe = pack_energy(energy_pts, d=d)
-        pf = pack_force(force_pts, d=d)
+        b_max = max((p[0].shape[0] for p in force_pts), default=1)
+        pf = pack_force(force_pts, d=d, b_pad=bucket_size(b_max, 4))
         mean, std = _predict_packed(
             pe, pf, te, tf, self.kernel.jax_params(), self.alpha_,
             self._K_inv, self.kernel.kind, self.kernel.zeta,
@@ -500,8 +501,9 @@ class GP:
 
         te, tf, _, _ = self._train_view()
         pe = pack_energy(energy_pts, d=te.d)
-        pf = pack_force(force_pts, d=te.d,
-                        ncart=9 if stress else 3)
+        b_max = max((p[0].shape[0] for p in force_pts), default=1)
+        pf = pack_force(force_pts, d=te.d, ncart=9 if stress else 3,
+                        b_pad=bucket_size(b_max, 4))
         mean, std = _predict_packed(
             pe, pf, te, tf, self.kernel.jax_params(), self.alpha_,
             self._K_inv, self.kernel.kind, self.kernel.zeta, return_std,

@@ -322,13 +322,17 @@ class SO3:
                 seq.append((i, int(j)))
         seq = np.asarray(seq, np.int64).reshape(-1, 2)
         nseq = len(seq)
+        # bucket the seq axis so the jitted core is reused as the neighbour
+        # topology fluctuates along a trajectory
+        from .packing import bucket_size
+        nseq_pad = bucket_size(nseq, multiple=16)
         pair_seq = np.asarray([seq_index[(int(a), int(b))]
                                for a, b in zip(pi, pj)], np.int32)
         self_seq = np.asarray([seq_index[(i, i)] for i in atom_ids], np.int32)
-        seq_center = seq[:, 0].astype(np.int32)
+        seq_center = np.concatenate([
+            seq[:, 0], np.full(nseq_pad - nseq, natoms)]).astype(np.int32)
 
         # pad the pair axis to a bucket for shape reuse
-        from .packing import bucket_size
         P = len(pi)
         P_pad = bucket_size(max(P, 1), multiple=64)
         pad = P_pad - P
@@ -336,7 +340,7 @@ class SO3:
         w_p = np.concatenate([w, np.zeros(pad)])
         pc_p = np.concatenate([pi.astype(np.int32),
                                np.full(pad, natoms, np.int32)])
-        ps_p = np.concatenate([pair_seq, np.full(pad, nseq, np.int32)])
+        ps_p = np.concatenate([pair_seq, np.full(pad, nseq_pad, np.int32)])
         Ri = positions[np.concatenate([pi, np.zeros(pad, int)])]
         Rj = Ri + rij_p
 
@@ -347,21 +351,21 @@ class SO3:
             jnp.asarray(Ri, dt), jnp.asarray(Rj, dt),
             jnp.asarray(self_seq), jnp.asarray(seq_center),
             self._q, self._G0,
-            nmax=self.nmax, lmax=self.lmax, natoms=natoms, nseq=nseq,
+            nmax=self.nmax, lmax=self.lmax, natoms=natoms, nseq=nseq_pad,
             rcut=self.rcut, alpha=self.alpha,
             derivative=self.derivative, stress=self.stress,
             cutoff=self.cutoff_function)
 
         out = {
             "x": np.asarray(x),
-            "dxdr": None if dxdr is None else np.asarray(dxdr),
+            "dxdr": None if dxdr is None else np.asarray(dxdr)[:nseq],
             "elements": list(getattr(atoms, "symbols", [])) or [
                 _SYMBOLS.get(int(zz), str(zz)) for zz in numbers],
             "seq": seq if self.derivative else None,
         }
         if self.stress and pstress is not None:
             vol = atoms.get_volume()
-            out["rdxdr"] = -np.asarray(pstress) / vol
+            out["rdxdr"] = -np.asarray(pstress)[:nseq] / vol
         else:
             out["rdxdr"] = None
         return out
