@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Headline benchmark: kernel-matrix build + Cholesky solve per GPR fit call
+at the BASELINE scale (1000 training structures, ~10k x 10k covariance;
+/root/repo/BASELINE.md).
+
+Prints ONE json line:
+  {"metric": ..., "value": <ms per fit call>, "unit": "ms",
+   "vs_baseline": <speedup vs 64-rank MPI CPU reference>}
+
+Baseline methodology: the reference's own C++ force-force kernel
+(rbf_kff_many, the hot loop at >95% of the fit cost) is compiled with
+g++ -O3 -march=native and timed single-core on a slice of the identical
+workload, then scaled linearly to the full pair count and divided by 64
+(perfect 64-rank MPI scaling -- generous to the reference, which actually
+gathers/broadcasts through rank 0).  vs_baseline = baseline_ms / our_ms.
+
+Run on TPU in float32 (HIGHEST matmul precision = f32-accurate 6-pass);
+the f64 parity path is exercised by the CPU test suite.
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+SMALL = os.environ.get("GPR_BENCH_SCALE", "full") == "small"
+
+# workload shape: 1000 energy points (32 envs), 3000 force points (32 envs),
+# d=30 (SO3 nmax=3, lmax=4) -> covariance (1000 + 9000)^2
+M_E, A_E = (1000, 32) if not SMALL else (64, 16)
+M_F, B_F = (3000, 32) if not SMALL else (128, 16)
+D = 30
+ROW_CHUNK = 8 if not SMALL else 16
+N_RANKS_BASELINE = 64
+
+
+def make_data(dtype):
+    import jax.numpy as jnp
+    from gpr_calculator_tpu.ops.packing import EnergyData, ForceData
+
+    rng = np.random.RandomState(0)
+    e = EnergyData(
+        x=jnp.asarray(rng.uniform(0.2, 1.0, (M_E, A_E, D)), dtype),
+        ele=jnp.asarray(rng.choice([13, 79], (M_E, A_E)), jnp.int32),
+        counts=jnp.full((M_E,), float(A_E), dtype),
+        nreal=jnp.asarray(M_E, jnp.int32))
+    f = ForceData(
+        x=jnp.asarray(rng.uniform(0.2, 1.0, (M_F, B_F, D)), dtype),
+        dxdr=jnp.asarray(rng.uniform(-1, 1, (M_F, B_F, D, 3)), dtype),
+        ele=jnp.asarray(rng.choice([13, 79], (M_F, B_F)), jnp.int32),
+        nreal=jnp.asarray(M_F, jnp.int32))
+    return e, f
+
+
+def bench_tpu():
+    import jax
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+    from gpr_calculator_tpu.ops import kernels as K_ops
+    from gpr_calculator_tpu.models.gp import _noise_diag
+
+    dtype = jnp.float32
+    e, f = make_data(dtype)
+    params = {"sigma": jnp.asarray(2.0, dtype), "l": jnp.asarray(1.0, dtype)}
+    y = jnp.asarray(np.random.RandomState(1).randn(e.m + 3 * f.m) * 0.1,
+                    dtype)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def fit_call(e, f, y, params):
+        K = K_ops.k_self(e, f, params, "rbf", 2, row_chunk=ROW_CHUNK)
+        K = K + jnp.diag(_noise_diag(e, f, jnp.asarray(0.01, dtype),
+                                     jnp.asarray(0.1, dtype)))
+        L = jnp.linalg.cholesky(K)
+        alpha = jax.scipy.linalg.cho_solve((L, True), y)
+        return jnp.sum(alpha), jnp.sum(jnp.log(jnp.diagonal(L)))
+
+    t0 = time.time()
+    s, logdet = fit_call(e, f, y, params)
+    s = float(s)
+    compile_and_first = time.time() - t0
+    assert np.isfinite(s) and np.isfinite(float(logdet)), \
+        f"fit_call produced non-finite output: {s}, {float(logdet)}"
+
+    reps = 1 if not SMALL else 2
+    t0 = time.time()
+    for i in range(reps):
+        p = {"sigma": params["sigma"] * (1 + 1e-4 * i), "l": params["l"]}
+        s2, _ = fit_call(e, f, y, p)
+    s2 = float(s2)
+    dt = (time.time() - t0) / reps
+    return dt * 1e3, compile_and_first
+
+
+# ---------------------------------------------------------------------------
+# baseline: the reference's C++ kff kernel, single core, scaled
+# ---------------------------------------------------------------------------
+
+def bench_reference_cpp():
+    """Measure rbf_kff_many (the reference hot loop) on a slice of the same
+    workload; returns the extrapolated full-workload single-core ms, or
+    None when the reference sources are unavailable."""
+    src = "/root/reference/gpr_calc/kernels/rbf_kernel.cpp"
+    if not os.path.exists(src):
+        return None
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            lib_path = os.path.join(td, "librbf.so")
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 src, "-o", lib_path],
+                check=True, capture_output=True, timeout=180)
+            import ctypes
+            lib = ctypes.CDLL(lib_path)
+            lib.rbf_kff_many.restype = None
+
+            rng = np.random.RandomState(0)
+            n2 = M_F * B_F                     # full rhs env count
+            n1 = 64 if not SMALL else 32       # lhs slice
+            d = D
+            x1 = np.ascontiguousarray(rng.uniform(0.2, 1, (n1, d)))
+            x2 = np.ascontiguousarray(rng.uniform(0.2, 1, (n2, d)))
+            dx1 = np.ascontiguousarray(rng.uniform(-1, 1, (n1, d, 3)))
+            dx2 = np.ascontiguousarray(rng.uniform(-1, 1, (n2, d, 3)))
+            ele1 = np.ascontiguousarray(
+                rng.choice([13, 79], n1).astype(np.int32))
+            ele2 = np.ascontiguousarray(
+                rng.choice([13, 79], n2).astype(np.int32))
+            inds1 = np.ascontiguousarray(
+                (np.arange(n1) // B_F).astype(np.int32))
+            inds2 = np.ascontiguousarray(
+                (np.arange(n2) // B_F).astype(np.int32))
+            m1 = n1 // B_F + 1
+            m2 = M_F
+            out = np.zeros((m1 * 3, m2 * 3))
+
+            def cptr(a):
+                return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+            def iptr(a):
+                return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+            t0 = time.time()
+            lib.rbf_kff_many(
+                ctypes.c_int(n1), ctypes.c_int(n2), ctypes.c_int(0),
+                ctypes.c_int(n2), ctypes.c_int(d), ctypes.c_int(m2),
+                ctypes.c_double(2.0), ctypes.c_double(4.0),
+                ctypes.c_double(1.0), ctypes.c_double(1e-12),
+                cptr(x1), cptr(dx1), iptr(ele1), iptr(inds1),
+                cptr(x2), cptr(dx2), iptr(ele2), iptr(inds2), cptr(out))
+            slice_s = time.time() - t0
+            # extrapolate: full lhs env count is M_F * B_F
+            full_single_core_ms = slice_s * (M_F * B_F / n1) * 1e3
+            return full_single_core_ms
+    except Exception as exc:  # pragma: no cover
+        print(f"# baseline measurement unavailable: {exc}", file=sys.stderr)
+        return None
+
+
+def main():
+    our_ms, compile_s = bench_tpu()
+    baseline_single_ms = bench_reference_cpp()
+    if baseline_single_ms is not None:
+        baseline_ms = baseline_single_ms / N_RANKS_BASELINE
+        vs = baseline_ms / our_ms
+    else:
+        baseline_ms = None
+        vs = None
+    print(f"# workload: K=({M_E}+3*{M_F})^2, d={D}, envs/pt={A_E}/{B_F}; "
+          f"compile+first={compile_s:.1f}s; "
+          f"ref-C++ single-core={baseline_single_ms and round(baseline_single_ms)} ms, "
+          f"64-rank-ideal={baseline_ms and round(baseline_ms)} ms",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "kernel_build_plus_cholesky_ms_per_fit_10k",
+        "value": round(our_ms, 1),
+        "unit": "ms",
+        "vs_baseline": round(vs, 1) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

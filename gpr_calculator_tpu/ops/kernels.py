@@ -139,23 +139,48 @@ def _pair_mask(ele1, valid1, ele2, valid2):
 # K_EE
 # ---------------------------------------------------------------------------
 
+def _effective_chunk(m: int, want: int) -> int:
+    """Largest divisor of m that is <= want (0/None -> no chunking)."""
+    if not want or want >= m:
+        return 0
+    for c in range(min(want, m), 0, -1):
+        if m % c == 0:
+            return c
+    return 0
+
+
 def kee(e1: EnergyData, e2: EnergyData, params, kind: str = "rbf",
-        zeta: int = 2) -> jnp.ndarray:
+        zeta: int = 2, row_chunk: int = 0) -> jnp.ndarray:
     """Energy-energy covariance block, (m1, m2).
 
     Mirrors rbf_kee_many (rbf_kernel.cpp:6-49) + the 1/(N1*N2) normalisation
-    applied in the wrapper (rbf_kernel.py:70).
+    applied in the wrapper (rbf_kernel.py:70).  row_chunk bounds the
+    (N1env, N2env) pair matrix by processing lhs points in chunks.
     """
-    u1, _, ele1, v1 = _flatten_energy(e1)
     u2, _, ele2, v2 = _flatten_energy(e2)
-    c = u1 @ u2.T
-    mask = _pair_mask(ele1, v1, ele2, v2)
-    k, _, _ = _pair_coeffs(c, params, kind, zeta, grad_block=False)
-    k = jnp.where(mask, k, 0.0)
-    m1, A1 = e1.ele.shape
     m2, A2 = e2.ele.shape
-    K = k.reshape(m1, A1, m2, A2).sum(axis=(1, 3))
-    return K / (e1.counts[:, None] * e2.counts[None, :])
+
+    def block(esub: EnergyData) -> jnp.ndarray:
+        u1, _, ele1, v1 = _flatten_energy(esub)
+        c = u1 @ u2.T
+        mask = _pair_mask(ele1, v1, ele2, v2)
+        k, _, _ = _pair_coeffs(c, params, kind, zeta, grad_block=False)
+        k = jnp.where(mask, k, 0.0)
+        mc, A1 = esub.ele.shape
+        K = k.reshape(mc, A1, m2, A2).sum(axis=(1, 3))
+        return K / (esub.counts[:, None] * e2.counts[None, :])
+
+    m1, A1 = e1.ele.shape
+    chunk = _effective_chunk(m1, row_chunk)
+    if chunk:
+        nchunk = m1 // chunk
+        out = jax.lax.map(
+            lambda t: block(EnergyData(t[0], t[1], t[2], e1.nreal)),
+            (e1.x.reshape(nchunk, chunk, A1, -1),
+             e1.ele.reshape(nchunk, chunk, A1),
+             e1.counts.reshape(nchunk, chunk)))
+        return out.reshape(m1, m2)
+    return block(e1)
 
 
 # ---------------------------------------------------------------------------
@@ -163,38 +188,52 @@ def kee(e1: EnergyData, e2: EnergyData, params, kind: str = "rbf",
 # ---------------------------------------------------------------------------
 
 def kef(e1: EnergyData, f2: ForceData, params, kind: str = "rbf",
-        zeta: int = 2) -> jnp.ndarray:
+        zeta: int = 2, row_chunk: int = 0) -> jnp.ndarray:
     """Energy-force covariance block, (m1, 3*m2).
 
     Mirrors rbf_kef_many (rbf_kernel.cpp:102-171): the C loop accumulates
     -sum dk_dD * dD_dx2 . dx2dr, and the wrapper divides by N1
-    (rbf_kernel.py:161).
+    (rbf_kernel.py:161).  row_chunk bounds the (chunk, N2env, d)
+    intermediates by processing energy points in chunks.
     """
-    u1, _, ele1, v1 = _flatten_energy(e1)
     u2, r2, ele2, v2, J2 = _flatten_force(f2)
-    m1, A1 = e1.ele.shape
     m2, B2 = f2.ele.shape
-    d = u1.shape[1]
     ncart = J2.shape[2]
-
-    c = u1 @ u2.T                                   # (N1, N2)
-    mask = _pair_mask(ele1, v1, ele2, v2)
-    _, A_c, _ = _pair_coeffs(c, params, kind, zeta, grad_block=True)
-    # include the 1/r2 factor from dd_dx2 = (u1 - c u2)/r2
-    s = jnp.where(mask, A_c, 0.0) / jnp.where(v2, r2, 1.0)[None, :]
-
-    # out1[p, j, v] = sum_d (sum_{a in p} s[pa, j] u1[pa, d]) J2[j, d, v]
-    s3 = s.reshape(m1, A1, -1)                      # (m1, A1, N2)
-    u13 = u1.reshape(m1, A1, d)
-    T = jnp.einsum("paj,pad->pjd", s3, u13)          # (m1, N2, d)
-    out1 = jnp.einsum("pjd,jdv->pjv", T, J2)         # (m1, N2, ncart)
-    # out2[p, j, v] = (sum_{a in p} s*c) * Q2[j, v]
     Q2 = jnp.einsum("jdv,jd->jv", J2, u2)            # (N2, ncart)
-    R = jnp.einsum("paj,paj->pj", s3, c.reshape(m1, A1, -1))
-    out2 = R[:, :, None] * Q2[None, :, :]
-    out = -(out1 - out2) / e1.counts[:, None, None]
-    out = out.reshape(m1, m2, B2, ncart).sum(axis=2)  # (m1, m2, ncart)
-    return out.reshape(m1, m2 * ncart)
+    r2_safe = jnp.where(v2, r2, 1.0)
+
+    def block(esub: EnergyData) -> jnp.ndarray:
+        u1, _, ele1, v1 = _flatten_energy(esub)
+        mc, A1 = esub.ele.shape
+        d = u1.shape[1]
+        c = u1 @ u2.T                                # (N1c, N2)
+        mask = _pair_mask(ele1, v1, ele2, v2)
+        _, A_c, _ = _pair_coeffs(c, params, kind, zeta, grad_block=True)
+        # include the 1/r2 factor from dd_dx2 = (u1 - c u2)/r2
+        s = jnp.where(mask, A_c, 0.0) / r2_safe[None, :]
+        # out1[p, j, v] = sum_d (sum_{a in p} s[pa, j] u1[pa, d]) J2[j, d, v]
+        s3 = s.reshape(mc, A1, -1)
+        u13 = u1.reshape(mc, A1, d)
+        T = jnp.einsum("paj,pad->pjd", s3, u13)      # (mc, N2, d)
+        out1 = jnp.einsum("pjd,jdv->pjv", T, J2)     # (mc, N2, ncart)
+        # out2[p, j, v] = (sum_{a in p} s*c) * Q2[j, v]
+        R = jnp.einsum("paj,paj->pj", s3, c.reshape(mc, A1, -1))
+        out2 = R[:, :, None] * Q2[None, :, :]
+        out = -(out1 - out2) / esub.counts[:, None, None]
+        out = out.reshape(mc, m2, B2, ncart).sum(axis=2)
+        return out.reshape(mc, m2 * ncart)
+
+    m1, A1 = e1.ele.shape
+    chunk = _effective_chunk(m1, row_chunk)
+    if chunk:
+        nchunk = m1 // chunk
+        out = jax.lax.map(
+            lambda t: block(EnergyData(t[0], t[1], t[2], e1.nreal)),
+            (e1.x.reshape(nchunk, chunk, A1, -1),
+             e1.ele.reshape(nchunk, chunk, A1),
+             e1.counts.reshape(nchunk, chunk)))
+        return out.reshape(m1, m2 * ncart)
+    return block(e1)
 
 
 # ---------------------------------------------------------------------------
@@ -267,7 +306,8 @@ def kff(f1: ForceData, f2: ForceData, params, kind: str = "rbf",
         env = env.reshape(mc, B1, C1, m2, B2, C2).sum(axis=(1, 4))
         return env.reshape(mc * C1, m2 * C2)
 
-    if row_chunk and row_chunk < m1 and m1 % row_chunk == 0:
+    row_chunk = _effective_chunk(m1, row_chunk)
+    if row_chunk:
         nchunk = m1 // row_chunk
         fs = ForceData(
             x=f1.x.reshape(nchunk, row_chunk, B1, -1),
@@ -326,9 +366,9 @@ def k_block(e1: EnergyData, f1: ForceData, e2: EnergyData, f2: ForceData,
             params, kind: str = "rbf", zeta: int = 2,
             row_chunk: int = 0) -> jnp.ndarray:
     """[[K_EE, K_EF], [K_FE, K_FF]] for (rows: data1, cols: data2)."""
-    K_ee = kee(e1, e2, params, kind, zeta)
-    K_ef = kef(e1, f2, params, kind, zeta)
-    K_fe = kef(e2, f1, params, kind, zeta).T
+    K_ee = kee(e1, e2, params, kind, zeta, row_chunk=row_chunk)
+    K_ef = kef(e1, f2, params, kind, zeta, row_chunk=row_chunk)
+    K_fe = kef(e2, f1, params, kind, zeta, row_chunk=row_chunk).T
     K_ff = kff(f1, f2, params, kind, zeta, row_chunk=row_chunk)
     top = jnp.concatenate([K_ee, K_ef], axis=1)
     bot = jnp.concatenate([K_fe, K_ff], axis=1)
@@ -339,8 +379,8 @@ def k_self(e: EnergyData, f: ForceData, params, kind: str = "rbf",
            zeta: int = 2, row_chunk: int = 0) -> jnp.ndarray:
     """Symmetric training covariance (reuses K_EF^T for K_FE, like
     RBF_mb.k_total RBF_mb.py:161-165)."""
-    K_ee = kee(e, e, params, kind, zeta)
-    K_ef = kef(e, f, params, kind, zeta)
+    K_ee = kee(e, e, params, kind, zeta, row_chunk=row_chunk)
+    K_ef = kef(e, f, params, kind, zeta, row_chunk=row_chunk)
     K_ff = kff(f, f, params, kind, zeta, row_chunk=row_chunk)
     top = jnp.concatenate([K_ee, K_ef], axis=1)
     bot = jnp.concatenate([K_ef.T, K_ff], axis=1)
