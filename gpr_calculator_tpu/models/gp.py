@@ -211,6 +211,11 @@ class GP:
         self.L_ = None
         self._K_inv = None
         self._fit_snapshot = None   # (EnergyData, ForceData) used by alpha_
+        # incremental (rank-update) factorisation state: host-side f64
+        # Cholesky factor over real rows in insertion order, cf.
+        # ops/linalg.chol_append (replaces the reference's from-scratch
+        # O(n^3) refactorisation, gaussianprocess.py:297)
+        self._inc = None
 
         self.fits = 0
         self.use_base = 0
@@ -402,13 +407,17 @@ class GP:
                 self.kernel.update(params)
 
         dt = config.dtype()
-        L, alpha, K_inv = _factorize(
-            e, f, y, self.kernel.jax_params(),
-            jnp.asarray(self.noise_e, dt), jnp.asarray(self.noise_f, dt),
-            self.kernel.kind, self.kernel.zeta, self.row_chunk)
-        self.L_, self.alpha_, self._K_inv = L, alpha, K_inv
-        self._fit_snapshot = (e, f, self.N_energy, self.N_forces)
-        self.logging.info("Cholesky decomposition complete")
+        if (not opt) and self._try_incremental_fit(e, f):
+            self.logging.info("Cholesky rank-update complete")
+        else:
+            L, alpha, K_inv = _factorize(
+                e, f, y, self.kernel.jax_params(),
+                jnp.asarray(self.noise_e, dt), jnp.asarray(self.noise_f, dt),
+                self.kernel.kind, self.kernel.zeta, self.row_chunk)
+            self.L_, self.alpha_, self._K_inv = L, alpha, K_inv
+            self._fit_snapshot = (e, f, self.N_energy, self.N_forces)
+            self._record_full_factor(e, f)
+            self.logging.info("Cholesky decomposition complete")
 
         self.N_energy_queue = self.N_forces_queue = self.N_queue = 0
         self.fits += 1
@@ -417,6 +426,140 @@ class GP:
         """Kept for API parity (gaussianprocess.py:128-131); the inverse is
         produced inside fit()."""
         return
+
+    # -- incremental (rank-update) refactorisation ---------------------------
+    def _params_signature(self):
+        return (self.kernel.kind, self.kernel.zeta,
+                tuple(round(p, 14) for p in self.kernel.parameters()),
+                round(self.noise_e, 14), round(self.noise_f, 14))
+
+    def _factor_perm(self, groups, NE_total):
+        """Canonical real-row index for each factor row, given the
+        insertion-order groups [(kE, kF), ...]."""
+        perm = []
+        e_off = f_off = 0
+        for (ke, kf) in groups:
+            perm.extend(range(e_off, e_off + ke))
+            for j in range(f_off, f_off + kf):
+                base = NE_total + 3 * j
+                perm.extend((base, base + 1, base + 2))
+            e_off += ke
+            f_off += kf
+        return np.asarray(perm, dtype=np.int64)
+
+    def _record_full_factor(self, e: EnergyData, f: ForceData):
+        """Snapshot the real-row factor after a from-scratch Cholesky so
+        that later opt=False fits can rank-update instead of refactorise."""
+        nE, nF = self.N_energy, self.N_forces
+        rows = np.r_[np.arange(nE), e.m + np.arange(3 * nF)]
+        L = np.asarray(self.L_, np.float64)[np.ix_(rows, rows)]
+        K_inv = np.asarray(self._K_inv, np.float64)[np.ix_(rows, rows)]
+        self._inc = {"sig": self._params_signature(),
+                     "groups": [(nE, nF)], "nE": nE, "nF": nF,
+                     "L": L, "K_inv": K_inv}
+
+    def _scatter_factor_to_device(self, e, f, L_perm, Kinv_perm, perm):
+        """Map the permuted host factor back to padded canonical device
+        arrays consumed by _predict_packed."""
+        nE, nF = self.N_energy, self.N_forces
+        n_real = nE + 3 * nF
+        inv = np.empty(n_real, np.int64)
+        inv[perm] = np.arange(n_real)
+        y = np.concatenate([np.asarray(self._energy_y[:nE], float),
+                            np.asarray(self._force_y[:nF],
+                                       float).reshape(-1)])
+        from scipy.linalg import cho_solve as _cho
+        alpha_perm = _cho((L_perm, True), y[perm])
+        alpha_real = alpha_perm[inv]
+        Kinv_real = Kinv_perm[np.ix_(inv, inv)]
+
+        rows = np.r_[np.arange(nE), e.m + np.arange(3 * nF)]
+        n_pad = e.m + 3 * f.m
+        alpha = np.zeros(n_pad)
+        alpha[rows] = alpha_real
+        Kinv = np.eye(n_pad)
+        Kinv[np.ix_(rows, rows)] = Kinv_real
+        dt = config.dtype()
+        self.alpha_ = jnp.asarray(alpha, dt)
+        self._K_inv = jnp.asarray(Kinv, dt)
+        self.L_ = None  # permuted factor lives on host (self._inc["L"])
+        self._fit_snapshot = (e, f, nE, nF)
+
+    def _try_incremental_fit(self, e: EnergyData, f: ForceData) -> bool:
+        """Extend the factorisation with the newly appended points in
+        O(n^2 k) (ops/linalg.py rationale).  Returns False when a full
+        refactorisation is required."""
+        st = self._inc
+        if st is None or st["sig"] != self._params_signature():
+            return False
+        nE0, nF0 = st["nE"], st["nF"]
+        kE, kF = self.N_energy - nE0, self.N_forces - nF0
+        if kE < 0 or kF < 0:
+            return False
+        if kE == 0 and kF == 0:
+            # nothing appended; reuse the existing factor
+            self._scatter_factor_to_device(
+                e, f, st["L"], st["K_inv"],
+                self._factor_perm(st["groups"], self.N_energy))
+            return True
+
+        d = e.d
+        e_new = pack_energy(
+            [(x, el) for (x, el) in self._energy_pts[nE0:self.N_energy]],
+            d=d)
+        f_new = pack_force(list(self._force_pts[nF0:self.N_forces]), d=d)
+        e_old, f_old = self._pack(nE0, nF0)
+        params = self.kernel.jax_params()
+        kk = dict(kind=self.kernel.kind, zeta=self.kernel.zeta)
+
+        # cross block K(old, new) and new self block, real rows only
+        B_pad = np.asarray(K_ops.k_block(e_old, f_old, e_new, f_new,
+                                         params, **kk), np.float64)
+        rows_old = np.r_[np.arange(nE0), e_old.m + np.arange(3 * nF0)]
+        cols_new = np.r_[np.arange(kE), e_new.m + np.arange(3 * kF)]
+        B = B_pad[np.ix_(rows_old, cols_new)]
+        C_pad = np.asarray(K_ops.k_self(e_new, f_new, params, **kk),
+                           np.float64)
+        C = C_pad[np.ix_(cols_new, cols_new)]
+        C[np.diag_indices_from(C)] += np.r_[
+            np.full(kE, self.noise_e ** 2),
+            np.full(3 * kF, self.noise_f ** 2)]
+
+        # permute old rows into factor (insertion) order
+        perm_old = self._factor_perm(st["groups"], nE0)
+        B_fac = B[perm_old]
+
+        from scipy.linalg import solve_triangular, cholesky
+        L = st["L"]
+        S = solve_triangular(L, B_fac, lower=True)
+        schur = C - S.T @ S
+        try:
+            Lc = cholesky(schur, lower=True)
+        except np.linalg.LinAlgError:
+            return False
+        n0, k = L.shape[0], C.shape[0]
+        L_new = np.zeros((n0 + k, n0 + k))
+        L_new[:n0, :n0] = L
+        L_new[n0:, :n0] = S.T
+        L_new[n0:, n0:] = Lc
+
+        # Schur update of the inverse
+        T = st["K_inv"] @ B_fac                      # (n0, k)
+        Qinv = np.linalg.inv(schur)
+        Kinv_new = np.zeros((n0 + k, n0 + k))
+        Kinv_new[:n0, :n0] = st["K_inv"] + T @ Qinv @ T.T
+        Kinv_new[:n0, n0:] = -T @ Qinv
+        Kinv_new[n0:, :n0] = Kinv_new[:n0, n0:].T
+        Kinv_new[n0:, n0:] = Qinv
+
+        groups = st["groups"] + [(kE, kF)]
+        self._inc = {"sig": st["sig"], "groups": groups,
+                     "nE": self.N_energy, "nF": self.N_forces,
+                     "L": L_new, "K_inv": Kinv_new}
+        self._scatter_factor_to_device(
+            e, f, L_new, Kinv_new,
+            self._factor_perm(groups, self.N_energy))
+        return True
 
     # -- prediction ----------------------------------------------------------
     def _train_view(self):

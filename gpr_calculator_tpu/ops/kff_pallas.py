@@ -1,31 +1,28 @@
 r"""Fused Pallas TPU kernel for the force-force covariance block.
 
-The XLA path (ops/kernels.py kff) materialises the four env-pair tensors
-(M, P1, P2 and the combined output) in HBM before the (env -> point) block
-reduction; at 10k-row scale those temporaries are GBs per chunk.  This
-kernel fuses, per (point-tile x point-tile) grid cell:
+The XLA path (ops/kernels.py kff) materialises the env-pair tensors
+(M, P1, P2, env) in HBM before the (env -> point) block reduction; at
+10k-row scale those temporaries are GBs per chunk and the op becomes
+HBM-bound (measured: precision-independent ~8 s per 10k x 10k build).
+This kernel keeps everything in VMEM; HBM sees each input once and the
+(9 m1, m2) output once.
 
-    per-pair coefficients  A(c), B(c)      (VPU: pow/exp on the c tile)
-    the 3x3 cartesian terms                (unrolled u, v in {0,1,2}):
-        M_uv  = J1_u  J2_v^T
-        P1_u  = J1_u  u2^T        P2_v = u1 J2_v^T
-        env_uv = A * (M_uv - P1_u Q2_v + c Q1_u Q2_v - Q1_u P2_v)
-               + B * (P1_u - c Q1_u)(P2_v - c Q2_v)
-    block reduction env(T1, T2) -> out(TP1, TP2) as two one-hot matmuls
-    (S1 env S2^T), avoiding in-kernel 4D reshapes.
+Per (point-tile i, point-tile j) grid cell, sub-tiled over the rhs envs:
 
-Everything stays in VMEM; HBM sees only the inputs once and the
-(3, 3, m1, m2) output.  Mathematical spec: rbf_kff_many
-(gpr_calc/kernels/rbf_kernel.cpp:342-473) == ops/kernels.py kff.
+    c      = u1 u2^T                       (T1, S) env dots
+    A(c), B(c)                             per-pair coefficients (VPU)
+    for u, v in 3x3 (unrolled):
+        M_uv = J1_u J2_v^T ; P1_u = J1_u u2^T ; P2_v = u1 J2_v^T
+        env  = A (M_uv - P1_u Q2_v + c Q1_u Q2_v - Q1_u P2_v)
+             + B (P1_u - c Q1_u)(P2_v - c Q2_v)
+        blk_uv += S1 env S2_s^T            (one-hot point reductions, MXU)
 
-Layout notes
-------------
-* inputs are env-major with envs grouped per point: env pa = p * B + a, so
-  a tile of T1 = TP1 * B1 env rows covers exactly TP1 whole points;
-* the kernel writes out[u, v, p, q]; the caller transposes to the
-  reference row layout (p*3+u, q*3+v) once, outside the kernel;
-* validity (padding env, |x| < eps) is encoded as rinv == 0, which zeroes
-  A and B for that pair -- the same trick the padded-layout XLA path uses.
+Mathematical spec: rbf_kff_many (gpr_calc/kernels/rbf_kernel.cpp:342-473)
+== ops/kernels.py kff.  Validity (padding env, |x| < eps) is encoded as
+rinv == 0, which zeroes A and B for that pair.
+
+Output layout: out[(p*3+u)*3+v, q], transposed outside the kernel to the
+reference row layout (p*3+u, q*3+v).
 """
 from __future__ import annotations
 
@@ -39,65 +36,96 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .packing import ForceData
 
+TP1 = 8          # lhs points per tile  -> out sublane block 9*TP1 = 72
+TP2 = 128        # rhs points per tile  -> out lane block 128
+SUB_ENVS = 1024  # rhs env sub-tile width processed at a time
 
-def _kff_kernel(s2_ref, inv2l2_ref,                 # SMEM scalars
+
+def _kff_kernel(s2_ref, inv2l2_ref,
                 u1_ref, j1_ref, q1_ref, e1_ref, r1_ref,
                 u2t_ref, j2t_ref, q2_ref, e2_ref, r2_ref,
-                s1_ref, s2m_ref,
-                out_ref, *, zeta: int):
+                out_ref, *, zeta: int, B1: int, B2: int, T2: int):
     f32 = jnp.float32
     sigma2 = s2_ref[0, 0]
     inv2l2 = inv2l2_ref[0, 0]
+    T1 = u1_ref.shape[0]
 
-    u1 = u1_ref[:]                       # (T1, d)
-    u2t = u2t_ref[:]                     # (d, T2)
-    c = jnp.dot(u1, u2t, preferred_element_type=f32)      # (T1, T2)
+    u1 = u1_ref[:]                          # (T1, d)
+    # one-hot env->point reduction for the lhs tile: S1[p, a] = a//B1 == p
+    # NB: use lax.div, not //: under x64 the latter promotes the int32
+    # iota to int64, which Mosaic cannot lower
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TP1, T1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TP1, T1), 1)
+    S1 = jnp.where(jax.lax.div(cols, jnp.int32(B1)) == rows, 1.0, 0.0)
 
-    # per-pair coefficients
-    if zeta == 2:
-        d1 = c
-        dm2 = jnp.ones_like(c)
-    else:
-        dm2 = c
-        for _ in range(zeta - 3):
-            dm2 = dm2 * c
-        d1 = dm2 * c
-    D = d1 * c
-    k = sigma2 * jnp.exp(-(1.0 - D) * inv2l2)
-    dk_dD = k * inv2l2
-    rr = r1_ref[:] * r2_ref[:]           # (T1,1)*(1,T2) -> (T1, T2)
-    same = (e1_ref[:] == e2_ref[:]).astype(f32)
-    A = dk_dD * (zeta * d1) * rr * same
-    B = (dk_dD * (zeta * (zeta - 1) * dm2
-                  + (zeta * d1) * (zeta * d1) * inv2l2) * rr * same)
+    nsub = max(1, T2 // SUB_ENVS)
+    sub = T2 // nsub
+    sub_pts = sub // B2
 
-    S1 = s1_ref[:]                        # (TP1, T1) one-hot point map
-    S2 = s2m_ref[:]                       # (TP2, T2)
+    acc = [[None] * 3 for _ in range(3)]
+    for s in range(nsub):
+        sl = slice(s * sub, (s + 1) * sub)
+        u2t = u2t_ref[:, sl]                # (d, sub)
+        c = jnp.dot(u1, u2t, preferred_element_type=f32)   # (T1, sub)
 
-    for u in range(3):
-        j1u = j1_ref[u]                   # (T1, d)
-        p1u = jnp.dot(j1u, u2t, preferred_element_type=f32)   # (T1, T2)
-        q1u = q1_ref[u]                   # (T1, 1)
-        l1u = p1u - c * q1u
-        for v in range(3):
-            j2v = j2t_ref[v]              # (d, T2)
-            muv = jnp.dot(j1u, j2v, preferred_element_type=f32)
-            p2v = jnp.dot(u1, j2v, preferred_element_type=f32)
-            q2v = q2_ref[v]               # (1, T2)
-            env = (A * (muv - p1u * q2v + c * q1u * q2v - q1u * p2v)
-                   + B * l1u * (p2v - c * q2v))
-            blk = jnp.dot(jnp.dot(S1, env, preferred_element_type=f32),
-                          S2.T, preferred_element_type=f32)
-            out_ref[u, v] = blk
+        if zeta == 2:
+            d1 = c
+            dm2 = jnp.ones_like(c)
+        else:
+            dm2 = c
+            for _ in range(zeta - 3):
+                dm2 = dm2 * c
+            d1 = dm2 * c
+        D = d1 * c
+        k = sigma2 * jnp.exp(-(1.0 - D) * inv2l2)
+        dk_dD = k * inv2l2
+        rr = r1_ref[:] * r2_ref[:, sl]      # (T1,1)*(1,sub)
+        same = jnp.where(e1_ref[:] == e2_ref[:, sl], 1.0, 0.0)
+        A = dk_dD * (zeta * d1) * rr * same
+        Bc = (dk_dD * (zeta * (zeta - 1) * dm2
+                       + (zeta * d1) * (zeta * d1) * inv2l2) * rr * same)
+
+        # rhs env->point reduction for this sub-tile: (sub_pts, sub)
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, (sub_pts, sub), 0)
+        cols2 = jax.lax.broadcasted_iota(jnp.int32, (sub_pts, sub), 1)
+        S2 = jnp.where(jax.lax.div(cols2, jnp.int32(B2)) == rows2, 1.0, 0.0)
+
+        for u in range(3):
+            j1u = j1_ref[u]                 # (T1, d)
+            p1u = jnp.dot(j1u, u2t, preferred_element_type=f32)
+            q1u = q1_ref[u]                 # (T1, 1)
+            l1u = p1u - c * q1u
+            for v in range(3):
+                j2v = j2t_ref[v][:, sl]     # (d, sub)
+                muv = jnp.dot(j1u, j2v, preferred_element_type=f32)
+                p2v = jnp.dot(u1, j2v, preferred_element_type=f32)
+                q2v = q2_ref[v][:, sl]      # (1, sub)
+                env = (A * (muv - p1u * q2v + c * q1u * q2v - q1u * p2v)
+                       + Bc * l1u * (p2v - c * q2v))
+                blk = jnp.dot(
+                    jnp.dot(S1, env, preferred_element_type=f32), S2.T,
+                    preferred_element_type=f32)        # (TP1, sub_pts)
+                prev = acc[u][v]
+                acc[u][v] = blk if prev is None else (
+                    jnp.concatenate([prev, blk], axis=1))
+
+    # assemble (TP1, 9, TP2) -> (9*TP1, TP2) with row = p*9 + u*3 + v
+    stacked = jnp.stack([acc[u][v] for u in range(3) for v in range(3)],
+                        axis=1)             # (TP1, 9, TP2)
+    out_ref[:] = stacked.reshape(TP1 * 9, TP2)
 
 
-def _pick_tile(m: int, B: int, budget_envs: int = 256) -> int:
-    """points per tile: a divisor of m with tile envs <= budget."""
-    best = 1
-    for tp in range(1, m + 1):
-        if m % tp == 0 and tp * B <= budget_envs:
-            best = tp
-    return best
+def _pad_points(f: ForceData, multiple: int) -> ForceData:
+    m = f.x.shape[0]
+    m_new = ((m + multiple - 1) // multiple) * multiple
+    if m_new == m:
+        return f
+    pad = m_new - m
+    return ForceData(
+        x=jnp.pad(f.x, ((0, pad), (0, 0), (0, 0))),
+        dxdr=jnp.pad(f.dxdr, ((0, pad), (0, 0), (0, 0), (0, 0))),
+        ele=jnp.pad(f.ele, ((0, pad), (0, 0))),
+        nreal=f.nreal)
 
 
 @functools.partial(jax.jit, static_argnames=("zeta", "interpret"))
@@ -106,22 +134,24 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
     """RBF force-force block via the fused Pallas kernel, (3 m1, 3 m2).
 
     f1.dxdr must have 3 cartesian columns (the stress path stays on the
-    XLA implementation).
-    """
+    XLA implementation)."""
     f32 = jnp.float32
+    m1_in, m2_in = f1.x.shape[0], f2.x.shape[0]
+    assert f1.dxdr.shape[3] == 3 and f2.dxdr.shape[3] == 3
+    f1 = _pad_points(f1, TP1)
+    f2 = _pad_points(f2, TP2)
     m1, B1, d = f1.x.shape
     m2, B2, _ = f2.x.shape
-    assert f1.dxdr.shape[3] == 3 and f2.dxdr.shape[3] == 3
 
     def prep(f):
-        m, B, d = f.x.shape
-        x = f.x.reshape(m * B, d).astype(f32)
+        m, B, dd = f.x.shape
+        x = f.x.reshape(m * B, dd).astype(f32)
         n2 = jnp.sum(x * x, axis=1)
         n = jnp.sqrt(n2)
         valid = (n > 1e-8) & (f.ele.reshape(-1) > 0)
         u = x / jnp.where(valid, n, 1.0)[:, None]
         rinv = jnp.where(valid, 1.0 / jnp.where(valid, n, 1.0), 0.0)
-        J = f.dxdr.reshape(m * B, d, 3).astype(f32)
+        J = f.dxdr.reshape(m * B, dd, 3).astype(f32)
         Jt = jnp.transpose(J, (2, 0, 1))          # (3, N, d)
         Q = jnp.einsum("und,nd->un", Jt, u)       # (3, N)
         ele = f.ele.reshape(-1).astype(jnp.int32)
@@ -130,7 +160,6 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
     u1, J1t, Q1, ele1, r1 = prep(f1)
     u2, J2t, Q2, ele2, r2 = prep(f2)
 
-    # pad d to a lane-friendly multiple of 8 (zeros don't change dots)
     d_pad = ((d + 7) // 8) * 8
     if d_pad != d:
         u1 = jnp.pad(u1, ((0, 0), (0, d_pad - d)))
@@ -138,22 +167,11 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
         J1t = jnp.pad(J1t, ((0, 0), (0, 0), (0, d_pad - d)))
         J2t = jnp.pad(J2t, ((0, 0), (0, 0), (0, d_pad - d)))
 
-    TP1 = _pick_tile(m1, B1)
-    TP2 = _pick_tile(m2, B2)
     T1, T2 = TP1 * B1, TP2 * B2
-    N1, N2 = m1 * B1, m2 * B2
-
-    # one-hot (point <- env) reduction maps, shared across tiles
-    S1 = jnp.kron(jnp.eye(TP1, dtype=f32), jnp.ones((1, B1), f32))
-    S2 = jnp.kron(jnp.eye(TP2, dtype=f32), jnp.ones((1, B2), f32))
-
-    u2t = u2.T                                   # (d, N2)
-    J2tt = jnp.transpose(J2t, (0, 2, 1))         # (3, d, N2)
-
     grid = (m1 // TP1, m2 // TP2)
-    dt = jnp.float32
+
     out = pl.pallas_call(
-        functools.partial(_kff_kernel, zeta=zeta),
+        functools.partial(_kff_kernel, zeta=zeta, B1=B1, B2=B2, T2=T2),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -170,22 +188,18 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
             pl.BlockSpec((3, 1, T2), lambda i, j: (0, 0, j)),
             pl.BlockSpec((1, T2), lambda i, j: (0, j)),
             pl.BlockSpec((1, T2), lambda i, j: (0, j)),
-            # reduction maps (replicated)
-            pl.BlockSpec((TP1, T1), lambda i, j: (0, 0)),
-            pl.BlockSpec((TP2, T2), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((3, 3, TP1, TP2),
-                               lambda i, j: (0, 0, i, j)),
-        out_shape=jax.ShapeDtypeStruct((3, 3, m1, m2), dt),
+        out_specs=pl.BlockSpec((9 * TP1, TP2), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((9 * m1, m2), f32),
         interpret=interpret,
     )(
         jnp.asarray(params["sigma"], f32).reshape(1, 1) ** 2,
         (1.0 / (2.0 * jnp.asarray(params["l"], f32) ** 2)).reshape(1, 1),
-        u1, J1t,
-        Q1[:, :, None], ele1[:, None].astype(jnp.int32),
-        r1[:, None],
-        u2t, J2tt, Q2[:, None, :], ele2[None, :], r2[None, :],
-        S1, S2,
+        u1, J1t, Q1[:, :, None], ele1[:, None], r1[:, None],
+        u2.T, jnp.transpose(J2t, (0, 2, 1)), Q2[:, None, :],
+        ele2[None, :], r2[None, :],
     )
-    # (3, 3, m1, m2) -> (m1*3, m2*3) reference row layout
-    return jnp.transpose(out, (2, 0, 3, 1)).reshape(m1 * 3, m2 * 3)
+    # (9 m1, m2): row (p*3+u)*3+v -> (m1*3, m2*3)
+    out = out.reshape(m1, 3, 3, m2).transpose(0, 1, 3, 2)
+    out = out.reshape(m1 * 3, m2 * 3)
+    return out[:3 * m1_in, :3 * m2_in]

@@ -1,0 +1,78 @@
+"""Rank-update (incremental) refactorisation: predictions must match a
+from-scratch refit to solver precision."""
+import numpy as np
+import jax.numpy as jnp
+
+from gpr_calculator_tpu.calculators import EMT
+from gpr_calculator_tpu.models import GP, RBF
+from gpr_calculator_tpu.ops.so3 import SO3
+from gpr_calculator_tpu.ops.linalg import chol_append
+
+from test_gp import make_structs
+
+
+def test_chol_append_matches_full():
+    rng = np.random.RandomState(0)
+    A = rng.randn(12, 20)
+    K = A @ A.T + 0.5 * np.eye(12)
+    L_full = np.linalg.cholesky(K)
+    L_inc = np.asarray(chol_append(
+        jnp.asarray(np.linalg.cholesky(K[:8, :8])),
+        jnp.asarray(K[:8, 8:]), jnp.asarray(K[8:, 8:])))
+    np.testing.assert_allclose(L_inc, L_full, rtol=1e-10, atol=1e-12)
+
+
+def test_incremental_fit_matches_full_refit():
+    structs = make_structs(n=6, natoms=5, seed=21)
+    calc = EMT()
+
+    def fresh():
+        return GP(kernel=RBF(para=[1.5, 1.1]),
+                  descriptor=SO3(nmax=2, lmax=2, rcut=4.0),
+                  noise_e=0.01, noise_f=0.1, log_file="/tmp/inc.log")
+
+    labels = [(s, calc.get_potential_energy(s), calc.get_forces(s))
+              for s in structs]
+
+    # incremental: fit on 3, append 3 (two rounds), fit(opt=False)
+    gp1 = fresh()
+    for s, e, f in labels[:3]:
+        gp1.add_structure((s, e, f))
+    gp1.fit(show=False, opt=False)
+    assert gp1._inc is not None and len(gp1._inc["groups"]) == 1
+    for s, e, f in labels[3:5]:
+        gp1.add_structure((s, e, f))
+    gp1.fit(show=False, opt=False)
+    assert len(gp1._inc["groups"]) == 2, "incremental path not taken"
+    for s, e, f in labels[5:]:
+        gp1.add_structure((s, e, f))
+    gp1.fit(show=False, opt=False)
+    assert len(gp1._inc["groups"]) == 3
+
+    # full refit on everything at the same hyperparameters
+    gp2 = fresh()
+    for s, e, f in labels:
+        gp2.add_structure((s, e, f))
+    gp2.fit(show=False, opt=False)
+
+    for s in (structs[0], structs[5]):
+        E1, F1, _, Es1, Fs1 = gp1.predict_structure(s, return_std=True)
+        E2, F2, _, Es2, Fs2 = gp2.predict_structure(s, return_std=True)
+        np.testing.assert_allclose(E1, E2, rtol=1e-8)
+        np.testing.assert_allclose(F1, F2, rtol=1e-6, atol=1e-10)
+        np.testing.assert_allclose(Es1, Es2, rtol=1e-5, atol=1e-9)
+        np.testing.assert_allclose(Fs1, Fs2, rtol=1e-4, atol=1e-8)
+
+
+def test_opt_fit_invalidates_incremental_state():
+    structs = make_structs(n=3, natoms=5, seed=23)
+    calc = EMT()
+    gp = GP(kernel=RBF(para=[1.0, 1.0]),
+            descriptor=SO3(nmax=2, lmax=2, rcut=4.0),
+            noise_e=0.01, noise_f=0.1, log_file="/tmp/inc2.log")
+    for s in structs:
+        gp.add_structure((s, calc.get_potential_energy(s),
+                          calc.get_forces(s)))
+    gp.fit(show=False, opt=True, maxiter=3)   # full path, records factor
+    sig = gp._inc["sig"]
+    assert sig == gp._params_signature()

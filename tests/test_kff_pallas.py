@@ -1,0 +1,34 @@
+"""Fused Pallas K_FF kernel vs the XLA reference path (interpret mode on
+CPU; the compiled path is exercised on TPU by bench.py)."""
+import numpy as np
+import jax.numpy as jnp
+
+from gpr_calculator_tpu.ops import kernels
+from gpr_calculator_tpu.ops.kff_pallas import kff_pallas
+from gpr_calculator_tpu.ops.packing import pack_force
+
+from test_kernels import make_points, PARAMS
+
+
+def _params32():
+    return {"sigma": jnp.asarray(1.3, jnp.float32),
+            "l": jnp.asarray(0.9, jnp.float32)}
+
+
+def test_kff_pallas_matches_xla():
+    pts1 = make_points(4, 4, 6)
+    pts2 = make_points(2, 3, 6)
+    f1 = pack_force(pts1, m_pad=4, b_pad=4)
+    f2 = pack_force(pts2, m_pad=2, b_pad=4)
+    ref = np.asarray(kernels.kff(f1, f2, PARAMS["rbf"], "rbf", 2))
+    out = np.asarray(kff_pallas(f1, f2, _params32(), zeta=2,
+                                interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-6)
+
+
+def test_kff_pallas_zeta3():
+    pts = make_points(2, 3, 5)
+    f = pack_force(pts, m_pad=2, b_pad=4)
+    ref = np.asarray(kernels.kff(f, f, PARAMS["rbf"], "rbf", 3))
+    out = np.asarray(kff_pallas(f, f, _params32(), zeta=3, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-6)
