@@ -7,7 +7,7 @@ HBM-bound (measured: precision-independent ~8 s per 10k x 10k build).
 This kernel keeps everything in VMEM; HBM sees each input once and the
 (9 m1, m2) output once.
 
-Per (point-tile i, point-tile j) grid cell, sub-tiled over the rhs envs:
+Grid: (lhs point tiles, rhs point tiles, rhs env sub-tiles).  Per cell:
 
     c      = u1 u2^T                       (T1, S) env dots
     A(c), B(c)                             per-pair coefficients (VPU)
@@ -15,7 +15,10 @@ Per (point-tile i, point-tile j) grid cell, sub-tiled over the rhs envs:
         M_uv = J1_u J2_v^T ; P1_u = J1_u u2^T ; P2_v = u1 J2_v^T
         env  = A (M_uv - P1_u Q2_v + c Q1_u Q2_v - Q1_u P2_v)
              + B (P1_u - c Q1_u)(P2_v - c Q2_v)
-        blk_uv += S1 env S2_s^T            (one-hot point reductions, MXU)
+        out[u, v] += S1 env S2_s^T         (one-hot point reductions, MXU)
+
+The output block is revisited across the s (fastest) grid dimension and
+accumulated in VMEM; S2_s encodes the env->point map of sub-tile s.
 
 Mathematical spec: rbf_kff_many (gpr_calc/kernels/rbf_kernel.cpp:342-473)
 == ops/kernels.py kff.  Validity (padding env, |x| < eps) is encoded as
@@ -38,81 +41,84 @@ from .packing import ForceData
 
 TP1 = 8          # lhs points per tile  -> out sublane block 9*TP1 = 72
 TP2 = 128        # rhs points per tile  -> out lane block 128
-SUB_ENVS = 1024  # rhs env sub-tile width processed at a time
+SUB_ENVS = 512   # rhs env sub-tile width (VMEM budget)
 
 
 def _kff_kernel(s2_ref, inv2l2_ref,
                 u1_ref, j1_ref, q1_ref, e1_ref, r1_ref,
                 u2t_ref, j2t_ref, q2_ref, e2_ref, r2_ref,
-                out_ref, *, zeta: int, B1: int, B2: int, T2: int):
+                out_ref, *, zeta: int, B1: int, B2: int, sub: int):
     f32 = jnp.float32
     sigma2 = s2_ref[0, 0]
     inv2l2 = inv2l2_ref[0, 0]
     T1 = u1_ref.shape[0]
-
-    u1 = u1_ref[:]                          # (T1, d)
-    # one-hot env->point reduction for the lhs tile: S1[p, a] = a//B1 == p
-    # NB: use lax.div, not //: under x64 the latter promotes the int32
-    # iota to int64, which Mosaic cannot lower
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TP1, T1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TP1, T1), 1)
-    S1 = jnp.where(jax.lax.div(cols, jnp.int32(B1)) == rows, 1.0, 0.0)
-
-    nsub = max(1, T2 // SUB_ENVS)
-    sub = T2 // nsub
+    s = pl.program_id(2)
     sub_pts = sub // B2
 
-    acc = [[None] * 3 for _ in range(3)]
-    for s in range(nsub):
-        sl = slice(s * sub, (s + 1) * sub)
-        u2t = u2t_ref[:, sl]                # (d, sub)
-        c = jnp.dot(u1, u2t, preferred_element_type=f32)   # (T1, sub)
+    u1 = u1_ref[:]                          # (T1, d)
+    # one-hot env->point reduction maps, built from iota.
+    # NB: lax.div, not //: under x64 // promotes the int32 iota to int64,
+    # which Mosaic cannot lower.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TP1, T1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TP1, T1), 1)
+    S1 = jnp.where(jax.lax.div(cols, jnp.int32(B1)) == rows,
+                   np.float32(1.0), np.float32(0.0))
+    # rhs map for this sub-tile: S2[q, b] = (s*sub + b) // B2 == q
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (TP2, sub), 0)
+    cols2 = jax.lax.broadcasted_iota(jnp.int32, (TP2, sub), 1)
+    S2 = jnp.where(
+        jax.lax.div(cols2 + s * sub, jnp.int32(B2)) == rows2,
+        np.float32(1.0), np.float32(0.0))
 
-        if zeta == 2:
-            d1 = c
-            dm2 = jnp.ones_like(c)
-        else:
-            dm2 = c
-            for _ in range(zeta - 3):
-                dm2 = dm2 * c
-            d1 = dm2 * c
-        D = d1 * c
-        k = sigma2 * jnp.exp(-(1.0 - D) * inv2l2)
-        dk_dD = k * inv2l2
-        rr = r1_ref[:] * r2_ref[:, sl]      # (T1,1)*(1,sub)
-        same = jnp.where(e1_ref[:] == e2_ref[:, sl], 1.0, 0.0)
-        A = dk_dD * (zeta * d1) * rr * same
-        Bc = (dk_dD * (zeta * (zeta - 1) * dm2
-                       + (zeta * d1) * (zeta * d1) * inv2l2) * rr * same)
+    u2t = u2t_ref[:]                        # (d, sub)
+    c = jnp.dot(u1, u2t, preferred_element_type=f32)   # (T1, sub)
 
-        # rhs env->point reduction for this sub-tile: (sub_pts, sub)
-        rows2 = jax.lax.broadcasted_iota(jnp.int32, (sub_pts, sub), 0)
-        cols2 = jax.lax.broadcasted_iota(jnp.int32, (sub_pts, sub), 1)
-        S2 = jnp.where(jax.lax.div(cols2, jnp.int32(B2)) == rows2, 1.0, 0.0)
+    if zeta == 2:
+        d1 = c
+        dm2 = jnp.ones_like(c)
+    else:
+        dm2 = c
+        for _ in range(zeta - 3):
+            dm2 = dm2 * c
+        d1 = dm2 * c
+    D = d1 * c
+    k = sigma2 * jnp.exp(-(np.float32(1.0) - D) * inv2l2)
+    dk_dD = k * inv2l2
+    rr = r1_ref[:] * r2_ref[:]              # (T1,1)*(1,sub)
+    same = jnp.where(e1_ref[:] == e2_ref[:],
+                     np.float32(1.0), np.float32(0.0))
+    A = dk_dD * (zeta * d1) * rr * same
+    Bc = (dk_dD * (zeta * (zeta - 1) * dm2
+                   + (zeta * d1) * (zeta * d1) * inv2l2) * rr * same)
 
-        for u in range(3):
-            j1u = j1_ref[u]                 # (T1, d)
-            p1u = jnp.dot(j1u, u2t, preferred_element_type=f32)
-            q1u = q1_ref[u]                 # (T1, 1)
-            l1u = p1u - c * q1u
-            for v in range(3):
-                j2v = j2t_ref[v][:, sl]     # (d, sub)
-                muv = jnp.dot(j1u, j2v, preferred_element_type=f32)
-                p2v = jnp.dot(u1, j2v, preferred_element_type=f32)
-                q2v = q2_ref[v][:, sl]      # (1, sub)
-                env = (A * (muv - p1u * q2v + c * q1u * q2v - q1u * p2v)
-                       + Bc * l1u * (p2v - c * q2v))
-                blk = jnp.dot(
-                    jnp.dot(S1, env, preferred_element_type=f32), S2.T,
-                    preferred_element_type=f32)        # (TP1, sub_pts)
-                prev = acc[u][v]
-                acc[u][v] = blk if prev is None else (
-                    jnp.concatenate([prev, blk], axis=1))
+    blocks = []
+    for u in range(3):
+        j1u = j1_ref[u]                     # (T1, d)
+        p1u = jnp.dot(j1u, u2t, preferred_element_type=f32)
+        q1u = q1_ref[u]                     # (T1, 1)
+        l1u = p1u - c * q1u
+        for v in range(3):
+            j2v = j2t_ref[v]                # (d, sub)
+            muv = jnp.dot(j1u, j2v, preferred_element_type=f32)
+            p2v = jnp.dot(u1, j2v, preferred_element_type=f32)
+            q2v = q2_ref[v]                 # (1, sub)
+            env = (A * (muv - p1u * q2v + c * q1u * q2v - q1u * p2v)
+                   + Bc * l1u * (p2v - c * q2v))
+            blk = jnp.dot(
+                jnp.dot(S1, env, preferred_element_type=f32), S2.T,
+                preferred_element_type=f32)            # (TP1, TP2)
+            blocks.append(blk)
 
-    # assemble (TP1, 9, TP2) -> (9*TP1, TP2) with row = p*9 + u*3 + v
-    stacked = jnp.stack([acc[u][v] for u in range(3) for v in range(3)],
-                        axis=1)             # (TP1, 9, TP2)
-    out_ref[:] = stacked.reshape(TP1 * 9, TP2)
+    stacked = jnp.stack(blocks, axis=1)      # (TP1, 9, TP2)
+    update = stacked.reshape(TP1 * 9, TP2)
+
+    @pl.when(s == 0)
+    def _():
+        out_ref[:] = update
+
+    @pl.when(s != 0)
+    def _():
+        out_ref[:] = out_ref[:] + update
 
 
 def _pad_points(f: ForceData, multiple: int) -> ForceData:
@@ -168,28 +174,48 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
         J2t = jnp.pad(J2t, ((0, 0), (0, 0), (0, d_pad - d)))
 
     T1, T2 = TP1 * B1, TP2 * B2
-    grid = (m1 // TP1, m2 // TP2)
+    sub = min(SUB_ENVS, T2)
+    while T2 % sub or sub % B2:
+        sub -= B2
+    nsub = T2 // sub
 
-    out = pl.pallas_call(
-        functools.partial(_kff_kernel, zeta=zeta, B1=B1, B2=B2, T2=T2),
+    # Trace the pallas_call with x64 disabled: under x64 the BlockSpec
+    # index maps produce i64 grid indices, which Mosaic cannot legalize.
+    with jax.enable_x64(False):
+        out = _call((m1 // TP1, m2 // TP2, nsub), zeta, B1, B2, T1, sub,
+                    d_pad, m1, m2, interpret, params,
+                    u1, J1t, Q1, ele1, r1, u2, J2t, Q2, ele2, r2)
+    # (9 m1, m2): row (p*3+u)*3+v -> (m1*3, m2*3)
+    out = out.reshape(m1, 3, 3, m2).transpose(0, 1, 3, 2)
+    out = out.reshape(m1 * 3, m2 * 3)
+    return out[:3 * m1_in, :3 * m2_in]
+
+
+def _call(grid, zeta, B1, B2, T1, sub, d_pad, m1, m2, interpret,
+          params, u1, J1t, Q1, ele1, r1, u2, J2t, Q2, ele2, r2):
+    f32 = jnp.float32
+    return pl.pallas_call(
+        functools.partial(_kff_kernel, zeta=zeta, B1=B1, B2=B2, sub=sub),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            # lhs tiles
-            pl.BlockSpec((T1, d_pad), lambda i, j: (i, 0)),
-            pl.BlockSpec((3, T1, d_pad), lambda i, j: (0, i, 0)),
-            pl.BlockSpec((3, T1, 1), lambda i, j: (0, i, 0)),
-            pl.BlockSpec((T1, 1), lambda i, j: (i, 0)),
-            pl.BlockSpec((T1, 1), lambda i, j: (i, 0)),
-            # rhs tiles
-            pl.BlockSpec((d_pad, T2), lambda i, j: (0, j)),
-            pl.BlockSpec((3, d_pad, T2), lambda i, j: (0, 0, j)),
-            pl.BlockSpec((3, 1, T2), lambda i, j: (0, 0, j)),
-            pl.BlockSpec((1, T2), lambda i, j: (0, j)),
-            pl.BlockSpec((1, T2), lambda i, j: (0, j)),
+            # lhs tiles (constant across j, s)
+            pl.BlockSpec((T1, d_pad), lambda i, j, s: (i, 0)),
+            pl.BlockSpec((3, T1, d_pad), lambda i, j, s: (0, i, 0)),
+            pl.BlockSpec((3, T1, 1), lambda i, j, s: (0, i, 0)),
+            pl.BlockSpec((T1, 1), lambda i, j, s: (i, 0)),
+            pl.BlockSpec((T1, 1), lambda i, j, s: (i, 0)),
+            # rhs env sub-tiles
+            pl.BlockSpec((d_pad, sub), lambda i, j, s: (0, j * grid[2] + s)),
+            pl.BlockSpec((3, d_pad, sub),
+                         lambda i, j, s: (0, 0, j * grid[2] + s)),
+            pl.BlockSpec((3, 1, sub),
+                         lambda i, j, s: (0, 0, j * grid[2] + s)),
+            pl.BlockSpec((1, sub), lambda i, j, s: (0, j * grid[2] + s)),
+            pl.BlockSpec((1, sub), lambda i, j, s: (0, j * grid[2] + s)),
         ],
-        out_specs=pl.BlockSpec((9 * TP1, TP2), lambda i, j: (i, j)),
+        out_specs=pl.BlockSpec((9 * TP1, TP2), lambda i, j, s: (i, j)),
         out_shape=jax.ShapeDtypeStruct((9 * m1, m2), f32),
         interpret=interpret,
     )(
@@ -199,7 +225,3 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
         u2.T, jnp.transpose(J2t, (0, 2, 1)), Q2[:, None, :],
         ele2[None, :], r2[None, :],
     )
-    # (9 m1, m2): row (p*3+u)*3+v -> (m1*3, m2*3)
-    out = out.reshape(m1, 3, 3, m2).transpose(0, 1, 3, 2)
-    out = out.reshape(m1 * 3, m2 * 3)
-    return out[:3 * m1_in, :3 * m2_in]

@@ -1,0 +1,46 @@
+"""Multi-device sharding: the row-sharded kernel build must match the
+single-device result, and the driver entry points must run on the 8-way
+virtual CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gpr_calculator_tpu.ops import kernels as K_ops
+from gpr_calculator_tpu.ops.packing import pack_energy, pack_force
+from gpr_calculator_tpu.parallel import make_mesh, shard_train_data
+
+from test_kernels import make_points, PARAMS
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_kernel_matches_single_device():
+    pts_e = make_points(4, 3, 5)
+    pts_f = make_points(16, 3, 5)
+    e = pack_energy([(x, el) for x, _, el in pts_e], m_pad=4, a_pad=4)
+    f = pack_force(pts_f, m_pad=16, b_pad=4)
+    params = PARAMS["rbf"]
+
+    K_ref = np.asarray(K_ops.k_self(e, f, params, "rbf", 2))
+
+    mesh = make_mesh(8)
+    e_s, f_s = shard_train_data(e, f, mesh)
+    K_sharded = np.asarray(K_ops.k_self(e_s, f_s, params, "rbf", 2))
+    np.testing.assert_allclose(K_sharded, K_ref, rtol=1e-12, atol=1e-13)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = fn(*args)
+    assert np.all(np.isfinite(np.asarray(out[0])))
