@@ -169,7 +169,11 @@ class GP:
 
     def __init__(self, kernel=None, descriptor=None, base_potential=None,
                  noise_e=0.005, noise_f=0.1, f_coef=10,
-                 log_file: str = "gpr.log", row_chunk: int = 0):
+                 log_file: str = "gpr.log", row_chunk: int = 0,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh; training blocks are placed
+        with the force-point (kernel-row) axis sharded over it, replacing
+        the reference's MPI row decompositions (SURVEY.md P1-P5)."""
         self.log_file = log_file
         logging.getLogger().handlers.clear()
         logging.basicConfig(level=logging.INFO,
@@ -193,6 +197,7 @@ class GP:
         self.kernel = kernel
         self.base_potential = base_potential
         self.row_chunk = row_chunk
+        self.mesh = mesh
 
         # host-side ragged training store
         self._energy_pts: List[Tuple[np.ndarray, np.ndarray]] = []
@@ -262,6 +267,9 @@ class GP:
                         a_pad=bucket_size(a_max, 4), d=d)
         f = pack_force(fpts, m_pad=bucket_size(nF, 8),
                        b_pad=bucket_size(b_max, 4), d=d)
+        if self.mesh is not None:
+            from ..parallel import shard_train_data
+            e, f = shard_train_data(e, f, self.mesh)
         return e, f
 
     def _y_vector(self, e: EnergyData, f: ForceData, nE: int, nF: int):

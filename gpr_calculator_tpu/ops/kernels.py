@@ -240,48 +240,53 @@ def kef(e1: EnergyData, f2: ForceData, params, kind: str = "rbf",
 # K_FF
 # ---------------------------------------------------------------------------
 
-def _kff_env_blocks(u1, r1, v1, J1, u2, r2, v2, J2, pm, params, kind, zeta):
+def _kff_env_blocks(u1, r1, v1, J1, u2, r2, v2, J2, pm, params, kind, zeta,
+                    work_dtype=None):
     """Dense (N1, C1, N2, C2) env-pair force kernel for already-flattened
-    inputs.  pm is the (N1, N2) pair mask."""
+    inputs.  pm is the (N1, N2) pair mask.
+
+    work_dtype (e.g. jnp.bfloat16) computes/stores the large env-pair
+    tensors in reduced precision -- the op is HBM-bandwidth-bound at scale
+    and TPU f32 matmuls run in bf16 passes anyway; the coefficient math
+    (exp etc.) stays in the input dtype.
+    """
     N1, d, C1 = J1.shape
     N2, _, C2 = J2.shape
+    wd = work_dtype or u1.dtype
 
     c = u1 @ u2.T                                               # (N1, N2)
     _, A_c, B_c = _pair_coeffs(c, params, kind, zeta, grad_block=True)
     rr = 1.0 / (jnp.where(v1, r1, 1.0)[:, None] * jnp.where(v2, r2, 1.0)[None, :])
-    A_c = jnp.where(pm, A_c * rr, 0.0)
-    B_c = jnp.where(pm, B_c * rr, 0.0)
+    A_c = jnp.where(pm, A_c * rr, 0.0).astype(wd)
+    B_c = jnp.where(pm, B_c * rr, 0.0).astype(wd)
+    cw = c.astype(wd)
+
+    u1w, u2w = u1.astype(wd), u2.astype(wd)
+    J1w, J2w = J1.astype(wd), J2.astype(wd)
 
     # Large MXU matmuls
-    J1t = jnp.swapaxes(J1, 1, 2).reshape(N1 * C1, d)            # (N1*C1, d)
-    J2r = J2.reshape(N2, d * C2)
-    P1 = (J1t @ u2.T).reshape(N1, C1, N2)                        # J1^T u2
-    P2 = (u1 @ J2r.reshape(N2, d, C2).transpose(1, 0, 2).reshape(d, N2 * C2))
+    J1t = jnp.swapaxes(J1w, 1, 2).reshape(N1 * C1, d)           # (N1*C1, d)
+    P1 = (J1t @ u2w.T).reshape(N1, C1, N2)                       # J1^T u2
+    P2 = (u1w @ J2w.transpose(1, 0, 2).reshape(d, N2 * C2))
     P2 = P2.reshape(N1, N2, C2)                                  # u1^T J2
-    M = (J1t @ J2.transpose(1, 0, 2).reshape(d, N2 * C2))
+    M = (J1t @ J2w.transpose(1, 0, 2).reshape(d, N2 * C2))
     M = M.reshape(N1, C1, N2, C2)                                # J1^T J2
-    Q1 = jnp.einsum("ndc,nd->nc", J1, u1)                        # (N1, C1)
-    Q2 = jnp.einsum("ndc,nd->nc", J2, u2)                        # (N2, C2)
+    Q1 = jnp.einsum("ndc,nd->nc", J1w, u1w)                      # (N1, C1)
+    Q2 = jnp.einsum("ndc,nd->nc", J2w, u2w)                      # (N2, C2)
 
-    # A-part: J1^T (I - u2u2 + c u1u2 - u1u1) J2
-    termA = (
-        M
-        - P1[:, :, :, None] * Q2[None, None, :, :]
-        + (c[:, None, :, None] * Q1[:, :, None, None]) * Q2[None, None, :, :]
-        - Q1[:, :, None, None] * P2[:, None, :, :]
-    )
-    # B-part: (J1^T (u2 - c u1)) (x) ((u1 - c u2)^T J2)
-    L1 = P1 - c[:, None, :] * Q1[:, :, None]                     # (N1, C1, N2)
-    L2 = P2 - c[:, :, None] * Q2[None, :, :]                     # (N1, N2, C2)
-    out = (
-        A_c[:, None, :, None] * termA
-        + B_c[:, None, :, None] * (L1[:, :, :, None] * L2[:, None, :, :])
-    )
-    return out
+    # out = A (M - q1 P2) + L1 (B P2 - (A + B c) q2), with
+    # L1 = P1 - c q1   (regrouped to minimise large elementwise temps)
+    L1 = P1 - cw[:, None, :] * Q1[:, :, None]                    # (N1,C1,N2)
+    bracket = (B_c[:, :, None] * P2
+               - ((A_c + B_c * cw)[:, :, None] * Q2[None, :, :]))
+    out = (A_c[:, None, :, None]
+           * (M - Q1[:, :, None, None] * P2[:, None, :, :])
+           + L1[:, :, :, None] * bracket[:, None, :, :])
+    return out   # in work_dtype; callers accumulate in the input dtype
 
 
 def kff(f1: ForceData, f2: ForceData, params, kind: str = "rbf",
-        zeta: int = 2, row_chunk: int = 0) -> jnp.ndarray:
+        zeta: int = 2, row_chunk: int = 0, fast: bool = False) -> jnp.ndarray:
     """Force-force covariance block, (C1*m1, 3*m2) with row = p*C1+u.
 
     Mirrors rbf_kff_many (rbf_kernel.cpp:342-473).  C1 is 3, or 9 when
@@ -289,21 +294,27 @@ def kff(f1: ForceData, f2: ForceData, params, kind: str = "rbf",
     kernel, cf. rbf_kff_many_stress cpp:643-822).
 
     row_chunk > 0 computes the block in chunks of ``row_chunk`` force points
-    to bound the (N1*C1, N2*C2) intermediate.
+    to bound the (N1*C1, N2*C2) intermediate.  fast=True computes the
+    env-pair tensors in bfloat16 (f32 accumulation) -- ~2x on TPU where the
+    op is HBM-bound; ~1e-3 relative accuracy, suitable for production
+    serving against >=1e-2 force noise levels.
     """
     m1, B1 = f1.ele.shape
     m2, B2 = f2.ele.shape
     C1 = f1.dxdr.shape[3]
     C2 = f2.dxdr.shape[3]
     u2, r2, ele2, v2, J2 = _flatten_force(f2)
+    work_dtype = jnp.bfloat16 if fast else None
+    acc_dtype = f1.x.dtype
 
     def block(fsub: ForceData) -> jnp.ndarray:
         u1, r1, ele1, v1, J1 = _flatten_force(fsub)
         pm = _pair_mask(ele1, v1, ele2, v2)
         env = _kff_env_blocks(u1, r1, v1, J1, u2, r2, v2, J2, pm,
-                              params, kind, zeta)
+                              params, kind, zeta, work_dtype=work_dtype)
         mc = fsub.ele.shape[0]
-        env = env.reshape(mc, B1, C1, m2, B2, C2).sum(axis=(1, 4))
+        env = env.reshape(mc, B1, C1, m2, B2, C2).sum(axis=(1, 4),
+                                                      dtype=acc_dtype)
         return env.reshape(mc * C1, m2 * C2)
 
     row_chunk = _effective_chunk(m1, row_chunk)

@@ -5,7 +5,7 @@ The XLA path (ops/kernels.py kff) materialises the env-pair tensors
 10k-row scale those temporaries are GBs per chunk and the op becomes
 HBM-bound (measured: precision-independent ~8 s per 10k x 10k build).
 This kernel keeps everything in VMEM; HBM sees each input once and the
-(9 m1, m2) output once.
+nine (m1, m2) cartesian outputs once.
 
 Grid: (lhs point tiles, rhs point tiles, rhs env sub-tiles).  Per cell:
 
@@ -15,17 +15,14 @@ Grid: (lhs point tiles, rhs point tiles, rhs env sub-tiles).  Per cell:
         M_uv = J1_u J2_v^T ; P1_u = J1_u u2^T ; P2_v = u1 J2_v^T
         env  = A (M_uv - P1_u Q2_v + c Q1_u Q2_v - Q1_u P2_v)
              + B (P1_u - c Q1_u)(P2_v - c Q2_v)
-        out[u, v] += S1 env S2_s^T         (one-hot point reductions, MXU)
+        out_uv += S1 env S2_s^T            (one-hot point reductions, MXU)
 
-The output block is revisited across the s (fastest) grid dimension and
+The nine output blocks are revisited across the s (fastest) grid dim and
 accumulated in VMEM; S2_s encodes the env->point map of sub-tile s.
 
 Mathematical spec: rbf_kff_many (gpr_calc/kernels/rbf_kernel.cpp:342-473)
 == ops/kernels.py kff.  Validity (padding env, |x| < eps) is encoded as
 rinv == 0, which zeroes A and B for that pair.
-
-Output layout: out[(p*3+u)*3+v, q], transposed outside the kernel to the
-reference row layout (p*3+u, q*3+v).
 """
 from __future__ import annotations
 
@@ -39,36 +36,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .packing import ForceData
 
-TP1 = 8          # lhs points per tile  -> out sublane block 9*TP1 = 72
-TP2 = 128        # rhs points per tile  -> out lane block 128
+TP1 = 8          # lhs points per tile
+TP2 = 128        # rhs points per tile
 SUB_ENVS = 512   # rhs env sub-tile width (VMEM budget)
 
 
-def _kff_kernel(s2_ref, inv2l2_ref,
+def _kff_kernel(sig2_ref, inv2l2_ref,
                 u1_ref, j1_ref, q1_ref, e1_ref, r1_ref,
                 u2t_ref, j2t_ref, q2_ref, e2_ref, r2_ref,
-                out_ref, *, zeta: int, B1: int, B2: int, sub: int):
+                map1_ref, map2_ref,
+                *out_refs, zeta: int):
     f32 = jnp.float32
-    sigma2 = s2_ref[0, 0]
+    sigma2 = sig2_ref[0, 0]
     inv2l2 = inv2l2_ref[0, 0]
-    T1 = u1_ref.shape[0]
     s = pl.program_id(2)
-    sub_pts = sub // B2
 
     u1 = u1_ref[:]                          # (T1, d)
-    # one-hot env->point reduction maps, built from iota.
-    # NB: lax.div, not //: under x64 // promotes the int32 iota to int64,
-    # which Mosaic cannot lower.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TP1, T1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TP1, T1), 1)
-    S1 = jnp.where(jax.lax.div(cols, jnp.int32(B1)) == rows,
-                   np.float32(1.0), np.float32(0.0))
-    # rhs map for this sub-tile: S2[q, b] = (s*sub + b) // B2 == q
-    rows2 = jax.lax.broadcasted_iota(jnp.int32, (TP2, sub), 0)
-    cols2 = jax.lax.broadcasted_iota(jnp.int32, (TP2, sub), 1)
-    S2 = jnp.where(
-        jax.lax.div(cols2 + s * sub, jnp.int32(B2)) == rows2,
-        np.float32(1.0), np.float32(0.0))
+    S1 = map1_ref[:]                        # (TP1, T1)
+    S2 = map2_ref[0]                        # (TP2, sub)
 
     u2t = u2t_ref[:]                        # (d, sub)
     c = jnp.dot(u1, u2t, preferred_element_type=f32)   # (T1, sub)
@@ -91,7 +76,7 @@ def _kff_kernel(s2_ref, inv2l2_ref,
     Bc = (dk_dD * (zeta * (zeta - 1) * dm2
                    + (zeta * d1) * (zeta * d1) * inv2l2) * rr * same)
 
-    blocks = []
+    first = s == 0
     for u in range(3):
         j1u = j1_ref[u]                     # (T1, d)
         p1u = jnp.dot(j1u, u2t, preferred_element_type=f32)
@@ -107,18 +92,15 @@ def _kff_kernel(s2_ref, inv2l2_ref,
             blk = jnp.dot(
                 jnp.dot(S1, env, preferred_element_type=f32), S2.T,
                 preferred_element_type=f32)            # (TP1, TP2)
-            blocks.append(blk)
+            ref = out_refs[u * 3 + v]
 
-    stacked = jnp.stack(blocks, axis=1)      # (TP1, 9, TP2)
-    update = stacked.reshape(TP1 * 9, TP2)
+            @pl.when(first)
+            def _(ref=ref, blk=blk):
+                ref[:] = blk
 
-    @pl.when(s == 0)
-    def _():
-        out_ref[:] = update
-
-    @pl.when(s != 0)
-    def _():
-        out_ref[:] = out_ref[:] + update
+            @pl.when(jnp.logical_not(first))
+            def _(ref=ref, blk=blk):
+                ref[:] = ref[:] + blk
 
 
 def _pad_points(f: ForceData, multiple: int) -> ForceData:
@@ -178,24 +160,36 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
     while T2 % sub or sub % B2:
         sub -= B2
     nsub = T2 // sub
+    sub_pts = sub // B2
 
-    # Trace the pallas_call with x64 disabled: under x64 the BlockSpec
-    # index maps produce i64 grid indices, which Mosaic cannot legalize.
+    # host-built one-hot env->point reduction maps
+    S1 = np.kron(np.eye(TP1, dtype=np.float32),
+                 np.ones((1, B1), np.float32))
+    # S2h[s, q, b] = 1 if (s*sub + b)//B2 == q
+    S2h = np.zeros((nsub, TP2, sub), np.float32)
+    for s in range(nsub):
+        for b in range(sub):
+            S2h[s, (s * sub + b) // B2, b] = 1.0
+
+    # Trace with x64 disabled: under x64 the BlockSpec index maps produce
+    # i64 grid indices, which Mosaic cannot legalize.
     with jax.enable_x64(False):
-        out = _call((m1 // TP1, m2 // TP2, nsub), zeta, B1, B2, T1, sub,
-                    d_pad, m1, m2, interpret, params,
-                    u1, J1t, Q1, ele1, r1, u2, J2t, Q2, ele2, r2)
-    # (9 m1, m2): row (p*3+u)*3+v -> (m1*3, m2*3)
-    out = out.reshape(m1, 3, 3, m2).transpose(0, 1, 3, 2)
-    out = out.reshape(m1 * 3, m2 * 3)
+        outs = _call((m1 // TP1, m2 // TP2, nsub), zeta, T1, sub, d_pad,
+                     m1, m2, interpret, params, u1, J1t, Q1, ele1, r1,
+                     u2, J2t, Q2, ele2, r2,
+                     jnp.asarray(S1), jnp.asarray(S2h))
+    # nine (m1, m2) planes -> (m1*3, m2*3)
+    out = jnp.stack(outs, axis=0).reshape(3, 3, m1, m2)
+    out = out.transpose(2, 0, 3, 1).reshape(m1 * 3, m2 * 3)
     return out[:3 * m1_in, :3 * m2_in]
 
 
-def _call(grid, zeta, B1, B2, T1, sub, d_pad, m1, m2, interpret,
-          params, u1, J1t, Q1, ele1, r1, u2, J2t, Q2, ele2, r2):
+def _call(grid, zeta, T1, sub, d_pad, m1, m2, interpret,
+          params, u1, J1t, Q1, ele1, r1, u2, J2t, Q2, ele2, r2, S1, S2h):
     f32 = jnp.float32
+    nsub = grid[2]
     return pl.pallas_call(
-        functools.partial(_kff_kernel, zeta=zeta, B1=B1, B2=B2, sub=sub),
+        functools.partial(_kff_kernel, zeta=zeta),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -207,16 +201,23 @@ def _call(grid, zeta, B1, B2, T1, sub, d_pad, m1, m2, interpret,
             pl.BlockSpec((T1, 1), lambda i, j, s: (i, 0)),
             pl.BlockSpec((T1, 1), lambda i, j, s: (i, 0)),
             # rhs env sub-tiles
-            pl.BlockSpec((d_pad, sub), lambda i, j, s: (0, j * grid[2] + s)),
+            pl.BlockSpec((d_pad, sub),
+                         lambda i, j, s, n=nsub: (0, j * n + s)),
             pl.BlockSpec((3, d_pad, sub),
-                         lambda i, j, s: (0, 0, j * grid[2] + s)),
+                         lambda i, j, s, n=nsub: (0, 0, j * n + s)),
             pl.BlockSpec((3, 1, sub),
-                         lambda i, j, s: (0, 0, j * grid[2] + s)),
-            pl.BlockSpec((1, sub), lambda i, j, s: (0, j * grid[2] + s)),
-            pl.BlockSpec((1, sub), lambda i, j, s: (0, j * grid[2] + s)),
+                         lambda i, j, s, n=nsub: (0, 0, j * n + s)),
+            pl.BlockSpec((1, sub), lambda i, j, s, n=nsub: (0, j * n + s)),
+            pl.BlockSpec((1, sub), lambda i, j, s, n=nsub: (0, j * n + s)),
+            # reduction maps
+            pl.BlockSpec((TP1, T1), lambda i, j, s: (0, 0)),
+            pl.BlockSpec((1, TP2, sub), lambda i, j, s: (s, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((9 * TP1, TP2), lambda i, j, s: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((9 * m1, m2), f32),
+        out_specs=tuple(
+            pl.BlockSpec((TP1, TP2), lambda i, j, s: (i, j))
+            for _ in range(9)),
+        out_shape=tuple(jax.ShapeDtypeStruct((m1, m2), f32)
+                        for _ in range(9)),
         interpret=interpret,
     )(
         jnp.asarray(params["sigma"], f32).reshape(1, 1) ** 2,
@@ -224,4 +225,5 @@ def _call(grid, zeta, B1, B2, T1, sub, d_pad, m1, m2, interpret,
         u1, J1t, Q1[:, :, None], ele1[:, None], r1[:, None],
         u2.T, jnp.transpose(J2t, (0, 2, 1)), Q2[:, None, :],
         ele2[None, :], r2[None, :],
+        S1, S2h,
     )

@@ -44,3 +44,33 @@ def test_entry_compiles():
     fn, args = g.entry()
     out = fn(*args)
     assert np.all(np.isfinite(np.asarray(out[0])))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_gp_with_mesh_matches_unsharded():
+    from gpr_calculator_tpu.calculators import EMT
+    from gpr_calculator_tpu.models import GP, RBF
+    from gpr_calculator_tpu.ops.so3 import SO3
+    from test_gp import make_structs
+
+    structs = make_structs(n=3, natoms=5, seed=31)
+    calc = EMT()
+    labels = [(s, calc.get_potential_energy(s), calc.get_forces(s))
+              for s in structs]
+
+    def build(mesh):
+        gp = GP(kernel=RBF(para=[1.2, 1.0]),
+                descriptor=SO3(nmax=2, lmax=2, rcut=4.0),
+                noise_e=0.01, noise_f=0.1, mesh=mesh,
+                log_file="/tmp/shard_gp.log")
+        for s, e, f in labels:
+            gp.add_structure((s, e, f))
+        gp.fit(show=False, opt=False)
+        return gp
+
+    gp_ref = build(None)
+    gp_mesh = build(make_mesh(8))
+    E1, F1, _ = gp_ref.predict_structure(structs[0])
+    E2, F2, _ = gp_mesh.predict_structure(structs[0])
+    np.testing.assert_allclose(E1, E2, rtol=1e-9)
+    np.testing.assert_allclose(F1, F2, rtol=1e-7, atol=1e-11)
