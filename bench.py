@@ -57,7 +57,7 @@ def make_data(dtype):
 
 def bench_tpu():
     import jax
-    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.config.update("jax_default_matmul_precision", "default")
     import jax.numpy as jnp
     from gpr_calculator_tpu.ops import kernels as K_ops
     from gpr_calculator_tpu.ops.kff_pallas import kff_pallas
@@ -71,12 +71,17 @@ def bench_tpu():
 
     import functools
 
+    sym_chunk = 150 if not SMALL else 32
+
     @functools.partial(jax.jit, static_argnames=("impl",))
     def fit_call(e, f, y, params, impl="xla"):
         K_ee = K_ops.kee(e, e, params, "rbf", 2, row_chunk=ROW_CHUNK)
         K_ef = K_ops.kef(e, f, params, "rbf", 2, row_chunk=ROW_CHUNK)
         if impl == "pallas":
             K_ff = kff_pallas(f, f, params, zeta=2)
+        elif impl == "sym":
+            K_ff = K_ops.kff_self(f, params, "rbf", 2,
+                                  point_chunk=sym_chunk)
         else:
             K_ff = K_ops.kff(f, f, params, "rbf", 2, row_chunk=ROW_CHUNK)
         top = jnp.concatenate([K_ee, K_ef], axis=1)
@@ -104,8 +109,11 @@ def bench_tpu():
         float(s2)
         return (time.time() - t0) / reps * 1e3, compile_and_first
 
+    impls = ["sym", "xla"]
+    if os.environ.get("GPR_BENCH_PALLAS"):
+        impls.append("pallas")
     results = {}
-    for impl in ("pallas", "xla"):
+    for impl in impls:
         try:
             results[impl] = timed(impl)
             print(f"# {impl}: {results[impl][0]:.0f} ms "

@@ -1,0 +1,125 @@
+"""Molecular-dynamics drivers.
+
+The reference exposes its hybrid calculator to any ASE dynamics; this
+standalone equivalent provides the integrators the BASELINE on-the-fly
+MD/EOS workload needs (velocity Verlet + Langevin thermostat).  Units
+follow ASE conventions: eV, Angstrom, amu; the time step is given in fs.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+# ASE unit system: 1 fs in sqrt(amu A^2 / eV) time units
+FS = 0.09822694750253231
+KB = 8.617330337217213e-05  # eV / K
+
+
+class VelocityVerlet:
+    def __init__(self, atoms, timestep_fs: float = 1.0,
+                 trajectory: Optional[str] = None):
+        self.atoms = atoms
+        self.dt = timestep_fs * FS
+        self.masses = atoms.get_masses()[:, None]
+        if not hasattr(atoms, "velocities") or atoms.arrays.get(
+                "velocities") is None:
+            atoms.arrays["velocities"] = np.zeros_like(atoms.positions)
+        self._traj = None
+        if trajectory:
+            from .io.trajectory import TrajectoryWriter
+            self._traj = TrajectoryWriter(trajectory)
+        self.nsteps = 0
+
+    @property
+    def velocities(self):
+        return self.atoms.arrays["velocities"]
+
+    def kinetic_energy(self) -> float:
+        v = self.velocities
+        return float(0.5 * np.sum(self.masses * v * v))
+
+    def temperature(self) -> float:
+        dof = 3 * len(self.atoms) - 3
+        return 2 * self.kinetic_energy() / (dof * KB)
+
+    def run(self, steps: int):
+        atoms = self.atoms
+        f = atoms.get_forces()
+        fixed = atoms.fixed_indices()
+        for _ in range(steps):
+            v = self.velocities
+            v += 0.5 * self.dt * f / self.masses
+            if len(fixed):
+                v[fixed] = 0.0
+            atoms.set_positions(atoms.positions + self.dt * v)
+            f = atoms.get_forces()
+            v += 0.5 * self.dt * f / self.masses
+            if len(fixed):
+                v[fixed] = 0.0
+            self.nsteps += 1
+            if self._traj is not None:
+                self._traj.write(atoms)
+        return self
+
+
+class Langevin(VelocityVerlet):
+    """BAOAB-splitting Langevin thermostat."""
+
+    def __init__(self, atoms, timestep_fs: float = 1.0,
+                 temperature_K: float = 300.0, friction: float = 0.02,
+                 rng: Optional[np.random.RandomState] = None, **kwargs):
+        super().__init__(atoms, timestep_fs, **kwargs)
+        self.kT = KB * temperature_K
+        self.friction = friction
+        self.rng = rng or np.random.RandomState(42)
+
+    def run(self, steps: int):
+        atoms = self.atoms
+        f = atoms.get_forces()
+        fixed = atoms.fixed_indices()
+        c1 = np.exp(-self.friction * self.dt)
+        c2 = np.sqrt((1 - c1 ** 2) * self.kT / self.masses)
+        for _ in range(steps):
+            v = self.velocities
+            v += 0.5 * self.dt * f / self.masses
+            atoms.set_positions(atoms.positions + 0.5 * self.dt * v)
+            v[:] = c1 * v + c2 * self.rng.randn(*v.shape)
+            atoms.set_positions(atoms.positions + 0.5 * self.dt * v)
+            if len(fixed):
+                v[fixed] = 0.0
+            f = atoms.get_forces()
+            v += 0.5 * self.dt * f / self.masses
+            if len(fixed):
+                v[fixed] = 0.0
+            self.nsteps += 1
+            if self._traj is not None:
+                self._traj.write(atoms)
+        return self
+
+
+def maxwell_boltzmann_velocities(atoms, temperature_K: float,
+                                 rng=None) -> np.ndarray:
+    rng = rng or np.random.RandomState(0)
+    m = atoms.get_masses()[:, None]
+    v = rng.randn(len(atoms), 3) * np.sqrt(KB * temperature_K / m)
+    v -= v.mean(axis=0)
+    atoms.arrays["velocities"] = v
+    return v
+
+
+def equation_of_state(atoms, calc, scales=None):
+    """E(V) sweep (the EOS workload): returns (volumes, energies)."""
+    if scales is None:
+        scales = np.linspace(0.95, 1.05, 7)
+    cell0 = np.asarray(atoms.cell)
+    pos0 = atoms.positions.copy()
+    vols, engs = [], []
+    for s in scales:
+        a = atoms.copy()
+        a.set_cell(cell0 * s)
+        a.set_positions(pos0 * s)
+        a.calc = calc
+        vols.append(a.get_volume())
+        engs.append(a.get_potential_energy())
+    return np.asarray(vols), np.asarray(engs)

@@ -42,6 +42,7 @@ from __future__ import annotations
 import functools
 from typing import Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -313,8 +314,17 @@ def kff(f1: ForceData, f2: ForceData, params, kind: str = "rbf",
         env = _kff_env_blocks(u1, r1, v1, J1, u2, r2, v2, J2, pm,
                               params, kind, zeta, work_dtype=work_dtype)
         mc = fsub.ele.shape[0]
-        env = env.reshape(mc, B1, C1, m2, B2, C2).sum(axis=(1, 4),
-                                                      dtype=acc_dtype)
+        if fast:
+            # dot-based env->point reductions: read bf16, accumulate f32,
+            # never materialise the env tensor in f32
+            onesb = jnp.ones((B2,), env.dtype)
+            red = jnp.einsum("rqbc,b->rqc",
+                             env.reshape(mc * B1 * C1, m2, B2, C2), onesb,
+                             preferred_element_type=acc_dtype)
+            env = red.reshape(mc, B1, C1, m2, C2).sum(axis=1)
+        else:
+            env = env.reshape(mc, B1, C1, m2, B2, C2).sum(
+                axis=(1, 4), dtype=acc_dtype)
         return env.reshape(mc * C1, m2 * C2)
 
     row_chunk = _effective_chunk(m1, row_chunk)
@@ -332,6 +342,55 @@ def kff(f1: ForceData, f2: ForceData, params, kind: str = "rbf",
         )
         return out.reshape(m1 * C1, m2 * C2)
     return block(f1)
+
+
+def kff_self(f: ForceData, params, kind: str = "rbf", zeta: int = 2,
+             point_chunk: int = 0, fast: bool = False) -> jnp.ndarray:
+    """Symmetric force-force self block (3m, 3m), computing only the upper
+    triangle of chunk pairs -- ~2x fewer env-pair evaluations than
+    kff(f, f).  Falls back to kff when no chunking applies."""
+    m, B = f.ele.shape
+    C = f.dxdr.shape[3]
+    chunk = _effective_chunk(m, point_chunk)
+    if not chunk or C != 3:
+        return kff(f, f, params, kind, zeta, row_chunk=point_chunk,
+                   fast=fast)
+    nchunk = m // chunk
+    pairs = np.asarray([(i, j) for i in range(nchunk)
+                        for j in range(i, nchunk)], np.int32)
+
+    u, r, ele, valid, J = _flatten_force(f)
+    d = f.x.shape[2]
+    work_dtype = jnp.bfloat16 if fast else None
+    acc_dtype = f.x.dtype
+
+    def take(i):
+        start = i * chunk
+        return ForceData(
+            x=jax.lax.dynamic_slice_in_dim(f.x, start, chunk, 0),
+            dxdr=jax.lax.dynamic_slice_in_dim(f.dxdr, start, chunk, 0),
+            ele=jax.lax.dynamic_slice_in_dim(f.ele, start, chunk, 0),
+            nreal=f.nreal)
+
+    def body(K, pair):
+        i, j = pair[0], pair[1]
+        fi, fj = take(i), take(j)
+        u1, r1, e1, v1, J1 = _flatten_force(fi)
+        u2, r2, e2, v2, J2 = _flatten_force(fj)
+        pm = _pair_mask(e1, v1, e2, v2)
+        env = _kff_env_blocks(u1, r1, v1, J1, u2, r2, v2, J2, pm,
+                              params, kind, zeta, work_dtype=work_dtype)
+        blk = env.reshape(chunk, B, C, chunk, B, C).sum(
+            axis=(1, 4), dtype=acc_dtype).reshape(chunk * C, chunk * C)
+        K = jax.lax.dynamic_update_slice(K, blk, (i * chunk * C,
+                                                  j * chunk * C))
+        K = jax.lax.dynamic_update_slice(K, blk.T, (j * chunk * C,
+                                                    i * chunk * C))
+        return K, None
+
+    K0 = jnp.zeros((m * C, m * C), acc_dtype)
+    K, _ = jax.lax.scan(body, K0, jnp.asarray(pairs))
+    return K
 
 
 # ---------------------------------------------------------------------------

@@ -190,3 +190,24 @@ def test_grad_wrt_hyperparameters_is_finite():
         p_minus = dict(PARAMS["rbf"]); p_minus[key] = p_minus[key] - eps
         fd = (float(loss(p_plus)) - float(loss(p_minus))) / (2 * eps)
         np.testing.assert_allclose(float(g[key]), fd, rtol=1e-5)
+
+
+def test_kff_fast_mode_matches_within_bf16():
+    params = PARAMS["rbf"]
+    pts = make_points(4, 3, 5)
+    f = pack_force(pts, m_pad=4, b_pad=4)
+    K0 = np.asarray(kernels.kff(f, f, params, "rbf", 2))
+    K1 = np.asarray(kernels.kff(f, f, params, "rbf", 2, fast=True))
+    scale = np.abs(K0).max()
+    assert np.abs(K1 - K0).max() / scale < 2e-2
+
+
+def test_kff_self_symmetric_matches():
+    params = PARAMS["rbf"]
+    pts = make_points(8, 3, 5)
+    f = pack_force(pts, m_pad=8, b_pad=4)
+    K0 = np.asarray(kernels.kff(f, f, params, "rbf", 2))
+    K1 = np.asarray(kernels.kff_self(f, params, "rbf", 2, point_chunk=2))
+    np.testing.assert_allclose(K1, K0, rtol=1e-12, atol=1e-13)
+    K2 = np.asarray(kernels.kff_self(f, params, "rbf", 2, point_chunk=4))
+    np.testing.assert_allclose(K2, K0, rtol=1e-12, atol=1e-13)

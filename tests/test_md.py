@@ -1,0 +1,60 @@
+"""MD / EOS workload drivers."""
+import numpy as np
+import pytest
+
+from gpr_calculator_tpu import EMT, GP, GPR, RBF
+from gpr_calculator_tpu.md import (VelocityVerlet, Langevin,
+                                   maxwell_boltzmann_velocities,
+                                   equation_of_state)
+from gpr_calculator_tpu.ops.so3 import SO3
+
+from test_gp import make_structs
+
+
+def test_velocity_verlet_conserves_energy():
+    atoms = make_structs(n=1, natoms=6, seed=41)[0]
+    atoms.calc = EMT()
+    maxwell_boltzmann_velocities(atoms, 150.0)
+    md = VelocityVerlet(atoms, timestep_fs=1.0)
+    e0 = atoms.get_potential_energy() + md.kinetic_energy()
+    md.run(40)
+    e1 = atoms.get_potential_energy() + md.kinetic_energy()
+    assert abs(e1 - e0) < 0.05 * max(1.0, abs(e0)), (e0, e1)
+
+
+def test_langevin_thermalises():
+    from gpr_calculator_tpu import BFGS
+    atoms = make_structs(n=1, natoms=6, seed=43)[0]
+    atoms.calc = EMT()
+    BFGS(atoms).run(fmax=0.1, steps=60)   # relax first
+    md = Langevin(atoms, timestep_fs=2.0, temperature_K=300.0,
+                  friction=0.5)
+    md.run(200)
+    assert 30 < md.temperature() < 1500
+
+
+def test_eos_sweep():
+    atoms = make_structs(n=1, natoms=6, seed=45)[0]
+    atoms.pbc = np.array([True] * 3)
+    vols, engs = equation_of_state(atoms, EMT(),
+                                   scales=np.linspace(0.97, 1.03, 5))
+    assert len(vols) == 5 and np.all(np.isfinite(engs))
+
+
+@pytest.mark.slow
+def test_on_the_fly_md_with_gpr():
+    """On-the-fly MD: the surrogate takes over along the trajectory
+    (BASELINE config 4 behaviour at miniature scale)."""
+    atoms = make_structs(n=1, natoms=6, seed=47)[0]
+    base = EMT()
+    images = [atoms.copy(), atoms.copy()]
+    gp = GP.set_GPR(images, base, noise_e=0.03 / len(atoms), noise_f=0.15,
+                    nmax=2, lmax=2, rcut=4.0, log_file="/tmp/md_gp.log")
+    calc = GPR(base=base, ff=gp, save=False, freq=1000)
+    calc.verbose = False
+    atoms.calc = calc
+    maxwell_boltzmann_velocities(atoms, 100.0)
+    md = VelocityVerlet(atoms, timestep_fs=1.0)
+    md.run(25)
+    assert gp.use_surrogate > 0
+    assert np.all(np.isfinite(atoms.positions))
