@@ -67,3 +67,21 @@ def test_gpr_neb_matches_emt_barrier(emt_neb, tmp_path, monkeypatch):
     # the surrogate must actually take over
     assert gp.use_surrogate > 0
     assert gp.use_base < gp.use_base + gp.use_surrogate
+
+
+@pytest.mark.slow
+def test_gpr_neb_etol_sweep(tmp_path, monkeypatch):
+    """Tighter etol => at least as many base calls (BASELINE config 2
+    retrain-on-uncertainty behaviour, EMT-scale)."""
+    monkeypatch.chdir(tmp_path)
+    base_calls = {}
+    for etol in (0.02, 0.2):
+        images = get_images(INIT, FINAL, num_images=5)
+        gp = GP.set_GPR(images, EMT(),
+                        noise_e=etol / len(images[0]), noise_f=0.08,
+                        log_file=str(tmp_path / f"gp_{etol}.log"))
+        calc = GPR(base=EMT(), ff=gp, save=False)
+        neb_calc(images, calc, fmax=0.1, steps=60)
+        base_calls[etol] = gp.use_base
+        assert gp.use_surrogate > 0
+    assert base_calls[0.02] >= base_calls[0.2], base_calls
