@@ -109,7 +109,10 @@ def bench_tpu():
         float(s2)
         return (time.time() - t0) / reps * 1e3, compile_and_first
 
-    impls = os.environ.get("GPR_BENCH_IMPLS", "sym").split(",")
+    # 'sym' halves the env-pair work but its scan-of-chunk-pairs program
+    # compiles pathologically slowly through the remote TPU compiler, so
+    # the default is the reliable chunked-XLA path.
+    impls = os.environ.get("GPR_BENCH_IMPLS", "xla").split(",")
     results = {}
     for impl in impls:
         try:

@@ -230,6 +230,19 @@ def _so3_core(rij, weights, pair_center, pair_seq, pair_Ri, pair_Rj,
     return x, dxdr, rdxdr
 
 
+def _descriptor_device():
+    """Device context for the descriptor program: host CPU when running
+    f64 on an accelerator (complex128 is unsupported there), default
+    placement otherwise."""
+    import contextlib
+    if config.dtype() == jnp.float64 and jax.default_backend() != "cpu":
+        try:
+            return jax.default_device(jax.devices("cpu")[0])
+        except RuntimeError:
+            pass
+    return contextlib.nullcontext()
+
+
 # ---------------------------------------------------------------------------
 # host-facing descriptor class
 # ---------------------------------------------------------------------------
@@ -345,16 +358,21 @@ class SO3:
         Rj = Ri + rij_p
 
         dt = config.dtype()
-        x, dxdr, pstress = _so3_core(
-            jnp.asarray(rij_p, dt), jnp.asarray(w_p, dt),
-            jnp.asarray(pc_p), jnp.asarray(ps_p),
-            jnp.asarray(Ri, dt), jnp.asarray(Rj, dt),
-            jnp.asarray(self_seq), jnp.asarray(seq_center),
-            self._q, self._G0,
-            nmax=self.nmax, lmax=self.lmax, natoms=natoms, nseq=nseq_pad,
-            rcut=self.rcut, alpha=self.alpha,
-            derivative=self.derivative, stress=self.stress,
-            cutoff=self.cutoff_function)
+        # TPU's x64 rewriter cannot expand f64 -> complex128 conversions
+        # (the Ylm math is complex): in f64 mode on an accelerator, run the
+        # descriptor program on the host CPU backend (it is small relative
+        # to the kernel build); in f32 mode complex64 works on-device.
+        with _descriptor_device():
+            x, dxdr, pstress = _so3_core(
+                jnp.asarray(rij_p, dt), jnp.asarray(w_p, dt),
+                jnp.asarray(pc_p), jnp.asarray(ps_p),
+                jnp.asarray(Ri, dt), jnp.asarray(Rj, dt),
+                jnp.asarray(self_seq), jnp.asarray(seq_center),
+                self._q, self._G0,
+                nmax=self.nmax, lmax=self.lmax, natoms=natoms,
+                nseq=nseq_pad, rcut=self.rcut, alpha=self.alpha,
+                derivative=self.derivative, stress=self.stress,
+                cutoff=self.cutoff_function)
 
         out = {
             "x": np.asarray(x),
