@@ -32,6 +32,12 @@ class GPR(Calculator):
         self.tag = self.parameters.get("tag", "GPR")
         self.freq = self.parameters.get("freq", 10)
         self.save = self.parameters.get("save", True)
+        # opt_freq > 1: re-optimise hyperparameters only every k-th refit;
+        # the other refits go through the O(n^2 k) rank-update path
+        # (ops/linalg.py) instead of a full refactorisation.  Default 1
+        # reproduces the reference behaviour (opt=True every refit,
+        # calculator.py:104).
+        self.opt_freq = self.parameters.get("opt_freq", 1)
 
     def __copy__(self):
         new = GPR(**dict(self.parameters))
@@ -100,7 +106,9 @@ class GPR(Calculator):
                 else self.freq)
         if self.update_gpr and (gp_model.N_queue > freq
                                 or gp_model.N_energy_queue >= 2):
-            gp_model.fit(opt=True, show=False, maxiter=10)
+            do_opt = (self.opt_freq <= 1
+                      or gp_model.fits % self.opt_freq == 0)
+            gp_model.fit(opt=do_opt, show=False, maxiter=10)
             if self.save:
                 gp_model.save(f"{self.tag}-gpr.json", f"{self.tag}-gpr.db",
                               verbose=False)
