@@ -113,10 +113,11 @@ def bench_tpu():
         float(s2)
         return (time.time() - t0) / reps * 1e3, compile_and_first
 
-    # 'sym' halves the env-pair work but its scan-of-chunk-pairs program
-    # compiles pathologically slowly through the remote TPU compiler, so
-    # the default is the reliable chunked-XLA path.
-    impls = os.environ.get("GPR_BENCH_IMPLS", "xla").split(",")
+    # 'sym' computes only the upper triangle of chunk pairs (~2x): 4.5 s
+    # vs 9.0 s for the chunked-XLA path at the 10k workload.  Its cold
+    # compile is slow (~9 min) but the terminal-side compile cache
+    # persists across processes; 'xla' remains the fallback.
+    impls = os.environ.get("GPR_BENCH_IMPLS", "sym").split(",")
     results = {}
     for impl in impls:
         try:
