@@ -96,8 +96,10 @@ def _nll_value_and_grad(theta, e: EnergyData, f: ForceData, y,
 def _factorize(e: EnergyData, f: ForceData, y, params, noise_e, noise_f,
                kind: str, zeta: int, row_chunk: int = 0):
     """K -> (L, alpha, K_inv); replaces the rank-0 Cholesky + bcast pattern
-    (gaussianprocess.py:288-310)."""
-    K = K_ops.k_self(e, f, params, kind, zeta, row_chunk=row_chunk)
+    (gaussianprocess.py:288-310).  Gradient-free, so K_FF uses the
+    symmetric triangular schedule when chunked."""
+    K = K_ops.k_self(e, f, params, kind, zeta, row_chunk=row_chunk,
+                     symmetric=True)
     K = K + jnp.diag(_noise_diag(e, f, noise_e, noise_f))
     L = jnp.linalg.cholesky(K)
     alpha = jax.scipy.linalg.cho_solve((L, True), y)

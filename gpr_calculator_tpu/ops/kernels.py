@@ -446,12 +446,22 @@ def k_block(e1: EnergyData, f1: ForceData, e2: EnergyData, f2: ForceData,
 
 
 def k_self(e: EnergyData, f: ForceData, params, kind: str = "rbf",
-           zeta: int = 2, row_chunk: int = 0) -> jnp.ndarray:
+           zeta: int = 2, row_chunk: int = 0,
+           symmetric: bool = False) -> jnp.ndarray:
     """Symmetric training covariance (reuses K_EF^T for K_FE, like
-    RBF_mb.k_total RBF_mb.py:161-165)."""
+    RBF_mb.k_total RBF_mb.py:161-165).
+
+    symmetric=True routes K_FF through the triangular chunk-pair schedule
+    (kff_self, ~2x fewer env-pair evaluations).  Only for gradient-free
+    use: the scan/dynamic-update structure is hostile to reverse-mode
+    autodiff memory, so the LML objective keeps the plain path.
+    """
     K_ee = kee(e, e, params, kind, zeta, row_chunk=row_chunk)
     K_ef = kef(e, f, params, kind, zeta, row_chunk=row_chunk)
-    K_ff = kff(f, f, params, kind, zeta, row_chunk=row_chunk)
+    if symmetric and row_chunk:
+        K_ff = kff_self(f, params, kind, zeta, point_chunk=row_chunk)
+    else:
+        K_ff = kff(f, f, params, kind, zeta, row_chunk=row_chunk)
     top = jnp.concatenate([K_ee, K_ef], axis=1)
     bot = jnp.concatenate([K_ef.T, K_ff], axis=1)
     return jnp.concatenate([top, bot], axis=0)
