@@ -176,7 +176,8 @@ def kee(e1: EnergyData, e2: EnergyData, params, kind: str = "rbf",
     if chunk:
         nchunk = m1 // chunk
         out = jax.lax.map(
-            lambda t: block(EnergyData(t[0], t[1], t[2], e1.nreal)),
+            jax.checkpoint(
+                lambda t: block(EnergyData(t[0], t[1], t[2], e1.nreal))),
             (e1.x.reshape(nchunk, chunk, A1, -1),
              e1.ele.reshape(nchunk, chunk, A1),
              e1.counts.reshape(nchunk, chunk)))
@@ -229,7 +230,8 @@ def kef(e1: EnergyData, f2: ForceData, params, kind: str = "rbf",
     if chunk:
         nchunk = m1 // chunk
         out = jax.lax.map(
-            lambda t: block(EnergyData(t[0], t[1], t[2], e1.nreal)),
+            jax.checkpoint(
+                lambda t: block(EnergyData(t[0], t[1], t[2], e1.nreal))),
             (e1.x.reshape(nchunk, chunk, A1, -1),
              e1.ele.reshape(nchunk, chunk, A1),
              e1.counts.reshape(nchunk, chunk)))
@@ -336,8 +338,12 @@ def kff(f1: ForceData, f2: ForceData, params, kind: str = "rbf",
             ele=f1.ele.reshape(nchunk, row_chunk, B1),
             nreal=f1.nreal,
         )
+        # checkpoint each chunk: reverse-mode (the LML hyperparameter
+        # gradient) recomputes the GB-scale env-pair tensors per chunk
+        # instead of storing all of them
         out = jax.lax.map(
-            lambda t: block(ForceData(t[0], t[1], t[2], f1.nreal)),
+            jax.checkpoint(
+                lambda t: block(ForceData(t[0], t[1], t[2], f1.nreal))),
             (fs.x, fs.dxdr, fs.ele),
         )
         return out.reshape(m1 * C1, m2 * C2)

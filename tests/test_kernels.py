@@ -211,3 +211,21 @@ def test_kff_self_symmetric_matches():
     np.testing.assert_allclose(K1, K0, rtol=1e-12, atol=1e-13)
     K2 = np.asarray(kernels.kff_self(f, params, "rbf", 2, point_chunk=4))
     np.testing.assert_allclose(K2, K0, rtol=1e-12, atol=1e-13)
+
+
+def test_lml_style_gradient_through_chunked_blocks():
+    """Hyperparameter gradients flow through the checkpointed chunked
+    paths and match the unchunked gradients."""
+    pts = make_points(4, 3, 5)
+    e = pack_energy([(x, el) for x, _, el in pts], m_pad=4, a_pad=4)
+    f = pack_force(pts, m_pad=4, b_pad=4)
+
+    def loss(params, rc):
+        K = kernels.k_self(e, f, params, "rbf", 2, row_chunk=rc)
+        return jnp.sum(jnp.tanh(K))
+
+    g0 = jax.grad(loss)(PARAMS["rbf"], 0)
+    g2 = jax.grad(loss)(PARAMS["rbf"], 2)
+    np.testing.assert_allclose(float(g2["sigma"]), float(g0["sigma"]),
+                               rtol=1e-10)
+    np.testing.assert_allclose(float(g2["l"]), float(g0["l"]), rtol=1e-10)
