@@ -156,3 +156,26 @@ def test_cur_sparsify_runs(fitted_gp):
     K = A @ A.T  # rank 3 -> 7 low eigenvalues
     ids = CUR(K, l_tol=1e-8)
     assert len(ids) == 7
+
+
+def test_sparsify_integration():
+    """CUR sparsification removes redundant points and refits
+    (gaussianprocess.py:1004-1023)."""
+    structs = make_structs(n=3, natoms=4, seed=51)
+    # duplicate a structure to create near-identical (removable) rows
+    structs.append(structs[0].copy())
+    calc = EMT()
+    gp = GP(kernel=RBF(para=[1.0, 1.0]),
+            descriptor=SO3(nmax=2, lmax=2, rcut=4.0),
+            noise_e=0.01, noise_f=0.1, log_file="/tmp/sparsify.log")
+    for s in structs:
+        gp.add_structure((s, calc.get_potential_energy(s),
+                          calc.get_forces(s)))
+    gp.fit(show=False, opt=False)
+    n_before = gp.N_energy + gp.N_forces
+    gp.sparsify(e_tol=1e-6, f_tol=1e-6)
+    n_after = gp.N_energy + gp.N_forces
+    assert n_after <= n_before
+    # model still predicts after sparsify+refit
+    E, F, _ = gp.predict_structure(structs[0])
+    assert np.isfinite(E) and np.all(np.isfinite(F))
