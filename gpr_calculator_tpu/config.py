@@ -17,6 +17,15 @@ import jax
 if os.environ.get("GPR_CALC_TPU_X64", "1") != "0":
     jax.config.update("jax_enable_x64", True)
 
+# f32 matmuls on TPU default to single bf16 passes, whose error exceeds
+# GPR noise floors and breaks the Cholesky.  'highest' (6-pass f32) costs
+# <2% here (the kernel build is bound by the thin-k matmul floor).
+if os.environ.get("GPR_CALC_TPU_MATMUL"):
+    jax.config.update("jax_default_matmul_precision",
+                      os.environ["GPR_CALC_TPU_MATMUL"])
+else:
+    jax.config.update("jax_default_matmul_precision", "highest")
+
 import jax.numpy as jnp  # noqa: E402  (after x64 flag)
 
 _DTYPE = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

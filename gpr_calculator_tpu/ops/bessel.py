@@ -52,8 +52,13 @@ def _upward(lmax: int, z):
 
 def _miller(lmax: int, z, n_extra: int = 40):
     lstart = lmax + n_extra
+    # dtype-aware seed/renormalisation bounds (1e-280 underflows in f32)
+    if z.dtype == jnp.float32:
+        tiny, big, small = 1e-30, 1e30, 1e-30
+    else:
+        tiny, big, small = 1e-280, 1e250, 1e-250
     fp = jnp.zeros_like(z)
-    fc = jnp.full_like(z, 1e-280)
+    fc = jnp.full_like(z, tiny)
     outs = [None] * (lmax + 1)
     for l in range(lstart, 0, -1):
         fm = fp + (2 * l + 1) / z * fc
@@ -61,7 +66,7 @@ def _miller(lmax: int, z, n_extra: int = 40):
             outs[l - 1] = fm
         fp, fc = fc, fm
         # keep the unnormalised sequence in range
-        scale = jnp.where(jnp.abs(fm) > 1e250, 1e-250, 1.0)
+        scale = jnp.where(jnp.abs(fm) > big, small, 1.0)
         fp = fp * scale
         fc = fc * scale
         outs = [None if o is None else o * scale for o in outs]
