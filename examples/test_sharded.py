@@ -16,7 +16,7 @@ from gpr_calculator_tpu.io.ase_db import read_db
 
 t0 = time()
 gpr = GP.load("/root/reference/examples/database/pd4-RBF.json", N_max=100,
-              row_chunk=8)  # bound kernel-build memory at this scale
+              row_chunk=32)  # bound kernel-build memory at this scale
 gpr.fit(opt=False, show=False)
 print(f"Fit time: {time() - t0:.2f}s on {jax.devices()}")
 

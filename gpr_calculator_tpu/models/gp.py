@@ -424,6 +424,15 @@ class GP:
                 e, f, y, self.kernel.jax_params(),
                 jnp.asarray(self.noise_e, dt), jnp.asarray(self.noise_f, dt),
                 self.kernel.kind, self.kernel.zeta, self.row_chunk)
+            if not bool(jnp.isfinite(alpha[0])) or not bool(
+                    jnp.all(jnp.isfinite(alpha))):
+                msg = ("Cholesky factorisation failed (non-finite alpha). "
+                       f"K is not positive definite at noise_e="
+                       f"{self.noise_e:.2e}, sigma={self.kernel.parameters()[0]:.3g} "
+                       f"in {dt} precision. Models with sub-mEV noise "
+                       "floors require float64 (unset GPR_CALC_TPU_X64=0).")
+                self.logging.error(msg)
+                raise FloatingPointError(msg)
             self.L_, self.alpha_, self._K_inv = L, alpha, K_inv
             self._fit_snapshot = (e, f, self.N_energy, self.N_forces)
             self._record_full_factor(e, f)
