@@ -24,3 +24,27 @@ def get_vasp(**kwargs):
     }
     vasp_args.update(kwargs)
     return Vasp(**vasp_args)
+
+
+def get_pyscf_calc(atoms, basis="gth-szv-molopt-sr", pseudo="gth-pade",
+                   xc="lda,vwn"):
+    """PySCF periodic-DFT calculator factory (parity with
+    gpr_calc/calculator.py:294-309).  Requires pyscf + ASE."""
+    try:
+        from pyscf.pbc.tools import pyscf_ase
+        import pyscf.pbc.gto as pbcgto
+        import pyscf.pbc.dft as pbcdft
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError("get_pyscf_calc requires pyscf "
+                          "(pip install pyscf)") from exc
+    cell = pbcgto.Cell()
+    cell.a = atoms.cell
+    cell.basis = basis
+    cell.pseudo = pseudo
+    cell.verbose = 0
+
+    def mf_class(cell):
+        return pbcdft.KRKS(cell, kpts=cell.make_kpts([1, 1, 1]))
+
+    return pyscf_ase.PySCF(molcell=cell, mf_class=mf_class,
+                           mf_dict={"xc": xc})

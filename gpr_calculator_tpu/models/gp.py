@@ -622,12 +622,14 @@ class GP:
         return mean_e, mean_f
 
     def predict(self, X: Dict, total_E=False, return_std=False,
-                stress=False):
+                return_cov=False, stress=False):
         energy_pts = [(np.asarray(p[0], float), np.asarray(p[-1], int))
                       for p in X.get("energy", [])]
         force_pts = [(np.asarray(p[0], float), np.asarray(p[1], float),
                       np.asarray(p[-1], int))
                      for p in X.get("force", [])]
+        if return_cov:
+            return self._predict_cov(energy_pts, force_pts, total_E)
         out = self._predict_points(energy_pts, force_pts,
                                    return_std=return_std, total_E=total_E)
         if return_std:
@@ -636,6 +638,27 @@ class GP:
                     np.concatenate([std_e, std_f]))
         mean_e, mean_f = out
         return np.concatenate([mean_e, mean_f])
+
+    def _predict_cov(self, energy_pts, force_pts, total_E=False):
+        """Full predictive covariance (gaussianprocess.py:363-366):
+        cov = K(X, X) - K_trans K^{-1} K_trans^T."""
+        te, tf, _, _ = self._train_view()
+        pe = pack_energy(energy_pts, d=te.d)
+        pf = pack_force(force_pts, d=te.d)
+        params = self.kernel.jax_params()
+        kk = dict(kind=self.kernel.kind, zeta=self.kernel.zeta)
+        Kt = np.asarray(K_ops.k_block(pe, pf, te, tf, params, **kk))
+        K_self_pred = np.asarray(K_ops.k_self(pe, pf, params, **kk))
+        Kinv = np.asarray(self._K_inv)
+        mean = Kt @ np.asarray(self.alpha_)
+        cov = K_self_pred - Kt @ Kinv @ Kt.T
+        nE, nF = len(energy_pts), len(force_pts)
+        rows = np.r_[np.arange(nE), pe.m + np.arange(3 * nF)]
+        mean_r = mean[rows]
+        if total_E:
+            natoms = np.asarray([len(p[0]) for p in energy_pts])
+            mean_r[:nE] *= natoms
+        return mean_r, cov[np.ix_(rows, rows)]
 
     def predict_structure(self, struc, stress: bool = False,
                           return_std: bool = False, f_tol: float = 1e-8):

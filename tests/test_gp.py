@@ -179,3 +179,21 @@ def test_sparsify_integration():
     # model still predicts after sparsify+refit
     E, F, _ = gp.predict_structure(structs[0])
     assert np.isfinite(E) and np.all(np.isfinite(F))
+
+
+def test_predict_return_cov(fitted_gp):
+    """Full predictive covariance (gaussianprocess.py:363-366): the
+    diagonal must match the return_std variances."""
+    gp, structs, _ = fitted_gp
+    eps = [(gp._energy_pts[0][0], gp._energy_pts[0][1])]
+    fps = [gp._force_pts[0]]
+    X = {"energy": [(x, 0.0, el) for x, el in eps],
+         "force": [(x, d, np.zeros(3), el) for x, d, el in fps]}
+    mean, cov = gp.predict(X, return_cov=True)
+    assert cov.shape == (4, 4)
+    mean2, std = gp.predict(X, return_std=True)
+    np.testing.assert_allclose(mean, mean2, rtol=1e-10)
+    # the variance is k(x,x) - q with k ~ q (catastrophic cancellation):
+    # the two contraction orders agree only to ~|k| * eps / var
+    np.testing.assert_allclose(np.sqrt(np.clip(np.diag(cov), 0, None)),
+                               std, rtol=5e-2, atol=1e-8)

@@ -212,3 +212,19 @@ def test_so3_stress_terms_finite_difference():
     d = des.calculate(atoms)
     assert d["rdxdr"] is not None
     assert d["rdxdr"].shape == (len(d["seq"]), des.ncoef, 3, 3)
+
+
+def test_so3_weight_on():
+    """weight_on negates unlike-species weights (SO3.py:381-385)."""
+    atoms = _make_cluster(seed=9)
+    d0 = SO3(nmax=2, lmax=2, rcut=4.5, derivative=False).calculate(atoms)
+    d1 = SO3(nmax=2, lmax=2, rcut=4.5, derivative=False,
+             weight_on=True).calculate(atoms)
+    # mixed-species cluster: descriptors must differ
+    assert np.abs(d0["x"] - d1["x"]).max() > 1e-8
+    # single-species cluster: identical
+    atoms.numbers[:] = 13
+    d2 = SO3(nmax=2, lmax=2, rcut=4.5, derivative=False).calculate(atoms)
+    d3 = SO3(nmax=2, lmax=2, rcut=4.5, derivative=False,
+             weight_on=True).calculate(atoms)
+    np.testing.assert_allclose(d2["x"], d3["x"], rtol=1e-12)
