@@ -181,10 +181,18 @@ def test_sparsify_integration():
     assert np.isfinite(E) and np.all(np.isfinite(F))
 
 
-def test_predict_return_cov(fitted_gp):
+def test_predict_return_cov():
     """Full predictive covariance (gaussianprocess.py:363-366): the
     diagonal must match the return_std variances."""
-    gp, structs, _ = fitted_gp
+    structs = make_structs(n=3, natoms=5, seed=61)
+    calc = EMT()
+    gp = GP(kernel=RBF(para=[1.0, 1.0]),
+            descriptor=SO3(nmax=2, lmax=2, rcut=4.0),
+            noise_e=0.01, noise_f=0.1, log_file="/tmp/cov_t.log")
+    for s in structs:
+        gp.add_structure((s, calc.get_potential_energy(s),
+                          calc.get_forces(s)))
+    gp.fit(show=False, opt=False)
     eps = [(gp._energy_pts[0][0], gp._energy_pts[0][1])]
     fps = [gp._force_pts[0]]
     X = {"energy": [(x, 0.0, el) for x, el in eps],
