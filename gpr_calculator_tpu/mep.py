@@ -126,6 +126,17 @@ class NEB:
         for im, im2 in zip(self.images[1:-1], neb2.images[1:-1]):
             im.set_positions(im2.positions)
 
+    def _interior_results(self):
+        """Energies and true forces of the interior images (hook: the
+        batched on-the-fly evaluator overrides this to compute every
+        image in one device program)."""
+        energies = []
+        forces = []
+        for image in self.images[1:-1]:
+            forces.append(image.get_forces())
+            energies.append(image.get_potential_energy())
+        return energies, forces
+
     # -- NEB forces -----------------------------------------------------------
     def get_forces(self) -> np.ndarray:
         images = self.images
@@ -139,9 +150,10 @@ class NEB:
                 energies[i] = images[i].get_potential_energy()
             else:
                 energies[i] = self.energies[i]
+        e_int, f_int = self._interior_results()
         for i in range(1, n - 1):
-            real_forces[i] = images[i].get_forces()
-            energies[i] = images[i].get_potential_energy()
+            real_forces[i] = f_int[i - 1]
+            energies[i] = e_int[i - 1]
         self.energies = energies.copy()
 
         imax = int(np.argmax(energies[1:-1])) + 1

@@ -789,6 +789,65 @@ class GP:
             db_data.append((struc, energy, forces, True, f_ids))
         return {"energy": energy_data, "force": force_data, "db": db_data}
 
+    def predict_structures(self, strucs, return_std: bool = False):
+        """Batched per-structure prediction: one cross-covariance + GEMV
+        (+ variance) device program for a whole batch of structures --
+        e.g. every interior NEB image per optimizer step.  The reference
+        evaluates images one at a time (NEB.py:40-60 via per-image
+        calculators); batching amortises dispatch and fills the MXU.
+
+        Returns a list of (E, F) or (E, F, E_std, F_std) per structure.
+        """
+        energy_pts, force_pts, meta = [], [], []
+        for struc in strucs:
+            d = self.descriptor.calculate(struc)
+            ele = np.asarray([ATOMIC_NUMBERS[s] for s in d["elements"]],
+                             int)
+            fix_ids = set(int(i) for i in struc.fixed_indices()) \
+                if hasattr(struc, "fixed_indices") else set()
+            free_ids = [i for i in range(len(struc)) if i not in fix_ids]
+            energy_pts.append((d["x"], ele))
+            seq = d["seq"]
+            for i in free_ids:
+                ids = np.flatnonzero(seq[:, 1] == i)
+                _i = seq[ids, 0]
+                force_pts.append((d["x"][_i], d["dxdr"][ids], ele[_i]))
+            meta.append((len(struc), free_ids))
+
+        te, tf, _, _ = self._train_view()
+        pe = pack_energy(energy_pts, d=te.d)
+        b_max = max((p[0].shape[0] for p in force_pts), default=1)
+        pf = pack_force(force_pts, d=te.d, b_pad=bucket_size(b_max, 4))
+        mean, std = _predict_packed(
+            pe, pf, te, tf, self.kernel.jax_params(), self.alpha_,
+            self._K_inv, self.kernel.kind, self.kernel.zeta, return_std,
+            self.row_chunk)
+        mean = np.asarray(mean)
+        if return_std:
+            std = np.asarray(std)
+
+        out = []
+        f_off = 0
+        for k, (natoms, free_ids) in enumerate(meta):
+            E = mean[k] * natoms
+            rows = mean[pe.m + 3 * f_off: pe.m + 3 * (f_off + len(free_ids))]
+            F = np.zeros((natoms, 3))
+            F[free_ids] = rows.reshape(-1, 3)
+            if self.base_potential is not None:
+                e_off_v, f_off_v, _ = self.compute_base_potential(strucs[k])
+                E += e_off_v
+                F += f_off_v
+            if return_std:
+                E_std = std[k]
+                rs = std[pe.m + 3 * f_off: pe.m + 3 * (f_off + len(free_ids))]
+                F_std = np.zeros((natoms, 3))
+                F_std[free_ids] = rs.reshape(-1, 3)
+                out.append((E, F, E_std, F_std))
+            else:
+                out.append((E, F))
+            f_off += len(free_ids)
+        return out
+
     def add_structure(self, data, N_max: int = 20, tol_e_var: float = 1.2,
                       tol_f_var: float = 1.2, add_force: bool = True):
         tol_e_var *= self.noise_e

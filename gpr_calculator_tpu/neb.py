@@ -17,12 +17,89 @@ from .mep import NEB, find_mic
 from .optimize import BFGS, FIRE
 
 
+class OnTheFlyBatchedNEB(NEB):
+    """NEB whose interior images are evaluated by ONE batched GPR device
+    program per optimizer step, with the reference's per-image dispatch
+    semantics (calculator.py:63-104): uncertain images fall back to the
+    base calculator, feed the training set, and trigger the refit cadence.
+    """
+
+    def __init__(self, images, gp, base, k=0.1, climb=False, freq=10,
+                 verbose=True):
+        super().__init__(images, k=k, climb=climb)
+        self.gp = gp
+        self.base = base
+        self.freq = freq
+        self.verbose = verbose
+        # pin endpoint energies to the stored training labels (the first
+        # and last images are the first/last entries of train_images)
+        n_at = len(images[0])
+        self.energies[0] = gp.train_y["energy"][0] * n_at
+        self.energies[-1] = gp.train_y["energy"][len(images) - 1] * n_at
+
+    def _interior_results(self):
+        interior = self.images[1:-1]
+        preds = self.gp.predict_structures(interior, return_std=True)
+        f_tol = 1.2 * self.gp.noise_f
+        energies, forces = [], []
+        for image, (E, F, E_std, F_std) in zip(interior, preds):
+            Fmax = float(np.abs(F).max())
+            f_ref = max(f_tol, Fmax / 2.5)
+            if not (F_std < f_ref).all():
+                self.gp.use_base += 1
+                prev = image.calc
+                image.calc = self.base
+                eng = image.get_potential_energy()
+                frc = image.get_forces().copy()
+                fixed = image.fixed_indices()
+                if len(fixed):
+                    frc[np.asarray(fixed, int)] = 0.0
+                image.calc = prev
+                if self.verbose:
+                    print(f"From Base model E: {float(E_std):.3f}/"
+                          f"{E:.3f}/{eng:.3f}, F: {float(F_std.max()):.3f}"
+                          f"/{Fmax:.3f}/{np.abs(frc).max():.3f}")
+                self.gp.add_structure((image.copy(), eng, frc))
+                energies.append(eng)
+                forces.append(frc)
+            else:
+                self.gp.use_surrogate += 1
+                if self.verbose:
+                    print(f"From Surrogate  E: {float(E_std):.3f}/"
+                          f"{E:.3f}, F: {float(F_std.max()):.3f}"
+                          f"/{f_tol:.3f}/{Fmax:.3f}")
+                energies.append(E)
+                forces.append(F)
+        freq = (max(2, self.freq // 2) if self.gp.N_forces > 100
+                else self.freq)
+        if self.gp.N_queue > freq or self.gp.N_energy_queue >= 2:
+            self.gp.fit(opt=True, show=False, maxiter=10)
+            self.gp.validate_data(show=True)
+        return energies, forces
+
+
 def neb_calc(images, calculator=None, algo: str = "BFGS",
              fmax: float = 0.05, steps: int = 100, k: float = 0.1,
              climb: bool = False, traj: Optional[str] = None,
-             use_ref: bool = False):
+             use_ref: bool = False, batched: bool = False):
     """Run an NEB relaxation; returns the NEB object (and reference
-    energies when use_ref)."""
+    energies when use_ref).  batched=True evaluates every interior image
+    in one device program per step (requires a GPR calculator)."""
+    if batched and getattr(calculator, "name", "") == "gpr":
+        neb = OnTheFlyBatchedNEB(
+            images, gp=calculator.parameters.ff,
+            base=calculator.parameters.base, k=k, climb=climb,
+            freq=getattr(calculator, "freq", 10),
+            verbose=getattr(calculator, "verbose", True))
+        if algo == "BFGS":
+            opt = BFGS(neb, trajectory=traj, append_trajectory=True)
+        else:
+            opt = FIRE(neb, trajectory=traj)
+        opt.run(fmax=fmax, steps=steps)
+        neb.nsteps = opt.nsteps + 1
+        neb.converged = opt.converged()
+        return neb
+
     neb = NEB(images, k=k, climb=climb)
     if calculator is not None:
         for i, image in enumerate(images):
