@@ -70,8 +70,8 @@ class NEB:
         if method == "idpp":
             self._idpp_interpolate(mic=mic)
 
-    def _idpp_interpolate(self, mic: bool = False, fmax: float = 0.1,
-                          steps: int = 100):
+    def _idpp_interpolate(self, mic: bool = False, fmax: float = 0.01,
+                          steps: int = 200):
         """Image-dependent pair potential refinement (Smidstrup et al.,
         JCP 140, 214106 (2014)): relax images against interpolated pair
         distances."""
@@ -111,9 +111,10 @@ class NEB:
                 dd = r - self.target
                 np.fill_diagonal(dd, 0.0)
                 e = 0.5 * (w * dd ** 2).sum()
-                # dE/dri
-                pref = w * dd * (2.0 - 4.0 * dd / r) / r
-                f = np.einsum("ij,ijk->ik", pref, d)
+                # F_i = -dE/dr_i; each unordered pair contributes twice
+                # through the full matrix (rows + columns)
+                pref = w * dd * (1.0 - 2.0 * dd / r) / r
+                f = -2.0 * np.einsum("ij,ijk->ik", pref, d)
                 return e, f
 
         for i, im in enumerate(neb2.images[1:-1], start=1):
@@ -121,7 +122,7 @@ class NEB:
             im.calc = _IDPPCalc(dv0 * (1 - t) + dv1 * t)
         neb2.images[0].calc = _IDPPCalc(dv0)
         neb2.images[-1].calc = _IDPPCalc(dv1)
-        opt = FIRE(neb2)
+        opt = FIRE(neb2, verbose=False)
         opt.run(fmax=fmax, steps=steps)
         for im, im2 in zip(self.images[1:-1], neb2.images[1:-1]):
             im.set_positions(im2.positions)

@@ -15,8 +15,10 @@ import numpy as np
 
 class Optimizer:
     def __init__(self, obj, trajectory: Optional[str] = None,
-                 append_trajectory: bool = False, logfile=None):
+                 append_trajectory: bool = False, logfile=None,
+                 verbose: bool = True):
         self.obj = obj
+        self.verbose = verbose
         self.nsteps = 0
         self.fmax = None
         self._trajectory = trajectory
@@ -32,6 +34,8 @@ class Optimizer:
         return np.sqrt((forces ** 2).sum(axis=1).max()) < self.fmax
 
     def _log(self, forces):
+        if not self.verbose:
+            return
         fmax = np.sqrt((forces ** 2).sum(axis=1).max())
         e = self.obj.get_potential_energy()
         name = self.__class__.__name__

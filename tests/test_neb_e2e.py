@@ -85,3 +85,17 @@ def test_gpr_neb_etol_sweep(tmp_path, monkeypatch):
         base_calls[etol] = gp.use_base
         assert gp.use_surrogate > 0
     assert base_calls[0.02] >= base_calls[0.2], base_calls
+
+
+def test_idpp_interpolation_differs_from_linear():
+    """IDPP refinement (Smidstrup et al. 2014; reference NEB.py:132-136)
+    moves interior images off the linear path while keeping endpoints."""
+    from gpr_calculator_tpu.mep import NEB
+    lin = get_images(INIT, FINAL, num_images=5)
+    idpp = get_images(INIT, FINAL, num_images=5, IDPP=True)
+    np.testing.assert_allclose(idpp[0].positions, lin[0].positions)
+    np.testing.assert_allclose(idpp[-1].positions, lin[-1].positions)
+    d = max(np.abs(idpp[i].positions - lin[i].positions).max()
+            for i in (1, 2, 3))
+    assert d > 1e-3, "IDPP did not move the interior images"
+    assert d < 1.0, "IDPP moved images unreasonably far"
