@@ -182,15 +182,21 @@ def bench_reference_cpp():
             def iptr(a):
                 return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
 
-            t0 = time.time()
-            lib.rbf_kff_many(
-                ctypes.c_int(n1), ctypes.c_int(n2), ctypes.c_int(0),
-                ctypes.c_int(n2), ctypes.c_int(d), ctypes.c_int(m2),
-                ctypes.c_double(2.0), ctypes.c_double(4.0),
-                ctypes.c_double(1.0), ctypes.c_double(1e-12),
-                cptr(x1), cptr(dx1), iptr(ele1), iptr(inds1),
-                cptr(x2), cptr(dx2), iptr(ele2), iptr(inds2), cptr(out))
-            slice_s = time.time() - t0
+            def run_once():
+                t0 = time.time()
+                lib.rbf_kff_many(
+                    ctypes.c_int(n1), ctypes.c_int(n2), ctypes.c_int(0),
+                    ctypes.c_int(n2), ctypes.c_int(d), ctypes.c_int(m2),
+                    ctypes.c_double(2.0), ctypes.c_double(4.0),
+                    ctypes.c_double(1.0), ctypes.c_double(1e-12),
+                    cptr(x1), cptr(dx1), iptr(ele1), iptr(inds1),
+                    cptr(x2), cptr(dx2), iptr(ele2), iptr(inds2),
+                    cptr(out))
+                return time.time() - t0
+
+            # min of two runs: the fastest sample has the least scheduler
+            # noise (and is the conservative choice for the speedup ratio)
+            slice_s = min(run_once(), run_once())
             # extrapolate: full lhs env count is M_F * B_F
             full_single_core_ms = slice_s * (M_F * B_F / n1) * 1e3
             return full_single_core_ms
