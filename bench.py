@@ -104,14 +104,17 @@ def bench_tpu():
         compile_and_first = time.time() - t0
         if not (np.isfinite(s) and np.isfinite(float(logdet))):
             raise FloatingPointError(f"non-finite output: {s}")
-        reps = 1 if not SMALL else 2
-        t0 = time.time()
-        for i in range(reps):
+        # min of two timed calls -- the same statistic the baseline
+        # measurement uses (least-noise sample)
+        samples = []
+        for i in range(2):
             p = {"sigma": params["sigma"] * (1 + 1e-4 * i),
                  "l": params["l"]}
+            t0 = time.time()
             s2, _ = fit_call(e, f, y, p, impl=impl)
-        float(s2)
-        return (time.time() - t0) / reps * 1e3, compile_and_first
+            float(s2)
+            samples.append(time.time() - t0)
+        return min(samples) * 1e3, compile_and_first
 
     # 'sym' computes only the upper triangle of chunk pairs (~2x): 4.5 s
     # vs 9.0 s for the chunked-XLA path at the 10k workload.  Its cold
