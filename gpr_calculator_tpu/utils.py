@@ -134,7 +134,7 @@ def plot_two_body(model, figname, rs=(1.0, 5.0)):
     engs = []
     calc = GPR(ff=model, return_std=False)
     for r in rs:
-        dimer = Atoms("SiSi" if False else ["Si", "Si"],
+        dimer = Atoms(["Si", "Si"],
                       positions=[[0, 0, 0], [r, 0, 0]], cell=cell)
         dimer.calc = calc
         calc._calculate(dimer)
