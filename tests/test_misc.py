@@ -1,0 +1,79 @@
+"""Coverage for autosave, atoms utilities and constraint round-trips."""
+import os
+
+import numpy as np
+
+from gpr_calculator_tpu import Atoms, EMT, FixAtoms, GP, GPR, RBF
+from gpr_calculator_tpu.ops.so3 import SO3
+
+from test_gp import make_structs
+
+
+def test_gpr_autosave_and_reload(tmp_path, monkeypatch):
+    """The dispatcher autosaves {tag}-gpr.{json,db} on refit
+    (calculator.py:106-107) and the artifact reloads."""
+    monkeypatch.chdir(tmp_path)
+    structs = make_structs(n=3, natoms=5, seed=81)
+    base = EMT()
+    gp = GP(kernel=RBF(para=[1.0, 1.0]),
+            descriptor=SO3(nmax=2, lmax=2, rcut=4.0),
+            noise_e=0.01, noise_f=0.1, log_file=str(tmp_path / "a.log"))
+    for s in structs[:2]:
+        gp.add_structure((s, base.get_potential_energy(s),
+                          base.get_forces(s)))
+    gp.fit(show=False, opt=False)
+    calc = GPR(base=base, ff=gp, save=True, tag="auto", freq=1)
+    calc.verbose = False
+    # drive enough base-path dispatches to trigger refit + autosave
+    calc.force_base = True
+    rng = np.random.RandomState(5)
+    for s in structs:
+        a = s.copy()
+        a.positions += 0.05 * rng.randn(*a.positions.shape)
+        a.calc = calc
+        a.get_potential_energy()
+        if os.path.exists("auto-gpr.json"):
+            break
+    assert os.path.exists("auto-gpr.json") and os.path.exists("auto-gpr.db")
+    gp2 = GP.load("auto-gpr.json", log_file=str(tmp_path / "b.log"))
+    gp2.fit(show=False, opt=False)
+    E1, F1, _ = gp.predict_structure(structs[0])
+    E2, F2, _ = gp2.predict_structure(structs[0])
+    np.testing.assert_allclose(E1, E2, rtol=1e-6)
+
+
+def test_atoms_utilities():
+    a = Atoms("H2O", positions=[[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+              cell=np.eye(3) * 5)
+    assert a.symbols == ["H", "H", "O"]
+    b = a + a
+    assert len(b) == 6
+    a.center(vacuum=2.0)
+    assert a.get_volume() > 0
+    sp = a.get_scaled_positions(wrap=False)
+    assert sp.shape == (3, 3)
+
+
+def test_fixatoms_roundtrip_through_db(tmp_path):
+    from gpr_calculator_tpu.io.ase_db import write_db, read_db
+    a = Atoms(numbers=[29] * 4,
+              positions=np.random.RandomState(0).rand(4, 3) * 3,
+              cell=np.eye(3) * 8, pbc=True,
+              constraints=[FixAtoms(indices=[0, 2])])
+    f = str(tmp_path / "c.db")
+    write_db(f, [{"atoms": a, "data": {"energy": 1.0,
+                                       "force": np.zeros((4, 3)),
+                                       "energy_in": True,
+                                       "force_in": [1]}}])
+    row = read_db(f)[0]
+    assert list(row["atoms"].fixed_indices()) == [0, 2]
+    np.testing.assert_allclose(row["atoms"].positions, a.positions)
+
+
+def test_mic_displacement():
+    from gpr_calculator_tpu.mep import find_mic
+    cell = np.eye(3) * 10.0
+    d = np.array([[9.0, 0.2, 0.0]])
+    dm, dist = find_mic(d, cell, np.array([True] * 3))
+    np.testing.assert_allclose(dm[0], [-1.0, 0.2, 0.0])
+    assert abs(dist[0] - np.sqrt(1.04)) < 1e-12
