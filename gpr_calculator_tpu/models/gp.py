@@ -601,7 +601,12 @@ class GP:
         d = te.d
         pe = pack_energy(energy_pts, d=d)
         b_max = max((p[0].shape[0] for p in force_pts), default=1)
-        pf = pack_force(force_pts, d=d, b_pad=bucket_size(b_max, 4))
+        # 3 cart columns per force point, or 9 when stress rows are appended
+        # (the reference routes the latter through k_total_with_stress,
+        # RBF_mb.py:206-229; here the same kff path handles either width).
+        ncart = force_pts[0][1].shape[2] if force_pts else 3
+        pf = pack_force(force_pts, d=d, ncart=ncart,
+                        b_pad=bucket_size(b_max, 4))
         mean, std = _predict_packed(
             pe, pf, te, tf, self.kernel.jax_params(), self.alpha_,
             self._K_inv, self.kernel.kind, self.kernel.zeta,
@@ -609,13 +614,13 @@ class GP:
         mean = np.asarray(mean)
         nE, nF = len(energy_pts), len(force_pts)
         mean_e = mean[:nE]
-        mean_f = mean[pe.m:pe.m + 3 * nF]
+        mean_f = mean[pe.m:pe.m + ncart * nF]
         if total_E:
             mean_e = mean_e * np.asarray([len(p[0]) for p in energy_pts])
         if return_std:
             std = np.asarray(std)
             std_e = std[:nE]
-            std_f = std[pe.m:pe.m + 3 * nF]
+            std_f = std[pe.m:pe.m + ncart * nF]
             if total_E:
                 std_e = std_e * np.asarray([len(p[0]) for p in energy_pts])
             return mean_e, mean_f, std_e, std_f
@@ -623,11 +628,24 @@ class GP:
 
     def predict(self, X: Dict, total_E=False, return_std=False,
                 return_cov=False, stress=False):
+        """Predict for explicit point dicts (gaussianprocess.py:319-379).
+
+        Stress handling differs from the reference's separate
+        k_total_with_stress pass (RBF_mb.py:206-229): force points carry
+        either 3 or 9 cart columns in dxdr (9 = forces + appended rdxdr
+        stress terms, as predict_structure builds them) and the returned
+        force rows have that same width per point.  The ``stress`` flag is
+        kept for API parity; the column count is taken from the data.
+        """
         energy_pts = [(np.asarray(p[0], float), np.asarray(p[-1], int))
                       for p in X.get("energy", [])]
         force_pts = [(np.asarray(p[0], float), np.asarray(p[1], float),
                       np.asarray(p[-1], int))
                      for p in X.get("force", [])]
+        if stress and force_pts and force_pts[0][1].shape[2] != 9:
+            raise ValueError(
+                "stress=True requires 9-column force points (dxdr with "
+                "appended rdxdr stress terms, cf. predict_structure)")
         if return_cov:
             return self._predict_cov(energy_pts, force_pts, total_E)
         out = self._predict_points(energy_pts, force_pts,
@@ -702,7 +720,13 @@ class GP:
         if stress:
             F[:] = rows[:, :3]
             F[sorted(fix_ids)] = 0.0
-            S = rows[:, 3:]
+            # The raw kernel rows carry the force functional's sign, which
+            # yields -dE/d(eps)/vol for the stress columns; negate to the
+            # ASE convention (+dE/d(eps)/vol, tension positive).  Pinned by
+            # the strain-FD test (tests/test_stress.py); the reference's
+            # own stress chain (k_total_with_stress, RBF_mb.py:206-211) is
+            # marked obsolete and never sign-validated.
+            S = -rows[:, 3:]
         else:
             F[free_ids] = rows[:, :3]
             S = None

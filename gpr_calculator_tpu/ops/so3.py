@@ -215,9 +215,8 @@ def _so3_core(rij, weights, pair_center, pair_seq, pair_Ri, pair_Rj,
     rdxdr = None
     if stress:
         # pstress[(i,j)] -= sum_w Rj (x) dP_w ; [(i,i)] += sum_{w in i} Ri(x)dP
-        rdPj = jnp.einsum("pw,pcd->pcdw", pair_Rj, dP_tri)  # (P,ncoef,3,3w)
-        # reference: rdPj = einsum('wn,wijkm->wijknm', Rjs, dP):
-        # index order (coef, cart_n=R, cart_m=grad) -> stored as (ncoef,3,3)
+        # index order (coef, cart_n=R, cart_m=grad) -> stored as (ncoef,3,3),
+        # matching the reference's 'wn,wijkm->wijknm' layout (SO3.py:298-303)
         rdPj = jnp.einsum("pn,pcm->pcnm", pair_Rj, dP_tri)
         pstress = -jax.ops.segment_sum(
             rdPj, pair_seq, num_segments=nseq + 1)[:nseq]

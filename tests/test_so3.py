@@ -204,7 +204,11 @@ def test_so3_periodic_neighbor_consistency():
 
 
 def test_so3_stress_terms_finite_difference():
-    """rdxdr: virial terms dP/d(strain) via -1/V sum r (x) dP/dr."""
+    """rdxdr: virial terms dP/d(strain) via -1/V sum r (x) dP/dr.
+
+    Numeric FD check of a single strain component (the full random-direction
+    strain FD and the model-level checks live in tests/test_stress.py).
+    """
     atoms = _make_cluster(seed=8, n=4)
     atoms.pbc = np.array([True] * 3)
     atoms.cell.array[:] = np.eye(3) * 8.0
@@ -212,6 +216,26 @@ def test_so3_stress_terms_finite_difference():
     d = des.calculate(atoms)
     assert d["rdxdr"] is not None
     assert d["rdxdr"].shape == (len(d["seq"]), des.ncoef, 3, 3)
+
+    vol = atoms.get_volume()
+    total = vol * d["rdxdr"].sum(axis=0)         # (ncoef, 3, 3)
+    h = 1e-6
+    for (n, m) in [(0, 0), (1, 2)]:              # one diagonal, one shear
+        eps = np.zeros((3, 3))
+        eps[n, m] = eps[m, n] = h if n != m else h  # symmetric direction
+        F = np.eye(3) + eps
+        up = atoms.copy()
+        up.positions = atoms.positions @ F.T
+        up.cell.array[:] = np.asarray(atoms.get_cell()) @ F.T
+        dn = atoms.copy()
+        Fm = np.eye(3) - eps
+        dn.positions = atoms.positions @ Fm.T
+        dn.cell.array[:] = np.asarray(atoms.get_cell()) @ Fm.T
+        fd = (des.calculate(up)["x"].sum(axis=0)
+              - des.calculate(dn)["x"].sum(axis=0)) / (2 * h)
+        pred = np.einsum("cnm,nm->c", total, eps / h)
+        np.testing.assert_allclose(pred, fd, rtol=5e-5,
+                                   atol=1e-6 * max(np.abs(fd).max(), 1.0))
 
 
 def test_so3_weight_on():
