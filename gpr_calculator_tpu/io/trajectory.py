@@ -6,13 +6,9 @@ from .ulm import UlmWriter, read_traj
 
 class TrajectoryWriter:
     def __init__(self, filename: str, mode: str = "w"):
+        # UlmWriter handles mode='a' natively (resumes after the frames
+        # already in the file, without re-reading them)
         self._writer = UlmWriter(filename, mode=mode)
-        # "a" mode: keep the already-present frames
-        if mode == "a":
-            try:
-                self._writer._atoms_frames = read_traj(filename)
-            except Exception:
-                pass
 
     def write(self, atoms):
         # capture last energy/forces if a calculator holds them

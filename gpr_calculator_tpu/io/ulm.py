@@ -84,31 +84,36 @@ def read_traj(filename: str) -> List:
 
 
 class UlmWriter:
-    """Append-style ULM trajectory writer (full data per frame -- readable
-    by ase.io.read)."""
+    """Incremental ULM trajectory writer (full data per frame -- readable
+    by ase.io.read and read_traj).
+
+    Each write() appends the new frame's blobs at the end of the data
+    region, then rewrites the (small) offsets table and the header
+    counters: O(frame) per write, so long MD/NEB trajectories stay linear.
+    mode='a' resumes after the frames already in the file.
+    """
 
     def __init__(self, filename: str, mode: str = "w"):
         self.filename = filename
+        self._offsets: List[int] = []
+        self._pos = 48  # end of the data region (header size initially)
         if mode == "a" and os.path.exists(filename):
-            # re-read existing frames and rewrite (simple + correct)
-            try:
-                self._frames = read_ulm_items(filename)
-            except Exception:
-                self._frames = []
+            with open(filename, "rb") as fh:
+                head = fh.read(48)
+                if head[:8] != MAGIC:
+                    raise ValueError(f"{filename} is not a ULM file")
+                _, nitems, pos0 = np.frombuffer(head[24:48], np.int64)
+                fh.seek(int(pos0))
+                self._offsets = [int(o) for o in np.frombuffer(
+                    fh.read(8 * int(nitems)), np.int64)]
+            self._pos = int(pos0)  # new data overwrites the old table
         else:
-            self._frames = []
-        self._atoms_frames: List = []
-        # materialised lazily on close/flush
-        self._pending: List[dict] = []
+            with open(filename, "wb") as fh:
+                fh.write(MAGIC + TAG
+                         + np.asarray([3, 0, 48], np.int64).tobytes())
 
     def write(self, atoms):
-        self._atoms_frames.append(atoms.copy())
-        self._flush()
-
-    def _flush(self):
-        parts = []
-        pos = 48  # header size
-        offsets = []
+        pos = self._pos
         blobs = []
 
         def put_array(arr):
@@ -124,52 +129,52 @@ class UlmWriter:
             pos += len(b)
             return {"ndarray": [list(arr.shape), arr.dtype.name, off]}
 
-        items_json = []
-        for atoms in self._atoms_frames:
-            item = {}
-            item["pbc"] = [bool(b) for b in atoms.pbc]
-            item["numbers."] = put_array(np.asarray(atoms.numbers,
-                                                    np.int64))
-            item["positions."] = put_array(np.asarray(atoms.positions,
-                                                      np.float64))
-            item["cell"] = np.asarray(atoms.cell).tolist()
-            fixed = (atoms.fixed_indices()
-                     if hasattr(atoms, "fixed_indices") else [])
-            if len(fixed):
-                item["constraints"] = json.dumps([{
-                    "name": "FixAtoms",
-                    "kwargs": {"indices": [int(i) for i in fixed]}}])
-            if atoms.info.get("energy") is not None:
-                calc = {"name": "unknown", "parameters": {},
-                        "energy": float(atoms.info["energy"])}
-                if atoms.info.get("forces") is not None:
-                    calc["forces."] = put_array(
-                        np.asarray(atoms.info["forces"], np.float64))
-                item["calculator."] = calc
-            j = json.dumps(item).encode()
-            pad = (-pos) % 8
-            if pad:
-                blobs.append(b"\0" * pad)
-                pos += pad
-            offsets.append(pos)
-            blobs.append(np.int64(len(j)).tobytes())
-            blobs.append(j)
-            pos += 8 + len(j)
-            pad2 = (-pos) % 8
-            if pad2:
-                blobs.append(b"\0" * pad2)
-                pos += pad2
-            items_json.append(item)
+        item = {}
+        item["pbc"] = [bool(b) for b in atoms.pbc]
+        item["numbers."] = put_array(np.asarray(atoms.numbers, np.int64))
+        item["positions."] = put_array(np.asarray(atoms.positions,
+                                                  np.float64))
+        item["cell"] = np.asarray(atoms.cell).tolist()
+        fixed = (atoms.fixed_indices()
+                 if hasattr(atoms, "fixed_indices") else [])
+        if len(fixed):
+            item["constraints"] = json.dumps([{
+                "name": "FixAtoms",
+                "kwargs": {"indices": [int(i) for i in fixed]}}])
+        if atoms.info.get("energy") is not None:
+            calc = {"name": "unknown", "parameters": {},
+                    "energy": float(atoms.info["energy"])}
+            if atoms.info.get("forces") is not None:
+                calc["forces."] = put_array(
+                    np.asarray(atoms.info["forces"], np.float64))
+            item["calculator."] = calc
 
-        pos0 = pos
-        header = (MAGIC + TAG
-                  + np.asarray([3, len(offsets), pos0],
-                               np.int64).tobytes())
-        with open(self.filename, "wb") as fh:
-            fh.write(header)
+        j = json.dumps(item).encode()
+        pad = (-pos) % 8
+        if pad:
+            blobs.append(b"\0" * pad)
+            pos += pad
+        offset = pos
+        blobs.append(np.int64(len(j)).tobytes())
+        blobs.append(j)
+        pos += 8 + len(j)
+        pad2 = (-pos) % 8
+        if pad2:
+            blobs.append(b"\0" * pad2)
+            pos += pad2
+
+        offsets = self._offsets + [offset]
+        with open(self.filename, "r+b") as fh:
+            fh.seek(self._pos)
             for b in blobs:
                 fh.write(b)
             fh.write(np.asarray(offsets, np.int64).tobytes())
+            fh.truncate()
+            fh.seek(24)
+            fh.write(np.asarray([3, len(offsets), pos],
+                                np.int64).tobytes())
+        self._offsets = offsets
+        self._pos = pos
 
     def close(self):
-        self._flush()
+        pass

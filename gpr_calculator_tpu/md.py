@@ -83,11 +83,14 @@ class Langevin(VelocityVerlet):
         for _ in range(steps):
             v = self.velocities
             v += 0.5 * self.dt * f / self.masses
-            atoms.set_positions(atoms.positions + 0.5 * self.dt * v)
-            v[:] = c1 * v + c2 * self.rng.randn(*v.shape)
-            atoms.set_positions(atoms.positions + 0.5 * self.dt * v)
             if len(fixed):
-                v[fixed] = 0.0
+                v[fixed] = 0.0          # before the A-drift, not after it
+            atoms.set_positions(atoms.positions + 0.5 * self.dt * v)
+            noise = self.rng.randn(*v.shape)
+            if len(fixed):
+                noise[fixed] = 0.0      # O-step must not kick fixed atoms
+            v[:] = c1 * v + c2 * noise
+            atoms.set_positions(atoms.positions + 0.5 * self.dt * v)
             f = atoms.get_forces()
             v += 0.5 * self.dt * f / self.masses
             if len(fixed):

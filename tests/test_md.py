@@ -58,3 +58,26 @@ def test_on_the_fly_md_with_gpr():
     md.run(25)
     assert gp.use_surrogate > 0
     assert np.all(np.isfinite(atoms.positions))
+
+
+def test_langevin_respects_fix_atoms():
+    """Fixed atoms must not move: the half-kick, both A-drifts, and the
+    O-step noise all skip constrained rows (ADVICE round-1 regression)."""
+    from gpr_calculator_tpu.atoms import FixAtoms
+    atoms = make_structs(n=1, natoms=6, seed=49)[0]
+    atoms.set_constraint(FixAtoms(indices=[0, 2]))
+    atoms.calc = EMT()
+    maxwell_boltzmann_velocities(atoms, 300.0)
+    frozen = atoms.positions[[0, 2]].copy()
+    md = Langevin(atoms, timestep_fs=2.0, temperature_K=300.0, friction=0.05)
+    md.run(25)
+    np.testing.assert_array_equal(atoms.positions[[0, 2]], frozen)
+    np.testing.assert_array_equal(md.velocities[[0, 2]], 0.0)
+
+    atoms2 = make_structs(n=1, natoms=6, seed=49)[0]
+    atoms2.set_constraint(FixAtoms(indices=[1]))
+    atoms2.calc = EMT()
+    maxwell_boltzmann_velocities(atoms2, 200.0)
+    frozen2 = atoms2.positions[[1]].copy()
+    VelocityVerlet(atoms2, timestep_fs=1.0).run(25)
+    np.testing.assert_array_equal(atoms2.positions[[1]], frozen2)

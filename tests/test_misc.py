@@ -77,3 +77,29 @@ def test_mic_displacement():
     dm, dist = find_mic(d, cell, np.array([True] * 3))
     np.testing.assert_allclose(dm[0], [-1.0, 0.2, 0.0])
     assert abs(dist[0] - np.sqrt(1.04)) < 1e-12
+
+
+def test_ulm_writer_direct_append_keeps_frames(tmp_path):
+    """Bare UlmWriter mode='a' must keep prior frames (round-1 ADVICE:
+    the old writer silently dropped them unless wrapped)."""
+    import os
+    from gpr_calculator_tpu.io.ulm import UlmWriter, read_traj
+    from gpr_calculator_tpu.atoms import Atoms
+    fn = str(tmp_path / "append.traj")
+    a = Atoms(numbers=[29, 29], positions=np.eye(3)[:2],
+              cell=np.eye(3) * 5, pbc=True)
+    w = UlmWriter(fn, "w")
+    w.write(a)
+    w.close()
+    size1 = os.path.getsize(fn)
+    b = a.copy()
+    b.positions = b.positions + 1.0
+    w2 = UlmWriter(fn, "a")
+    w2.write(b)
+    w2.close()
+    frames = read_traj(fn)
+    assert len(frames) == 2
+    np.testing.assert_allclose(frames[0].positions, a.positions)
+    np.testing.assert_allclose(frames[1].positions, b.positions)
+    # incremental: appending one frame must not double the data region
+    assert os.path.getsize(fn) < 2 * size1
