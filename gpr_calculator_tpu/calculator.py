@@ -57,69 +57,40 @@ class GPR(Calculator):
         self.update = True
         self.allow_base = True
 
+    def _policy(self):
+        from .dispatch import DispatchPolicy
+        return DispatchPolicy(
+            self.parameters.ff, self.parameters.base, freq=self.freq,
+            opt_freq=self.opt_freq, save=self.save, tag=self.tag,
+            verbose=self.verbose, ignore_E_std=self.ignore_E_std)
+
     def calculate(self, atoms=None, properties=("energy", "forces"),
                   system_changes=None):
         gp_model = self.parameters.ff
         self._calculate(atoms, properties)
+        policy = self._policy()
 
-        if self.ignore_E_std:
-            e_tol = 100.0
-        else:
-            e_tol = 1.2 * len(atoms) * gp_model.noise_e
-        f_tol = 1.2 * gp_model.noise_f
+        e_tol, f_tol = policy.tolerances(len(atoms))
         E_std = self.results["var_e"] * len(atoms)
         F_std = self.results["var_f"].max()
         E = self.results["energy"]
         Fmax = np.abs(self.results["forces"]).max()
-        E_fail = E_std > e_tol
-        f_ref = max(f_tol, Fmax / 2.5)  # calculator.py:72
-        force_fail = not (self.results["var_f"] < f_ref).all()
+        need_base = policy.needs_base(len(atoms), self.results["forces"],
+                                      E_std, self.results["var_f"])
 
-        if self.force_base or (self.allow_base and (E_fail or force_fail)):
-            gp_model.use_base += 1
-            base = self.parameters.base
-            fix_ids = atoms.fixed_indices() if hasattr(
-                atoms, "fixed_indices") else []
-            prev_calc = atoms.calc
-            atoms.calc = base
-            eng = atoms.get_potential_energy()
-            forces = atoms.get_forces()
-            if len(fix_ids):
-                forces[np.asarray(fix_ids, int)] = 0.0
-            atoms.calc = prev_calc
-            f_max = np.abs(forces).max()
-            if self.verbose:
-                print(f"From Base model E: {E_std:.3f}/{E:.3f}/{eng:.3f}, "
-                      f"F: {F_std:.3f}/{Fmax:.3f}/{f_max:.3f}")
-            gp_model.add_structure((atoms.copy(), eng, forces))
+        if self.force_base or (self.allow_base and need_base):
+            eng, forces = policy.evaluate_base(atoms)
+            policy.log_base(E_std, E, eng, F_std, Fmax,
+                            np.abs(forces).max())
             self.results["energy"] = eng
             self.results["free_energy"] = eng
             self.results["forces"] = forces
         else:
             gp_model.use_surrogate += 1
-            if self.verbose:
-                print(f"From Surrogate  E: {E_std:.3f}/{e_tol:.3f}/{E:.3f}, "
-                      f"F: {F_std:.3f}/{f_tol:.3f}/{Fmax:.3f}")
+            policy.log_surrogate(E_std, e_tol, E, F_std, f_tol, Fmax)
 
-        # refit cadence (calculator.py:101-104)
-        freq = (max(2, self.freq // 2) if gp_model.N_forces > 100
-                else self.freq)
-        if self.update_gpr and (gp_model.N_queue > freq
-                                or gp_model.N_energy_queue >= 2):
-            do_opt = (self.opt_freq <= 1
-                      or gp_model.fits % self.opt_freq == 0)
-            gp_model.fit(opt=do_opt, show=False, maxiter=10)
-            if self.save:
-                gp_model.save(f"{self.tag}-gpr.json", f"{self.tag}-gpr.db",
-                              verbose=False)
-                print(gp_model)
-            gp_model.validate_data(show=True)
-            if (gp_model.error["energy_mae"] > 0.1
-                    or gp_model.error["forces_mae"] > 0.3):
-                # hard quality gate (calculator.py:112-117)
-                raise RuntimeError(
-                    "GPR training error is too large "
-                    f"({gp_model.error}); check the data")
+        if self.update_gpr:
+            policy.refit_if_due()
 
     def _calculate(self, atoms, properties=("energy", "forces")):
         stress = self.parameters.get("stress", False)

@@ -34,6 +34,7 @@ from scipy.optimize import minimize
 from .. import config
 from ..atoms.atoms import ATOMIC_NUMBERS
 from ..ops import kernels as K_ops
+from ..ops import linalg
 from ..ops.packing import (EnergyData, ForceData, bucket_size, pack_energy,
                            pack_force)
 from ..ops.so3 import SO3
@@ -466,47 +467,60 @@ class GP:
             f_off += kf
         return np.asarray(perm, dtype=np.int64)
 
+    @staticmethod
+    def _padded_rows(nE, nF, m_e):
+        """Padded row index of each canonical real row [E..., F...]."""
+        return np.r_[np.arange(nE), m_e + np.arange(3 * nF)]
+
     def _record_full_factor(self, e: EnergyData, f: ForceData):
         """Snapshot the real-row factor after a from-scratch Cholesky so
-        that later opt=False fits can rank-update instead of refactorise."""
+        that later opt=False fits can rank-update instead of refactorise.
+
+        The padded K has unit diagonal on padding rows and zero coupling,
+        so gathering the padded L/K_inv over the real rows (a device
+        gather -- nothing crosses to the host) yields the exact factor and
+        inverse of the real covariance."""
         nE, nF = self.N_energy, self.N_forces
-        rows = np.r_[np.arange(nE), e.m + np.arange(3 * nF)]
-        L = np.asarray(self.L_, np.float64)[np.ix_(rows, rows)]
-        K_inv = np.asarray(self._K_inv, np.float64)[np.ix_(rows, rows)]
+        rows = jnp.asarray(self._padded_rows(nE, nF, e.m))
         self._inc = {"sig": self._params_signature(),
                      "groups": [(nE, nF)], "nE": nE, "nF": nF,
-                     "L": L, "K_inv": K_inv}
+                     "L": self.L_[rows[:, None], rows[None, :]],
+                     "K_inv": self._K_inv[rows[:, None], rows[None, :]]}
 
-    def _scatter_factor_to_device(self, e, f, L_perm, Kinv_perm, perm):
-        """Map the permuted host factor back to padded canonical device
-        arrays consumed by _predict_packed."""
+    def _scatter_factor_to_device(self, e, f, L_fac, Kinv_fac, alpha_fac,
+                                  perm):
+        """Scatter the insertion-order factor state into the padded
+        canonical device arrays consumed by _predict_packed (device
+        gathers/scatters only)."""
         nE, nF = self.N_energy, self.N_forces
         n_real = nE + 3 * nF
         inv = np.empty(n_real, np.int64)
         inv[perm] = np.arange(n_real)
-        y = np.concatenate([np.asarray(self._energy_y[:nE], float),
-                            np.asarray(self._force_y[:nF],
-                                       float).reshape(-1)])
-        from scipy.linalg import cho_solve as _cho
-        alpha_perm = _cho((L_perm, True), y[perm])
-        alpha_real = alpha_perm[inv]
-        Kinv_real = Kinv_perm[np.ix_(inv, inv)]
+        inv = jnp.asarray(inv)
+        alpha_real = alpha_fac[inv]
+        Kinv_real = Kinv_fac[inv[:, None], inv[None, :]]
 
-        rows = np.r_[np.arange(nE), e.m + np.arange(3 * nF)]
+        rows = jnp.asarray(self._padded_rows(nE, nF, e.m))
         n_pad = e.m + 3 * f.m
-        alpha = np.zeros(n_pad)
-        alpha[rows] = alpha_real
-        Kinv = np.eye(n_pad)
-        Kinv[np.ix_(rows, rows)] = Kinv_real
         dt = config.dtype()
-        self.alpha_ = jnp.asarray(alpha, dt)
-        self._K_inv = jnp.asarray(Kinv, dt)
-        self.L_ = None  # permuted factor lives on host (self._inc["L"])
+        self.alpha_ = jnp.zeros(n_pad, dt).at[rows].set(
+            alpha_real.astype(dt))
+        self._K_inv = jnp.eye(n_pad, dtype=dt).at[
+            rows[:, None], rows[None, :]].set(Kinv_real.astype(dt))
+        self.L_ = None  # insertion-order factor lives in self._inc["L"]
         self._fit_snapshot = (e, f, nE, nF)
+
+    def _y_factor_order(self, perm):
+        y = np.concatenate([
+            np.asarray(self._energy_y[:self.N_energy], float),
+            np.asarray(self._force_y[:self.N_forces], float).reshape(-1)])
+        return jnp.asarray(y[perm], config.dtype())
 
     def _try_incremental_fit(self, e: EnergyData, f: ForceData) -> bool:
         """Extend the factorisation with the newly appended points in
-        O(n^2 k) (ops/linalg.py rationale).  Returns False when a full
+        O(n^2 k) on device (ops/linalg.chol_append_update) -- no O(n^2)
+        host transfer, unlike the reference's from-scratch refactorise
+        (gaussianprocess.py:297).  Returns False when a full
         refactorisation is required."""
         st = self._inc
         if st is None or st["sig"] != self._params_signature():
@@ -515,11 +529,15 @@ class GP:
         kE, kF = self.N_energy - nE0, self.N_forces - nF0
         if kE < 0 or kF < 0:
             return False
+        perm_new = self._factor_perm(st["groups"] + [(kE, kF)],
+                                     self.N_energy)
         if kE == 0 and kF == 0:
-            # nothing appended; reuse the existing factor
-            self._scatter_factor_to_device(
-                e, f, st["L"], st["K_inv"],
-                self._factor_perm(st["groups"], self.N_energy))
+            # nothing appended; re-solve alpha against the existing factor
+            perm0 = self._factor_perm(st["groups"], self.N_energy)
+            alpha_fac = linalg.chol_solve_lower(
+                st["L"], self._y_factor_order(perm0))
+            self._scatter_factor_to_device(e, f, st["L"], st["K_inv"],
+                                           alpha_fac, perm0)
             return True
 
         d = e.d
@@ -531,53 +549,38 @@ class GP:
         params = self.kernel.jax_params()
         kk = dict(kind=self.kernel.kind, zeta=self.kernel.zeta)
 
-        # cross block K(old, new) and new self block, real rows only
-        B_pad = np.asarray(K_ops.k_block(e_old, f_old, e_new, f_new,
-                                         params, **kk), np.float64)
-        rows_old = np.r_[np.arange(nE0), e_old.m + np.arange(3 * nF0)]
-        cols_new = np.r_[np.arange(kE), e_new.m + np.arange(3 * kF)]
-        B = B_pad[np.ix_(rows_old, cols_new)]
-        C_pad = np.asarray(K_ops.k_self(e_new, f_new, params, **kk),
-                           np.float64)
-        C = C_pad[np.ix_(cols_new, cols_new)]
-        C[np.diag_indices_from(C)] += np.r_[
-            np.full(kE, self.noise_e ** 2),
-            np.full(3 * kF, self.noise_f ** 2)]
-
-        # permute old rows into factor (insertion) order
+        # cross block K(old, new) and new self block -- gathered to real
+        # rows on device
+        B_pad = K_ops.k_block(e_old, f_old, e_new, f_new, params, **kk)
+        C_pad = K_ops.k_self(e_new, f_new, params, **kk)
+        # old factor rows -> padded row indices of the old packing
         perm_old = self._factor_perm(st["groups"], nE0)
-        B_fac = B[perm_old]
+        pad_old = np.where(perm_old < nE0, perm_old,
+                           e_old.m + (perm_old - nE0))
+        cols_new = np.r_[np.arange(kE), e_new.m + np.arange(3 * kF)]
+        pad_old = jnp.asarray(pad_old)
+        cols_new = jnp.asarray(cols_new)
+        B_fac = B_pad[pad_old[:, None], cols_new[None, :]]
+        C = C_pad[cols_new[:, None], cols_new[None, :]]
+        dt = config.dtype()
+        noise = jnp.concatenate([
+            jnp.full(kE, self.noise_e ** 2, dt),
+            jnp.full(3 * kF, self.noise_f ** 2, dt)])
+        C = C + jnp.diag(noise)
 
-        from scipy.linalg import solve_triangular, cholesky
-        L = st["L"]
-        S = solve_triangular(L, B_fac, lower=True)
-        schur = C - S.T @ S
-        try:
-            Lc = cholesky(schur, lower=True)
-        except np.linalg.LinAlgError:
+        L_new, Kinv_new, alpha_fac, lc_diag = linalg.chol_append_update(
+            st["L"], st["K_inv"], B_fac, C,
+            self._y_factor_order(perm_new))
+        lc_diag = np.asarray(lc_diag)               # O(k) transfer only
+        if not (np.all(np.isfinite(lc_diag)) and np.all(lc_diag > 0)):
             return False
-        n0, k = L.shape[0], C.shape[0]
-        L_new = np.zeros((n0 + k, n0 + k))
-        L_new[:n0, :n0] = L
-        L_new[n0:, :n0] = S.T
-        L_new[n0:, n0:] = Lc
-
-        # Schur update of the inverse
-        T = st["K_inv"] @ B_fac                      # (n0, k)
-        Qinv = np.linalg.inv(schur)
-        Kinv_new = np.zeros((n0 + k, n0 + k))
-        Kinv_new[:n0, :n0] = st["K_inv"] + T @ Qinv @ T.T
-        Kinv_new[:n0, n0:] = -T @ Qinv
-        Kinv_new[n0:, :n0] = Kinv_new[:n0, n0:].T
-        Kinv_new[n0:, n0:] = Qinv
 
         groups = st["groups"] + [(kE, kF)]
         self._inc = {"sig": st["sig"], "groups": groups,
                      "nE": self.N_energy, "nF": self.N_forces,
                      "L": L_new, "K_inv": Kinv_new}
-        self._scatter_factor_to_device(
-            e, f, L_new, Kinv_new,
-            self._factor_perm(groups, self.N_energy))
+        self._scatter_factor_to_device(e, f, L_new, Kinv_new, alpha_fac,
+                                       perm_new)
         return True
 
     # -- prediction ----------------------------------------------------------

@@ -25,12 +25,16 @@ class OnTheFlyBatchedNEB(NEB):
     """
 
     def __init__(self, images, gp, base, k=0.1, climb=False, freq=10,
-                 verbose=True):
+                 verbose=True, opt_freq=1, save=True, tag="GPR",
+                 ignore_E_std=True):
         super().__init__(images, k=k, climb=climb)
+        from .dispatch import DispatchPolicy
         self.gp = gp
         self.base = base
-        self.freq = freq
-        self.verbose = verbose
+        self.policy = DispatchPolicy(gp, base, freq=freq,
+                                     opt_freq=opt_freq, save=save, tag=tag,
+                                     verbose=verbose,
+                                     ignore_E_std=ignore_E_std)
         # pin endpoint energies to the stored training labels (the first
         # and last images are the first/last entries of train_images)
         n_at = len(images[0])
@@ -40,41 +44,26 @@ class OnTheFlyBatchedNEB(NEB):
     def _interior_results(self):
         interior = self.images[1:-1]
         preds = self.gp.predict_structures(interior, return_std=True)
-        f_tol = 1.2 * self.gp.noise_f
+        policy = self.policy
         energies, forces = [], []
         for image, (E, F, E_std, F_std) in zip(interior, preds):
+            natoms = len(image)
+            e_tol, f_tol = policy.tolerances(natoms)
+            E_std_total = float(E_std) * natoms
             Fmax = float(np.abs(F).max())
-            f_ref = max(f_tol, Fmax / 2.5)
-            if not (F_std < f_ref).all():
-                self.gp.use_base += 1
-                prev = image.calc
-                image.calc = self.base
-                eng = image.get_potential_energy()
-                frc = image.get_forces().copy()
-                fixed = image.fixed_indices()
-                if len(fixed):
-                    frc[np.asarray(fixed, int)] = 0.0
-                image.calc = prev
-                if self.verbose:
-                    print(f"From Base model E: {float(E_std):.3f}/"
-                          f"{E:.3f}/{eng:.3f}, F: {float(F_std.max()):.3f}"
-                          f"/{Fmax:.3f}/{np.abs(frc).max():.3f}")
-                self.gp.add_structure((image.copy(), eng, frc))
+            if policy.needs_base(natoms, F, E_std_total, F_std):
+                eng, frc = policy.evaluate_base(image)
+                policy.log_base(E_std_total, E, eng, float(F_std.max()),
+                                Fmax, np.abs(frc).max())
                 energies.append(eng)
                 forces.append(frc)
             else:
                 self.gp.use_surrogate += 1
-                if self.verbose:
-                    print(f"From Surrogate  E: {float(E_std):.3f}/"
-                          f"{E:.3f}, F: {float(F_std.max()):.3f}"
-                          f"/{f_tol:.3f}/{Fmax:.3f}")
+                policy.log_surrogate(E_std_total, e_tol, E,
+                                     float(F_std.max()), f_tol, Fmax)
                 energies.append(E)
                 forces.append(F)
-        freq = (max(2, self.freq // 2) if self.gp.N_forces > 100
-                else self.freq)
-        if self.gp.N_queue > freq or self.gp.N_energy_queue >= 2:
-            self.gp.fit(opt=True, show=False, maxiter=10)
-            self.gp.validate_data(show=True)
+        policy.refit_if_due()
         return energies, forces
 
 
@@ -90,7 +79,11 @@ def neb_calc(images, calculator=None, algo: str = "BFGS",
             images, gp=calculator.parameters.ff,
             base=calculator.parameters.base, k=k, climb=climb,
             freq=getattr(calculator, "freq", 10),
-            verbose=getattr(calculator, "verbose", True))
+            verbose=getattr(calculator, "verbose", True),
+            opt_freq=getattr(calculator, "opt_freq", 1),
+            save=getattr(calculator, "save", True),
+            tag=getattr(calculator, "tag", "GPR"),
+            ignore_E_std=getattr(calculator, "ignore_E_std", True))
         if algo == "BFGS":
             opt = BFGS(neb, trajectory=traj, append_trajectory=True)
         else:
@@ -171,63 +164,76 @@ def get_images(init, final, num_images: int = 5, vaccum: float = 0.0,
     return images
 
 
+def reaction_coordinate(images) -> np.ndarray:
+    """Cumulative arc length along an image chain, using minimum-image
+    displacements between consecutive images."""
+    cell = images[0].get_cell()
+    pbc = images[0].pbc
+    s = np.empty(len(images))
+    s[0] = 0.0
+    for k in range(1, len(images)):
+        d, _ = find_mic(images[k].positions - images[k - 1].positions,
+                        cell, pbc)
+        s[k] = s[k - 1] + float(np.linalg.norm(d))
+    return s
+
+
 def plot_path(data, unit="eV", fontsize=15, figname="neb_path.png",
               title="NEB Path", max_yticks=8, x_scale=False):
-    """Plot one or more NEB paths (NEB.py:140-191)."""
+    """Render energy vs reaction coordinate for one or more image chains
+    (same deliverable as the reference's NEB-path figure: image markers
+    plus a smooth endpoint-clamped guide curve per chain).
+
+    data: iterable of (images, energies, label) triples.
+    """
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     from matplotlib.ticker import MaxNLocator
-    from scipy.interpolate import make_interp_spline
+    from scipy.interpolate import CubicSpline
 
-    plt.figure(figsize=(8, 6))
-    for (images, Y, label) in data:
-        tmp = np.array([image.positions for image in images])
-        X = np.zeros(len(images))
-        for i in range(len(tmp) - 1):
-            d = tmp[i + 1] - tmp[i]
-            d, _ = find_mic(d, images[0].get_cell(), images[0].pbc)
-            X[i + 1] = np.linalg.norm(d)
-        X = np.cumsum(X)
-        if x_scale:
-            X /= X[-1]
-        X_smooth = np.linspace(X.min(), X.max(), 30)
-        spline = make_interp_spline(X, Y, k=3,
-                                    bc_type=([(1, 0.0)], [(1, 0.0)]))
-        line, = plt.plot(X, Y, "o")
-        plt.plot(X_smooth, spline(X_smooth), ls="--", label=label,
-                 color=line.get_color())
+    fig, ax = plt.subplots(figsize=(8, 6))
+    for images, energies, label in data:
+        s = reaction_coordinate(images)
+        if x_scale and s[-1] > 0:
+            s = s / s[-1]
+        markers = ax.plot(s, energies, marker="o", ls="none")[0]
+        # endpoints are minima: clamp the guide curve to zero slope there
+        guide = CubicSpline(s, energies, bc_type="clamped")
+        dense = np.linspace(s[0], s[-1], 120)
+        ax.plot(dense, guide(dense), ls="--", color=markers.get_color(),
+                label=label)
 
-    x1, x2 = plt.xlim()
-    plt.xlim(x1, x2 * 1.1)
-    plt.gca().yaxis.set_major_locator(MaxNLocator(max_yticks))
-    plt.xlabel("Reaction Coordinates", fontsize=fontsize)
-    plt.ylabel(f"Energy ({unit})", fontsize=fontsize)
-    plt.title(title, fontsize=fontsize * 1.1)
-    plt.legend(fontsize=fontsize, frameon=False, loc=1)
-    plt.tight_layout()
-    plt.savefig(figname, dpi=300)
-    plt.close()
+    ax.margins(x=0.08)
+    ax.yaxis.set_major_locator(MaxNLocator(max_yticks))
+    ax.set_xlabel("Reaction Coordinates", fontsize=fontsize)
+    ax.set_ylabel(f"Energy ({unit})", fontsize=fontsize)
+    ax.set_title(title, fontsize=fontsize * 1.1)
+    ax.legend(fontsize=fontsize, frameon=False, loc="upper right")
+    fig.tight_layout()
+    fig.savefig(figname, dpi=300)
+    plt.close(fig)
 
 
 def plot_progress(trajectory, calc, N_images, start=0, interval=50,
                   figname="neb-process.png"):
-    """Parse NEB convergence from a trajectory (NEB.py:194-233)."""
+    """Overlay the NEB path at successive optimizer snapshots from a
+    trajectory file (convergence-progress figure; endpoints pinned to the
+    stored training energies like neb_calc does)."""
     from .io import read
 
-    traj = read(trajectory, index=":")
-    N_max = len(traj) // N_images
+    frames = read(trajectory, index=":")
+    n_snap = len(frames) // N_images
+    gp = calc.parameters.ff
     data = []
-    for step in range(start, N_max, interval):
-        print(f"Processing step {step} of {N_max}")
-        images = traj[step * N_images:(step + 1) * N_images]
-        engs = []
-        for i, image in enumerate(images):
-            if i in (0, len(images) - 1):
-                eng = calc.parameters.ff.train_y["energy"][i] * len(image)
-            else:
-                image.calc = calc
-                eng = image.get_potential_energy()
-            engs.append(eng)
-        data.append((images, engs, f"NEB_iter_{step}"))
+    for snap in range(start, n_snap, interval):
+        print(f"Processing step {snap} of {n_snap}")
+        chain = frames[snap * N_images:(snap + 1) * N_images]
+        energies = np.empty(len(chain))
+        energies[0] = gp.train_y["energy"][0] * len(chain[0])
+        energies[-1] = gp.train_y["energy"][N_images - 1] * len(chain[-1])
+        for image in chain[1:-1]:
+            image.calc = calc
+        energies[1:-1] = [im.get_potential_energy() for im in chain[1:-1]]
+        data.append((chain, energies, f"NEB_iter_{snap}"))
     plot_path(data, figname=figname)

@@ -45,3 +45,46 @@ def chol_append(L: jnp.ndarray, B: jnp.ndarray,
 @jax.jit
 def chol_solve_lower(L: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return jax.scipy.linalg.cho_solve((L, True), y)
+
+
+@jax.jit
+def chol_append_update(L0: jnp.ndarray, Kinv0: jnp.ndarray,
+                       B: jnp.ndarray, C: jnp.ndarray, y: jnp.ndarray):
+    """One-shot device program for an incremental refit: extend the factor,
+    Schur-update the explicit inverse, and re-solve the weights.
+
+    This is the production opt=False path (GP._try_incremental_fit): the
+    whole update is O(n^2 k) on device with no host round-trip, vs the
+    reference's O(n^3) from-scratch refactorise per refit
+    (gaussianprocess.py:297).
+
+    Args:
+        L0:    (n, n) lower factor of K (insertion order)
+        Kinv0: (n, n) explicit inverse of K
+        B:     (n, k) cross covariance K(old, new)
+        C:     (k, k) new self block with noise added
+        y:     (n + k,) training labels in the extended insertion order
+    Returns:
+        (L_new, Kinv_new, alpha, lc_diag); lc_diag is the new block's
+        Cholesky diagonal -- non-finite or <= 0 entries signal a
+        not-positive-definite extension (caller falls back to a full
+        refactorisation).
+    """
+    n = L0.shape[0]
+    k = C.shape[0]
+    S = jax.scipy.linalg.solve_triangular(L0, B, lower=True)    # (n, k)
+    schur = C - S.T @ S
+    Lc = jnp.linalg.cholesky(schur)
+    top = jnp.concatenate([L0, jnp.zeros((n, k), L0.dtype)], axis=1)
+    bot = jnp.concatenate([S.T, Lc], axis=1)
+    L_new = jnp.concatenate([top, bot], axis=0)
+
+    T = Kinv0 @ B                                               # (n, k)
+    Qinv = jax.scipy.linalg.cho_solve(
+        (Lc, True), jnp.eye(k, dtype=L0.dtype))
+    top_inv = jnp.concatenate([Kinv0 + T @ Qinv @ T.T, -T @ Qinv], axis=1)
+    bot_inv = jnp.concatenate([-(T @ Qinv).T, Qinv], axis=1)
+    Kinv_new = jnp.concatenate([top_inv, bot_inv], axis=0)
+
+    alpha = jax.scipy.linalg.cho_solve((L_new, True), y)
+    return L_new, Kinv_new, alpha, jnp.diagonal(Lc)
