@@ -1,5 +1,5 @@
 from .base import Calculator  # noqa
-from .lj import LJ  # noqa
+from .lj import LJ, LennardJones  # noqa
 from .emt import EMT  # noqa
 
 

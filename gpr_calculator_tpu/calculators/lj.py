@@ -10,6 +10,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..atoms.neighborlist import neighbor_pairs
+from .base import Calculator
 
 
 def full_3x3_to_voigt_6_stress(stresses):
@@ -70,3 +71,20 @@ class LJ:
         else:
             stress = None
         return energies.sum(), forces, stress
+
+
+class LennardJones(Calculator):
+    """ASE-style calculator facade over LJ (usable as a dispatcher base
+    calculator for species outside the EMT parameter table)."""
+    name = "lj"
+    implemented_properties = ["energy", "forces", "stress"]
+
+    def __init__(self, parameters=None, **kwargs):
+        super().__init__(**kwargs)
+        self._lj = LJ(parameters)
+
+    def calculate(self, atoms=None, properties=("energy", "forces"),
+                  system_changes=None):
+        energy, forces, stress = self._lj.calculate(atoms)
+        self.results = {"energy": energy, "forces": forces,
+                        "stress": stress}
