@@ -109,25 +109,43 @@ def _factorize(e: EnergyData, f: ForceData, y, params, noise_e, noise_f,
     return L, alpha, K_inv
 
 
+def _cast_floats(tree, dt):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dt)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("kind", "zeta", "return_std",
-                                    "row_chunk"))
+                                    "row_chunk", "mixed"))
 def _predict_packed(pe: EnergyData, pf: ForceData, te: EnergyData,
                     tf: ForceData, params, alpha, K_inv,
                     kind: str, zeta: int, return_std: bool,
-                    row_chunk: int = 0):
+                    row_chunk: int = 0, mixed: bool = False):
     """Cross covariance + GEMV (+ variance) in one device program
     (replaces predict_structure's kernel/GEMV/variance chain,
-    gaussianprocess.py:873-911)."""
-    Kt = K_ops.k_block(pe, pf, te, tf, params, kind, zeta,
-                       row_chunk=row_chunk)
+    gaussianprocess.py:873-911).
+
+    mixed=True serves f64 models with an f32 cross-covariance build (the
+    O(n_train x n_pred) env-pair hot loop -- the part that is ~25x slower
+    under f64 emulation on TPU) and an f64 GEMV/variance tail against the
+    f64 alpha/K_inv.  The kernel entries carry ~1e-7 relative error, far
+    below GPR noise floors; parity vs the full-f64 path is asserted in
+    tests/test_mixed_serving.py."""
+    if mixed:
+        pe32, pf32, te32, tf32, params32 = _cast_floats(
+            (pe, pf, te, tf, params), jnp.float32)
+    else:
+        pe32, pf32, te32, tf32, params32 = pe, pf, te, tf, params
+    Kt = K_ops.k_block(pe32, pf32, te32, tf32, params32, kind, zeta,
+                       row_chunk=row_chunk).astype(alpha.dtype)
     mean = Kt @ alpha
     if not return_std:
         return mean, None
     diag = jnp.concatenate([
-        K_ops.diag_energy(pe, params, kind, zeta),
-        K_ops.diag_force(pf, params, kind, zeta).reshape(-1),
-    ])
+        K_ops.diag_energy(pe32, params32, kind, zeta),
+        K_ops.diag_force(pf32, params32, kind, zeta).reshape(-1),
+    ]).astype(alpha.dtype)
     var = diag - jnp.einsum("ij,ij->i", Kt @ K_inv, Kt)
     var = jnp.maximum(var, 0.0)          # clamp (gaussianprocess.py:371-375)
     return mean, jnp.sqrt(var)
@@ -173,10 +191,16 @@ class GP:
     def __init__(self, kernel=None, descriptor=None, base_potential=None,
                  noise_e=0.005, noise_f=0.1, f_coef=10,
                  log_file: str = "gpr.log", row_chunk: int = 0,
-                 mesh=None):
+                 mesh=None, serve_precision: str = "auto"):
         """mesh: optional jax.sharding.Mesh; training blocks are placed
         with the force-point (kernel-row) axis sharded over it, replacing
-        the reference's MPI row decompositions (SURVEY.md P1-P5)."""
+        the reference's MPI row decompositions (SURVEY.md P1-P5).
+
+        serve_precision: "auto" (mixed f32 kernel build + f64 solve tail
+        on accelerators, full f64 on CPU), "mixed", or "f64".  Mixed
+        serving makes legacy sub-mEV-noise artifacts (e.g. the bundled
+        pd4-RBF model) serveable on TPU without the ~25x f64-emulation
+        penalty; GPR_CALC_TPU_SERVE overrides."""
         self.log_file = log_file
         logging.getLogger().handlers.clear()
         logging.basicConfig(level=logging.INFO,
@@ -201,6 +225,7 @@ class GP:
         self.base_potential = base_potential
         self.row_chunk = row_chunk
         self.mesh = mesh
+        self.serve_precision = serve_precision
 
         # host-side ragged training store
         self._energy_pts: List[Tuple[np.ndarray, np.ndarray]] = []
@@ -592,6 +617,35 @@ class GP:
             raise RuntimeError("model is not fitted")
         return self._fit_snapshot
 
+    def _mixed_error_estimate(self) -> float:
+        """Predicted |mean| error (eV/atom) of mixed serving: the f32
+        kernel rows carry ~1e-7 relative rounding, amplified through the
+        GEMV by ||alpha||_1 (measured scaling, tests/test_mixed_serving)."""
+        if self.alpha_ is None:
+            return np.inf
+        key = id(self.alpha_)
+        cached = getattr(self, "_alpha_l1", None)
+        if cached is None or cached[0] != key:
+            cached = (key, float(jnp.abs(self.alpha_).sum()))
+            self._alpha_l1 = cached
+        sigma = float(self.kernel.parameters()[0])
+        return 1.2e-7 * sigma ** 2 * cached[1]
+
+    def _serve_mixed(self) -> bool:
+        if config.dtype() != jnp.float64:
+            return False
+        sp = os.environ.get("GPR_CALC_TPU_SERVE", self.serve_precision)
+        if sp == "mixed":
+            return True
+        if sp in ("f64", "full"):
+            return False
+        # auto: fast path only where its rounding error is safely below
+        # the model's own energy noise floor -- tight-noise legacy
+        # artifacts (pd4-class) stay on exact f64 automatically
+        if jax.default_backend() == "cpu":
+            return False
+        return self._mixed_error_estimate() < 0.5 * self.noise_e
+
     def _predict_points(self, energy_pts, force_pts, return_std=False,
                         total_E=False):
         """Predict means (and stds) for explicit descriptor points.
@@ -613,7 +667,7 @@ class GP:
         mean, std = _predict_packed(
             pe, pf, te, tf, self.kernel.jax_params(), self.alpha_,
             self._K_inv, self.kernel.kind, self.kernel.zeta,
-            return_std, self.row_chunk)
+            return_std, self.row_chunk, self._serve_mixed())
         mean = np.asarray(mean)
         nE, nF = len(energy_pts), len(force_pts)
         mean_e = mean[:nE]
@@ -713,7 +767,7 @@ class GP:
         mean, std = _predict_packed(
             pe, pf, te, tf, self.kernel.jax_params(), self.alpha_,
             self._K_inv, self.kernel.kind, self.kernel.zeta, return_std,
-            self.row_chunk)
+            self.row_chunk, self._serve_mixed())
         mean = np.asarray(mean)
         ncart = 9 if stress else 3
         E = mean[0] * n_atoms
@@ -848,7 +902,7 @@ class GP:
         mean, std = _predict_packed(
             pe, pf, te, tf, self.kernel.jax_params(), self.alpha_,
             self._K_inv, self.kernel.kind, self.kernel.zeta, return_std,
-            self.row_chunk)
+            self.row_chunk, self._serve_mixed())
         mean = np.asarray(mean)
         if return_std:
             std = np.asarray(std)

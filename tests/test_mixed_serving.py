@@ -1,0 +1,102 @@
+"""Mixed-precision serving: f32 cross-covariance + f64 solve tail.
+
+The f32 kernel rows carry ~1e-7 relative rounding that the GEMV amplifies
+by ||alpha||_1, so accuracy is noise-floor-relative, not absolute.  The
+"auto" mode must therefore (a) serve healthy-noise production models on
+the fast path within their noise floor, and (b) keep tight-noise legacy
+artifacts (pd4-class) on exact f64.
+"""
+import numpy as np
+import pytest
+
+from gpr_calculator_tpu.calculators import EMT
+from gpr_calculator_tpu.models import GP, RBF
+from gpr_calculator_tpu.ops.so3 import SO3
+
+from test_gp import make_structs
+
+
+def _fit_gp(noise_e, noise_f, seed=61):
+    structs = make_structs(n=5, natoms=5, seed=seed)
+    calc = EMT()
+    gp = GP(kernel=RBF(para=[1.2, 0.9]),
+            descriptor=SO3(nmax=2, lmax=2, rcut=4.0),
+            noise_e=noise_e, noise_f=noise_f, log_file="/tmp/mixed.log")
+    for s in structs:
+        gp.add_structure((s, calc.get_potential_energy(s),
+                          calc.get_forces(s)))
+    gp.fit(show=False, opt=False)
+    return gp, structs
+
+
+@pytest.fixture(scope="module")
+def healthy_gp():
+    return _fit_gp(noise_e=5e-3, noise_f=5e-2)
+
+
+@pytest.fixture(scope="module")
+def tight_gp():
+    return _fit_gp(noise_e=2.5e-4, noise_f=2.5e-3)
+
+
+def test_mixed_within_noise_floor_healthy(healthy_gp):
+    gp, structs = healthy_gp
+    s = structs[0]
+    gp.serve_precision = "f64"
+    E0, F0, _, Es0, Fs0 = gp.predict_structure(s, return_std=True)
+    gp.serve_precision = "mixed"
+    assert gp._serve_mixed()
+    E1, F1, _, Es1, Fs1 = gp.predict_structure(s, return_std=True)
+    gp.serve_precision = "auto"
+
+    natoms = len(s)
+    assert abs(E1 - E0) < 0.5 * natoms * gp.noise_e, abs(E1 - E0)
+    assert np.abs(F1 - F0).max() < 0.2 * gp.noise_f
+    assert abs(Es1 - Es0) < 0.2 * gp.noise_e * natoms
+    assert np.abs(Fs1 - Fs0).max() < 0.2 * gp.noise_f
+
+
+def test_error_estimate_calibrated(healthy_gp, tight_gp):
+    """The auto-mode error estimate must upper-bound (within 10x) and not
+    wildly overshoot the measured mixed-vs-f64 energy error."""
+    for gp, structs in (healthy_gp, tight_gp):
+        s = structs[0]
+        gp.serve_precision = "f64"
+        E0 = gp.predict_structure(s)[0]
+        gp.serve_precision = "mixed"
+        E1 = gp.predict_structure(s)[0]
+        gp.serve_precision = "auto"
+        measured = abs(E1 - E0) / len(s)          # eV/atom
+        est = gp._mixed_error_estimate()
+        assert measured < 10 * est, (measured, est)
+
+
+def test_auto_protects_tight_noise_models(tight_gp, monkeypatch):
+    """Even on an accelerator backend, auto must refuse the fast path for
+    pd4-class noise floors (estimated error above the floor)."""
+    gp, _ = tight_gp
+    import gpr_calculator_tpu.models.gp as gpmod
+    monkeypatch.setattr(gpmod.jax, "default_backend", lambda: "tpu")
+    assert gp.serve_precision == "auto"
+    assert not gp._serve_mixed()
+    assert gp._mixed_error_estimate() > 0.5 * gp.noise_e
+
+
+def test_auto_serves_healthy_models_mixed(healthy_gp, monkeypatch):
+    gp, _ = healthy_gp
+    import gpr_calculator_tpu.models.gp as gpmod
+    monkeypatch.setattr(gpmod.jax, "default_backend", lambda: "tpu")
+    assert gp._serve_mixed()
+
+
+def test_auto_is_full_f64_on_cpu(healthy_gp):
+    gp, _ = healthy_gp
+    assert not gp._serve_mixed()     # tests run on the CPU backend
+
+
+def test_mixed_env_override(tight_gp, monkeypatch):
+    gp, _ = tight_gp
+    monkeypatch.setenv("GPR_CALC_TPU_SERVE", "mixed")
+    assert gp._serve_mixed()
+    monkeypatch.setenv("GPR_CALC_TPU_SERVE", "f64")
+    assert not gp._serve_mixed()
