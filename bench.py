@@ -120,7 +120,7 @@ def bench_tpu():
     # vs 9.0 s for the chunked-XLA path at the 10k workload.  Its cold
     # compile is slow (~9 min) but the terminal-side compile cache
     # persists across processes; 'xla' remains the fallback.
-    impls = os.environ.get("GPR_BENCH_IMPLS", "sym").split(",")
+    impls = os.environ.get("GPR_BENCH_IMPLS", "sym,pallas").split(",")
     results = {}
     for impl in impls:
         try:
@@ -133,8 +133,25 @@ def bench_tpu():
     if not results:
         # fall back to the plain XLA path
         results["xla"] = timed("xla")
-    best = min(results.values(), key=lambda t: t[0])
-    return best
+    best_impl = min(results, key=lambda k: results[k][0])
+    return results[best_impl] + (best_impl,)
+
+
+def workload_flops():
+    """Algorithmic FLOPs of one fit call (implementation-independent:
+    rectangular low-rank-Hessian K_FF build + Cholesky), for the MFU line."""
+    n_env_f = M_F * B_F
+    n_env_e = M_E * A_E
+    d = D
+    # K_FF: per env pair, 4 d-contractions over {u,J} blocks (2*16*d) plus
+    # ~8 assembly ops on the 3x3 block
+    f_ff = n_env_f ** 2 * (32 * d + 72)
+    # K_EF: env-pair kernel + d-contraction for the gradient row
+    f_ef = 2 * n_env_e * n_env_f * (8 * d + 10)
+    f_ee = n_env_e ** 2 * (2 * d + 10)
+    n_rows = M_E + 3 * M_F
+    f_chol = n_rows ** 3 / 3
+    return f_ff + f_ef + f_ee + f_chol
 
 
 # ---------------------------------------------------------------------------
@@ -208,8 +225,11 @@ def bench_reference_cpp():
         return None
 
 
+PEAK_F32_TFLOPS = 49.2   # v5e MXU, fp32 passes (bf16 peak 197 / 4)
+
+
 def main():
-    our_ms, compile_s = bench_tpu()
+    our_ms, compile_s, impl = bench_tpu()
     baseline_single_ms = bench_reference_cpp()
     if baseline_single_ms is not None:
         baseline_ms = baseline_single_ms / N_RANKS_BASELINE
@@ -217,16 +237,25 @@ def main():
     else:
         baseline_ms = None
         vs = None
+    flops = workload_flops()
+    tflops = flops / (our_ms * 1e-3) / 1e12
+    mfu = tflops / PEAK_F32_TFLOPS
     print(f"# workload: K=({M_E}+3*{M_F})^2, d={D}, envs/pt={A_E}/{B_F}; "
           f"compile+first={compile_s:.1f}s; "
           f"ref-C++ single-core={baseline_single_ms and round(baseline_single_ms)} ms, "
           f"64-rank-ideal={baseline_ms and round(baseline_ms)} ms",
           file=sys.stderr)
+    print(f"# impl={impl}: {flops/1e12:.2f} TFLOP/fit, "
+          f"{tflops:.2f} TFLOP/s achieved, MFU={100*mfu:.1f}% of f32 peak "
+          f"({PEAK_F32_TFLOPS} TF)", file=sys.stderr)
     print(json.dumps({
         "metric": "kernel_build_plus_cholesky_ms_per_fit_10k",
         "value": round(our_ms, 1),
         "unit": "ms",
         "vs_baseline": round(vs, 1) if vs else None,
+        "impl": impl,
+        "achieved_tflops": round(tflops, 2),
+        "mfu_f32_pct": round(100 * mfu, 1),
     }))
 
 

@@ -464,10 +464,26 @@ def k_self(e: EnergyData, f: ForceData, params, kind: str = "rbf",
     """
     K_ee = kee(e, e, params, kind, zeta, row_chunk=row_chunk)
     K_ef = kef(e, f, params, kind, zeta, row_chunk=row_chunk)
-    if symmetric and row_chunk:
+    if _use_pallas_kff(f, kind):
+        from .kff_pallas import kff_pallas
+        K_ff = kff_pallas(f, f, params, zeta=zeta)
+    elif symmetric and row_chunk:
         K_ff = kff_self(f, params, kind, zeta, point_chunk=row_chunk)
     else:
         K_ff = kff(f, f, params, kind, zeta, row_chunk=row_chunk)
     top = jnp.concatenate([K_ee, K_ef], axis=1)
     bot = jnp.concatenate([K_ef.T, K_ff], axis=1)
     return jnp.concatenate([top, bot], axis=0)
+
+
+def _use_pallas_kff(f: ForceData, kind: str) -> bool:
+    """Production opt-in for the fused Pallas K_FF (GPR_CALC_TPU_KFF=
+    pallas): f32 RBF on a TPU backend with 3 cart columns and d <= 128
+    (the f64 tight-noise path keeps the XLA build -- the Pallas kernel
+    computes in f32)."""
+    import os
+    if os.environ.get("GPR_CALC_TPU_KFF", "") != "pallas":
+        return False
+    return (kind == "rbf" and f.x.dtype == jnp.float32
+            and f.dxdr.shape[3] == 3 and f.x.shape[2] <= 128
+            and jax.default_backend() in ("tpu", "axon"))
