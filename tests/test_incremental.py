@@ -137,12 +137,16 @@ def test_incremental_update_beats_refactorise_wallclock():
     out_full = full(Kj, yj)
     jax.block_until_ready(out_full)
 
-    t0 = time.monotonic()
-    jax.block_until_ready(chol_append_update(L0, Kinv0, B, C, yj))
-    t_inc = time.monotonic() - t0
-    t0 = time.monotonic()
-    jax.block_until_ready(full(Kj, yj))
-    t_full = time.monotonic() - t0
+    def best_of(fn, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.monotonic()
+            jax.block_until_ready(fn())
+            ts.append(time.monotonic() - t0)
+        return min(ts)
+
+    t_inc = best_of(lambda: chol_append_update(L0, Kinv0, B, C, yj))
+    t_full = best_of(lambda: full(Kj, yj))
     assert t_inc < 0.5 * t_full, (t_inc, t_full)
 
     # and it is exact: alpha matches the from-scratch solve
