@@ -16,11 +16,15 @@ Design (one grid cell = TP1 lhs points x TP2 rhs points, B envs each):
     A(c), B(c) per-pair coefficients                      (VPU)
     env_uv = A (M_uv - P1_u q2_v - q1_u P2_v + c q1_u q2_v)
              + B (P1_u - c q1_u)(P2_v - c q2_v)           (VPU, in VMEM)
-    blk_uv = S1 env_uv S2                -- env -> point sums (MXU)
-    out_uv[:, cols(s)] += blk_uv E_s     -- accumulated across the s dim
+    lhs env -> point: sublane reshape-sum (VPU), planes stacked in one
+    VMEM scratch; rhs env -> point: ONE dense k=t2 matmul for all nine
+    planes; sub-tile columns scattered into the 128-wide output blocks
+    with a tiled VPU mask and accumulated across the s grid dim.
 
 The single k=128 contraction replaces the 22 thin (k=30) matmuls of the
-previous revision, whose per-matmul MXU latency capped it at ~0.34 TF/s.
+first revision (per-matmul MXU latency capped it at ~0.34 TF/s), and the
+stacked reduction replaces that revision's 27 small reduction matmuls
+per cell.
 
 Mathematical spec: rbf_kff_many (gpr_calc/kernels/rbf_kernel.cpp:342-473)
 == ops/kernels.py kff (parity asserted in tests/test_kff_pallas.py).
@@ -60,12 +64,14 @@ def _rhs_tile_points(B2: int) -> int:
 def _kff_kernel(sig2_ref, inv2l2_ref,
                 x1_ref, q1_ref, re1_ref,
                 x2_ref, q2_ref, re2_ref,
-                s1_ref, s2_ref, esel_ref,
-                *out_refs, zeta: int, t1: int, t2: int):
+                s2_ref,
+                *refs, zeta: int, t1: int, t2: int, b1: int, tp2: int):
     f32 = jnp.float32
+    out_refs, (acc_ref,) = refs[:9], refs[9:]
     sigma2 = sig2_ref[0, 0]
     inv2l2 = inv2l2_ref[0, 0]
     s = pl.program_id(2)
+    nsub = pl.num_programs(2)
 
     X1 = x1_ref[:].reshape(4 * t1, D_LANES)
     X2 = x2_ref[:].reshape(4 * t2, D_LANES)
@@ -94,33 +100,51 @@ def _kff_kernel(sig2_ref, inv2l2_ref,
     B = (dk_dD * (zeta * (zeta - 1) * dm2 + zd1 * zd1 * inv2l2)
          * rr * same)
 
-    S1 = s1_ref[:]                              # (TP1, t1)
-    S2 = s2_ref[:]                              # (t2, TP2)
-    E = esel_ref[0]                             # (TP2, TPC) col selector
-    first = s == 0
+    # assemble the nine env planes, pre-reduced over the lhs env axis
+    # (sublane reshape-sum -- VPU), stacked in one scratch accumulator so
+    # the rhs env reduction is a SINGLE k=t2 matmul per cell instead of
+    # 27 latency-bound small MXU ops
+    t2v = [None] * 3
+    for v in range(3):
+        P2v = G[:t1, (1 + v) * t2:(2 + v) * t2]
+        q2v = q2_ref[v][None, :]
+        t2v[v] = (P2v, P2v - c * q2v, q2v)
+    tp1 = t1 // b1
     for u in range(3):
         P1u = G[(1 + u) * t1:(2 + u) * t1, :t2]
         q1u = q1_ref[:, u][:, None]             # (t1, 1)
-        L1u = P1u - c * q1u
+        BL1u = B * (P1u - c * q1u)
         Aq1 = A * q1u
+        AP1c = A * P1u - c * Aq1
         for v in range(3):
-            P2v = G[:t1, (1 + v) * t2:(2 + v) * t2]
+            P2v, L2v, q2v = t2v[v]
             Muv = G[(1 + u) * t1:(2 + u) * t1, (1 + v) * t2:(2 + v) * t2]
-            q2v = q2_ref[v][None, :]            # (1, t2)
-            env = (A * Muv - (A * P1u) * q2v - Aq1 * P2v
-                   + (c * Aq1) * q2v + B * L1u * (P2v - c * q2v))
-            tmp = jnp.dot(env, S2, preferred_element_type=f32)  # (t1,TP2)
-            blk = jnp.dot(S1, tmp, preferred_element_type=f32)  # (TP1,TP2)
-            cols = jnp.dot(blk, E, preferred_element_type=f32)  # (TP1,TPC)
-            ref = out_refs[u * 3 + v]
+            env = A * Muv - AP1c * q2v - Aq1 * P2v + BL1u * L2v
+            # row (lhs env -> point) reduction on the VPU
+            acc_ref[(u * 3 + v) * tp1:(u * 3 + v + 1) * tp1, :] = (
+                env.reshape(tp1, b1, t2).sum(axis=1))
 
-            @pl.when(first)
-            def _(ref=ref, cols=cols):
-                ref[:] = cols
+    # rhs env -> point reduction: one dense k=t2 contraction
+    red = jnp.dot(acc_ref[:], s2_ref[:],
+                  preferred_element_type=f32)   # (9*tp1, tp2)
+    # scatter the tp2 columns of sub-tile s into the TPC-wide output
+    # blocks with a tiled mask (VPU only -- no per-plane MXU op)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tp1, TPC), 1)
+    mask = (lane // tp2 == s).astype(f32)
+    ncopy = TPC // tp2
+    first = s == 0
+    for uv in range(9):
+        blk = red[uv * tp1:(uv + 1) * tp1, :]
+        tiled = jnp.concatenate([blk] * ncopy, axis=1) * mask
+        ref = out_refs[uv]
 
-            @pl.when(jnp.logical_not(first))
-            def _(ref=ref, cols=cols):
-                ref[:] = ref[:] + cols
+        @pl.when(first)
+        def _(ref=ref, tiled=tiled):
+            ref[:] = tiled
+
+        @pl.when(jnp.logical_not(first))
+        def _(ref=ref, tiled=tiled):
+            ref[:] = ref[:] + tiled
 
 
 def _pad_points(f: ForceData, multiple: int) -> ForceData:
@@ -177,14 +201,10 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
     X1, q1, re1 = _prep(f1)
     X2, q2, re2 = _prep(f2)
 
-    # env -> point one-hot maps and the column selector of each sub-tile
-    S1 = np.kron(np.eye(TP1, dtype=np.float32),
-                 np.ones((1, B1), np.float32))           # (TP1, t1)
+    # rhs env -> point one-hot reduction map (the lhs reduction is a
+    # sublane reshape-sum inside the kernel)
     S2 = np.kron(np.eye(tp2, dtype=np.float32),
                  np.ones((1, B2), np.float32)).T         # (t2, tp2)
-    E = np.zeros((nsub, tp2, TPC), np.float32)
-    for s in range(nsub):
-        E[s, :, s * tp2:(s + 1) * tp2] = np.eye(tp2)
 
     grid = (m1 // TP1, m2 // TPC, nsub)
     N1, N2 = m1 * B1, m2 * B2
@@ -193,7 +213,8 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
     # i64 grid indices, which Mosaic cannot legalize.
     with jax.enable_x64(False):
         outs = pl.pallas_call(
-            functools.partial(_kff_kernel, zeta=zeta, t1=t1, t2=t2),
+            functools.partial(_kff_kernel, zeta=zeta, t1=t1, t2=t2,
+                              b1=B1, tp2=tp2),
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -208,15 +229,14 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
                              lambda i, j, s, n=nsub: (0, j * n + s)),
                 pl.BlockSpec((2, t2),
                              lambda i, j, s, n=nsub: (0, j * n + s)),
-                pl.BlockSpec((TP1, t1), lambda i, j, s: (0, 0)),
                 pl.BlockSpec((t2, tp2), lambda i, j, s: (0, 0)),
-                pl.BlockSpec((1, tp2, TPC), lambda i, j, s: (s, 0, 0)),
             ],
             out_specs=tuple(
                 pl.BlockSpec((TP1, TPC), lambda i, j, s: (i, j))
                 for _ in range(9)),
             out_shape=tuple(jax.ShapeDtypeStruct((m1, m2), f32)
                             for _ in range(9)),
+            scratch_shapes=[pltpu.VMEM((9 * TP1, t2), jnp.float32)],
             interpret=interpret,
         )(
             jnp.asarray(params["sigma"], f32).reshape(1, 1) ** 2,
@@ -225,7 +245,7 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
             q1, re1.T,
             X2.reshape(4, N2 // t2, t2, D_LANES),
             q2.T, re2,
-            jnp.asarray(S1), jnp.asarray(S2), jnp.asarray(E),
+            jnp.asarray(S2),
         )
     out = jnp.stack(outs, axis=0).reshape(3, 3, m1, m2)
     out = out.transpose(2, 0, 3, 1).reshape(m1 * 3, m2 * 3)
