@@ -82,7 +82,7 @@ def bench_tpu():
         K_ee = K_ops.kee(e, e, params, "rbf", 2, row_chunk=ROW_CHUNK)
         K_ef = K_ops.kef(e, f, params, "rbf", 2, row_chunk=ROW_CHUNK)
         if impl == "pallas":
-            K_ff = kff_pallas(f, f, params, zeta=2)
+            K_ff = kff_pallas(f, f, params, zeta=2, symmetric=True)
         elif impl == "sym":
             K_ff = K_ops.kff_self(f, params, "rbf", 2,
                                   point_chunk=sym_chunk)

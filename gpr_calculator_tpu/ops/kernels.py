@@ -466,7 +466,7 @@ def k_self(e: EnergyData, f: ForceData, params, kind: str = "rbf",
     K_ef = kef(e, f, params, kind, zeta, row_chunk=row_chunk)
     if _use_pallas_kff(f, kind):
         from .kff_pallas import kff_pallas
-        K_ff = kff_pallas(f, f, params, zeta=zeta)
+        K_ff = kff_pallas(f, f, params, zeta=zeta, symmetric=True)
     elif symmetric and row_chunk:
         K_ff = kff_self(f, params, kind, zeta, point_chunk=row_chunk)
     else:

@@ -61,17 +61,12 @@ def _rhs_tile_points(B2: int) -> int:
     return tp2
 
 
-def _kff_kernel(sig2_ref, inv2l2_ref,
-                x1_ref, q1_ref, re1_ref,
-                x2_ref, q2_ref, re2_ref,
-                s2_ref,
-                *refs, zeta: int, t1: int, t2: int, b1: int, tp2: int):
+def _kff_body(sigma2, inv2l2, s, first,
+              x1_ref, q1_ref, re1_ref,
+              x2_ref, q2_ref, re2_ref,
+              s2_ref, out_refs, acc_ref,
+              zeta: int, t1: int, t2: int, b1: int, tp2: int):
     f32 = jnp.float32
-    out_refs, (acc_ref,) = refs[:9], refs[9:]
-    sigma2 = sig2_ref[0, 0]
-    inv2l2 = inv2l2_ref[0, 0]
-    s = pl.program_id(2)
-    nsub = pl.num_programs(2)
 
     X1 = x1_ref[:].reshape(4 * t1, D_LANES)
     X2 = x2_ref[:].reshape(4 * t2, D_LANES)
@@ -132,7 +127,6 @@ def _kff_kernel(sig2_ref, inv2l2_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (tp1, TPC), 1)
     mask = (lane // tp2 == s).astype(f32)
     ncopy = TPC // tp2
-    first = s == 0
     for uv in range(9):
         blk = red[uv * tp1:(uv + 1) * tp1, :]
         tiled = jnp.concatenate([blk] * ncopy, axis=1) * mask
@@ -145,6 +139,57 @@ def _kff_kernel(sig2_ref, inv2l2_ref,
         @pl.when(jnp.logical_not(first))
         def _(ref=ref, tiled=tiled):
             ref[:] = ref[:] + tiled
+
+
+def _kff_kernel(sig2_ref, inv2l2_ref,
+                x1_ref, q1_ref, re1_ref,
+                x2_ref, q2_ref, re2_ref,
+                s2_ref,
+                *refs, zeta: int, t1: int, t2: int, b1: int, tp2: int):
+    out_refs, (acc_ref,) = refs[:9], refs[9:]
+    s = pl.program_id(2)
+    _kff_body(sig2_ref[0, 0], inv2l2_ref[0, 0], s, s == 0,
+              x1_ref, q1_ref, re1_ref, x2_ref, q2_ref, re2_ref,
+              s2_ref, out_refs, acc_ref, zeta, t1, t2, b1, tp2)
+
+
+def _kff_kernel_tri(cell_i, cell_j, cell_s, cell_first,
+                    sig2_ref, inv2l2_ref,
+                    x1_ref, q1_ref, re1_ref,
+                    x2_ref, q2_ref, re2_ref,
+                    s2_ref,
+                    *refs, zeta: int, t1: int, t2: int, b1: int, tp2: int):
+    """Triangular (self) schedule: the 1D grid enumerates only the cells
+    whose column sub-tile reaches the upper triangle; (i, j, s) and the
+    new-output-block flag come in as prefetched scalars."""
+    out_refs, (acc_ref,) = refs[:9], refs[9:]
+    c = pl.program_id(0)
+    _kff_body(sig2_ref[0, 0], inv2l2_ref[0, 0], cell_s[c],
+              cell_first[c] == 1,
+              x1_ref, q1_ref, re1_ref, x2_ref, q2_ref, re2_ref,
+              s2_ref, out_refs, acc_ref, zeta, t1, t2, b1, tp2)
+
+
+def _tri_cells(n_row_tiles, n_col_blocks, nsub, tp2):
+    """Upper-triangle cell enumeration: row tile i (TP1 pts) x column
+    sub-tile (j, s) (tp2 pts), kept when the sub-tile's last column
+    reaches the row tile's first row; s ascending within each (i, j) so
+    output-block revisits are consecutive."""
+    I, J, S, F = [], [], [], []
+    for i in range(n_row_tiles):
+        row_start = i * TP1
+        for j in range(n_col_blocks):
+            first = True
+            for s in range(nsub):
+                col_end = j * TPC + (s + 1) * tp2
+                if row_start < col_end:
+                    I.append(i)
+                    J.append(j)
+                    S.append(s)
+                    F.append(1 if first else 0)
+                    first = False
+    return (np.asarray(I, np.int32), np.asarray(J, np.int32),
+            np.asarray(S, np.int32), np.asarray(F, np.int32))
 
 
 def _pad_points(f: ForceData, multiple: int) -> ForceData:
@@ -178,19 +223,26 @@ def _prep(f: ForceData):
     return X, q.astype(f32), re
 
 
-@functools.partial(jax.jit, static_argnames=("zeta", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("zeta", "interpret", "symmetric"))
 def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
-               interpret: bool = False) -> jnp.ndarray:
+               interpret: bool = False,
+               symmetric: bool = False) -> jnp.ndarray:
     """RBF force-force block via the fused Pallas kernel, (3 m1, 3 m2).
 
     f1.dxdr must have 3 cartesian columns (the stress path stays on the
     XLA implementation) and the descriptor width must fit one lane tile
-    (d <= 128)."""
+    (d <= 128).  symmetric=True (f1 is f2, the training build) runs the
+    triangular schedule -- only cells reaching the upper triangle are
+    computed (~1.8x fewer) and the lower blocks are mirrored afterwards
+    (K_FF[(i,u),(j,v)] == K_FF[(j,v),(i,u)])."""
     f32 = jnp.float32
     m1_in, m2_in = f1.x.shape[0], f2.x.shape[0]
     assert f1.dxdr.shape[3] == 3 and f2.dxdr.shape[3] == 3
     assert f1.x.shape[2] <= D_LANES, "descriptor width > 128: use XLA kff"
-    f1 = _pad_points(f1, TP1)
+    if symmetric:
+        assert m1_in == m2_in and f1.x.shape[1] == f2.x.shape[1]
+    f1 = _pad_points(f1, TPC if symmetric else TP1)
     f2 = _pad_points(f2, TPC)
     m1, B1, d = f1.x.shape
     m2, B2, _ = f2.x.shape
@@ -208,45 +260,108 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
 
     grid = (m1 // TP1, m2 // TPC, nsub)
     N1, N2 = m1 * B1, m2 * B2
+    if symmetric:
+        cells = _tri_cells(m1 // TP1, m2 // TPC, nsub, tp2)
+
+    tensor_args = (
+        jnp.asarray(params["sigma"], f32).reshape(1, 1) ** 2,
+        (1.0 / (2.0 * jnp.asarray(params["l"], f32) ** 2)).reshape(1, 1),
+        X1.reshape(4, N1 // t1, t1, D_LANES),
+        q1, re1.T,
+        X2.reshape(4, N2 // t2, t2, D_LANES),
+        q2.T, re2,
+        jnp.asarray(S2),
+    )
+    out_shape = tuple(jax.ShapeDtypeStruct((m1, m2), f32)
+                      for _ in range(9))
+    scratch = [pltpu.VMEM((9 * TP1, t2), jnp.float32)]
 
     # Trace with x64 disabled: under x64 the BlockSpec index maps produce
     # i64 grid indices, which Mosaic cannot legalize.
     with jax.enable_x64(False):
-        outs = pl.pallas_call(
-            functools.partial(_kff_kernel, zeta=zeta, t1=t1, t2=t2,
-                              b1=B1, tp2=tp2),
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((4, 1, t1, D_LANES),
-                             lambda i, j, s: (0, i, 0, 0)),
-                pl.BlockSpec((t1, 3), lambda i, j, s: (i, 0)),
-                pl.BlockSpec((t1, 2), lambda i, j, s: (i, 0)),
-                pl.BlockSpec((4, 1, t2, D_LANES),
-                             lambda i, j, s, n=nsub: (0, j * n + s, 0, 0)),
-                pl.BlockSpec((3, t2),
-                             lambda i, j, s, n=nsub: (0, j * n + s)),
-                pl.BlockSpec((2, t2),
-                             lambda i, j, s, n=nsub: (0, j * n + s)),
-                pl.BlockSpec((t2, tp2), lambda i, j, s: (0, 0)),
-            ],
-            out_specs=tuple(
-                pl.BlockSpec((TP1, TPC), lambda i, j, s: (i, j))
-                for _ in range(9)),
-            out_shape=tuple(jax.ShapeDtypeStruct((m1, m2), f32)
-                            for _ in range(9)),
-            scratch_shapes=[pltpu.VMEM((9 * TP1, t2), jnp.float32)],
-            interpret=interpret,
-        )(
-            jnp.asarray(params["sigma"], f32).reshape(1, 1) ** 2,
-            (1.0 / (2.0 * jnp.asarray(params["l"], f32) ** 2)).reshape(1, 1),
-            X1.reshape(4, N1 // t1, t1, D_LANES),
-            q1, re1.T,
-            X2.reshape(4, N2 // t2, t2, D_LANES),
-            q2.T, re2,
-            jnp.asarray(S2),
-        )
-    out = jnp.stack(outs, axis=0).reshape(3, 3, m1, m2)
+        if not symmetric:
+            outs = pl.pallas_call(
+                functools.partial(_kff_kernel, zeta=zeta, t1=t1, t2=t2,
+                                  b1=B1, tp2=tp2),
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((4, 1, t1, D_LANES),
+                                 lambda i, j, s: (0, i, 0, 0)),
+                    pl.BlockSpec((t1, 3), lambda i, j, s: (i, 0)),
+                    pl.BlockSpec((t1, 2), lambda i, j, s: (i, 0)),
+                    pl.BlockSpec((4, 1, t2, D_LANES),
+                                 lambda i, j, s, n=nsub: (0, j * n + s,
+                                                          0, 0)),
+                    pl.BlockSpec((3, t2),
+                                 lambda i, j, s, n=nsub: (0, j * n + s)),
+                    pl.BlockSpec((2, t2),
+                                 lambda i, j, s, n=nsub: (0, j * n + s)),
+                    pl.BlockSpec((t2, tp2), lambda i, j, s: (0, 0)),
+                ],
+                out_specs=tuple(
+                    pl.BlockSpec((TP1, TPC), lambda i, j, s: (i, j))
+                    for _ in range(9)),
+                out_shape=out_shape,
+                scratch_shapes=scratch,
+                interpret=interpret,
+            )(*tensor_args)
+        else:
+            I, J, S, F = cells
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(len(I),),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((4, 1, t1, D_LANES),
+                                 lambda c, I, J, S, F: (0, I[c], 0, 0)),
+                    pl.BlockSpec((t1, 3),
+                                 lambda c, I, J, S, F: (I[c], 0)),
+                    pl.BlockSpec((t1, 2),
+                                 lambda c, I, J, S, F: (I[c], 0)),
+                    pl.BlockSpec((4, 1, t2, D_LANES),
+                                 lambda c, I, J, S, F, n=nsub:
+                                 (0, J[c] * n + S[c], 0, 0)),
+                    pl.BlockSpec((3, t2),
+                                 lambda c, I, J, S, F, n=nsub:
+                                 (0, J[c] * n + S[c])),
+                    pl.BlockSpec((2, t2),
+                                 lambda c, I, J, S, F, n=nsub:
+                                 (0, J[c] * n + S[c])),
+                    pl.BlockSpec((t2, tp2),
+                                 lambda c, I, J, S, F: (0, 0)),
+                ],
+                out_specs=tuple(
+                    pl.BlockSpec((TP1, TPC),
+                                 lambda c, I, J, S, F: (I[c], J[c]))
+                    for _ in range(9)),
+                scratch_shapes=scratch,
+            )
+            outs = pl.pallas_call(
+                functools.partial(_kff_kernel_tri, zeta=zeta, t1=t1,
+                                  t2=t2, b1=B1, tp2=tp2),
+                grid_spec=grid_spec,
+                out_shape=out_shape,
+                interpret=interpret,
+            )(jnp.asarray(I), jnp.asarray(J), jnp.asarray(S),
+              jnp.asarray(F), *tensor_args)
+
+    if symmetric:
+        # mirror the never-visited lower cells: plane (u,v) at (p, q)
+        # equals plane (v,u) at (q, p); "kept" reproduces _tri_cells.
+        # Per-plane 2D transposes only -- a 4D transpose of the stacked
+        # planes picks a tiling-hostile layout (42x padding, OOM).
+        p_idx = jnp.arange(m1)[:, None]
+        q_idx = jnp.arange(m2)[None, :]
+        kept = (TP1 * (p_idx // TP1)
+                < tp2 * (q_idx // tp2) + tp2)         # (m1, m2)
+        out = jnp.stack(
+            [jnp.where(kept, outs[u * 3 + v], outs[v * 3 + u].T)
+             for u in range(3) for v in range(3)], axis=0)
+    else:
+        out = jnp.stack(outs, axis=0)                 # (9, m1, m2)
+    out = out.reshape(3, 3, m1, m2)
     out = out.transpose(2, 0, 3, 1).reshape(m1 * 3, m2 * 3)
     return out[:3 * m1_in, :3 * m2_in].astype(f1.x.dtype)

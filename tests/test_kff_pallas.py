@@ -32,3 +32,15 @@ def test_kff_pallas_zeta3():
     ref = np.asarray(kernels.kff(f, f, PARAMS["rbf"], "rbf", 3))
     out = np.asarray(kff_pallas(f, f, _params32(), zeta=3, interpret=True))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-6)
+
+
+def test_kff_pallas_symmetric_matches_xla():
+    """Triangular self schedule + mirror assembly == full rectangular."""
+    pts = make_points(6, 4, 6)
+    f = pack_force(pts, m_pad=6, b_pad=4)
+    ref = np.asarray(kernels.kff(f, f, PARAMS["rbf"], "rbf", 2))
+    out = np.asarray(kff_pallas(f, f, _params32(), zeta=2,
+                                interpret=True, symmetric=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-6)
+    # and it is exactly symmetric after the mirror
+    np.testing.assert_allclose(out, out.T, rtol=0, atol=2e-5)

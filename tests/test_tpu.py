@@ -141,3 +141,19 @@ def test_incremental_update_on_tpu():
     got = _fetch(alpha)
     assert np.all(np.isfinite(_fetch(lcd)))
     np.testing.assert_allclose(got, ref, rtol=5e-2, atol=5e-4)
+
+
+@skip_off_tpu
+def test_kff_pallas_symmetric_compiled():
+    """Triangular self schedule vs XLA, compiled at bench-like shapes."""
+    import jax.numpy as jnp
+    from gpr_calculator_tpu.ops import kernels
+    from gpr_calculator_tpu.ops.kff_pallas import kff_pallas
+    _, f = _bench_like_data(m_f=64, seed=9)
+    params = {"sigma": jnp.asarray(1.7, jnp.float32),
+              "l": jnp.asarray(0.8, jnp.float32)}
+    ref = _fetch(kernels.kff(f, f, params, "rbf", 2))
+    out = _fetch(kff_pallas(f, f, params, zeta=2, symmetric=True))
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() < 5e-5 * scale
+    assert np.abs(out - out.T).max() < 5e-5 * scale
