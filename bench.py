@@ -64,7 +64,7 @@ def bench_tpu():
     jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
     from gpr_calculator_tpu.ops import kernels as K_ops
-    from gpr_calculator_tpu.ops.kff_pallas import kff_pallas
+    from gpr_calculator_tpu.ops.kff_pallas import kef_pallas, kff_pallas
     from gpr_calculator_tpu.models.gp import _noise_diag
 
     dtype = jnp.float32
@@ -80,13 +80,15 @@ def bench_tpu():
     @functools.partial(jax.jit, static_argnames=("impl",))
     def fit_call(e, f, y, params, impl="xla"):
         K_ee = K_ops.kee(e, e, params, "rbf", 2, row_chunk=ROW_CHUNK)
-        K_ef = K_ops.kef(e, f, params, "rbf", 2, row_chunk=ROW_CHUNK)
         if impl == "pallas":
+            K_ef = kef_pallas(e, f, params, zeta=2)
             K_ff = kff_pallas(f, f, params, zeta=2, symmetric=True)
         elif impl == "sym":
+            K_ef = K_ops.kef(e, f, params, "rbf", 2, row_chunk=ROW_CHUNK)
             K_ff = K_ops.kff_self(f, params, "rbf", 2,
                                   point_chunk=sym_chunk)
         else:
+            K_ef = K_ops.kef(e, f, params, "rbf", 2, row_chunk=ROW_CHUNK)
             K_ff = K_ops.kff(f, f, params, "rbf", 2, row_chunk=ROW_CHUNK)
         top = jnp.concatenate([K_ee, K_ef], axis=1)
         bot = jnp.concatenate([K_ef.T, K_ff], axis=1)

@@ -463,9 +463,9 @@ def k_self(e: EnergyData, f: ForceData, params, kind: str = "rbf",
     autodiff memory, so the LML objective keeps the plain path.
     """
     K_ee = kee(e, e, params, kind, zeta, row_chunk=row_chunk)
-    K_ef = kef(e, f, params, kind, zeta, row_chunk=row_chunk)
     if _use_pallas_kff(f, kind):
-        from .kff_pallas import kff_pallas
+        from .kff_pallas import kef_pallas, kff_pallas
+        K_ef = kef_pallas(e, f, params, zeta=zeta)
         K_ff = kff_pallas(f, f, params, zeta=zeta, symmetric=True)
     elif symmetric and row_chunk:
         K_ff = kff_self(f, params, kind, zeta, point_chunk=row_chunk)

@@ -365,3 +365,153 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
     out = out.reshape(3, 3, m1, m2)
     out = out.transpose(2, 0, 3, 1).reshape(m1 * 3, m2 * 3)
     return out[:3 * m1_in, :3 * m2_in].astype(f1.x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# energy-force block, same fused design (lhs carries only u)
+# ---------------------------------------------------------------------------
+
+def _kef_kernel(sig2_ref, inv2l2_ref,
+                u1_ref, w1_ref,
+                x2_ref, q2_ref, re2_ref,
+                s2_ref,
+                *refs, zeta: int, t1: int, t2: int, a1: int, tp2: int):
+    """K_EF = -(1/N_p) sum dk_dD z c^(z-1) (u1 - c u2)/r2 . J2v
+    (rbf_kernel.cpp:102-171 + the wrapper normalisation), fused like
+    _kff_body: one k=128 contraction, VPU assembly, stacked reduction."""
+    f32 = jnp.float32
+    out_refs, (acc_ref,) = refs[:3], refs[3:]
+    sigma2 = sig2_ref[0, 0]
+    inv2l2 = inv2l2_ref[0, 0]
+    s = pl.program_id(2)
+
+    u1 = u1_ref[:]                                  # (t1, 128)
+    X2 = x2_ref[:].reshape(4 * t2, D_LANES)
+    G = jax.lax.dot_general(
+        u1, X2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32)                 # (t1, 4*t2)
+
+    c = G[:, :t2]
+    if zeta == 2:
+        d1 = c
+    else:
+        d1 = c
+        for _ in range(zeta - 2):
+            d1 = d1 * c
+    D = d1 * c
+    k = sigma2 * jnp.exp((D - np.float32(1.0)) * inv2l2)
+    # w1 carries validity/count on the lhs; re2 carries rinv (validity)
+    # and the element id on the rhs
+    scale = (w1_ref[:, 0][:, None] * re2_ref[0][None, :])
+    same = jnp.where(w1_ref[:, 1][:, None] == re2_ref[1][None, :],
+                     np.float32(1.0), np.float32(0.0))
+    A = -(k * inv2l2) * (zeta * d1) * scale * same
+
+    tp1 = t1 // a1
+    for v in range(3):
+        P2v = G[:, (1 + v) * t2:(2 + v) * t2]
+        q2v = q2_ref[v][None, :]
+        env = A * (P2v - c * q2v)
+        acc_ref[v * tp1:(v + 1) * tp1, :] = (
+            env.reshape(tp1, a1, t2).sum(axis=1))
+
+    red = jnp.dot(acc_ref[:], s2_ref[:], preferred_element_type=f32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tp1, TPC), 1)
+    mask = (lane // tp2 == s).astype(f32)
+    ncopy = TPC // tp2
+    first = s == 0
+    for v in range(3):
+        blk = red[v * tp1:(v + 1) * tp1, :]
+        tiled = jnp.concatenate([blk] * ncopy, axis=1) * mask
+        ref = out_refs[v]
+
+        @pl.when(first)
+        def _(ref=ref, tiled=tiled):
+            ref[:] = tiled
+
+        @pl.when(jnp.logical_not(first))
+        def _(ref=ref, tiled=tiled):
+            ref[:] = ref[:] + tiled
+
+
+def _pad_energy(e, multiple: int):
+    from .packing import EnergyData
+    m = e.x.shape[0]
+    m_new = ((m + multiple - 1) // multiple) * multiple
+    if m_new == m:
+        return e
+    pad = m_new - m
+    return EnergyData(
+        x=jnp.pad(e.x, ((0, pad), (0, 0), (0, 0))),
+        ele=jnp.pad(e.ele, ((0, pad), (0, 0))),
+        counts=jnp.pad(e.counts, (0, pad), constant_values=1.0),
+        nreal=e.nreal)
+
+
+@functools.partial(jax.jit, static_argnames=("zeta", "interpret"))
+def kef_pallas(e1, f2: ForceData, params, zeta: int = 2,
+               interpret: bool = False) -> jnp.ndarray:
+    """RBF energy-force block via the fused Pallas kernel, (m1, 3 m2)."""
+    f32 = jnp.float32
+    m1_in, m2_in = e1.x.shape[0], f2.x.shape[0]
+    assert f2.dxdr.shape[3] == 3
+    assert e1.x.shape[2] <= D_LANES
+    e1 = _pad_energy(e1, TP1)
+    f2 = _pad_points(f2, TPC)
+    m1, A1, d = e1.x.shape
+    m2, B2, _ = f2.x.shape
+    tp2 = _rhs_tile_points(B2)
+    t1, t2 = TP1 * A1, tp2 * B2
+    nsub = TPC // tp2
+
+    x1 = e1.x.reshape(m1 * A1, d).astype(f32)
+    n1 = jnp.sqrt(jnp.sum(x1 * x1, axis=1))
+    v1 = (n1 > 1e-8) & (e1.ele.reshape(-1) > 0)
+    u1 = jnp.pad(x1 / jnp.where(v1, n1, 1.0)[:, None],
+                 ((0, 0), (0, D_LANES - d)))
+    inv_count = jnp.repeat(1.0 / e1.counts.astype(f32), A1)
+    w1 = jnp.stack([jnp.where(v1, inv_count, 0.0),
+                    e1.ele.reshape(-1).astype(f32)], axis=1)  # (N1, 2)
+
+    X2, q2, re2 = _prep(f2)
+    S2 = np.kron(np.eye(tp2, dtype=np.float32),
+                 np.ones((1, B2), np.float32)).T
+
+    grid = (m1 // TP1, m2 // TPC, nsub)
+    N2 = m2 * B2
+
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            functools.partial(_kef_kernel, zeta=zeta, t1=t1, t2=t2,
+                              a1=A1, tp2=tp2),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((t1, D_LANES), lambda i, j, s: (i, 0)),
+                pl.BlockSpec((t1, 2), lambda i, j, s: (i, 0)),
+                pl.BlockSpec((4, 1, t2, D_LANES),
+                             lambda i, j, s, n=nsub: (0, j * n + s, 0, 0)),
+                pl.BlockSpec((3, t2),
+                             lambda i, j, s, n=nsub: (0, j * n + s)),
+                pl.BlockSpec((2, t2),
+                             lambda i, j, s, n=nsub: (0, j * n + s)),
+                pl.BlockSpec((t2, tp2), lambda i, j, s: (0, 0)),
+            ],
+            out_specs=tuple(
+                pl.BlockSpec((TP1, TPC), lambda i, j, s: (i, j))
+                for _ in range(3)),
+            out_shape=tuple(jax.ShapeDtypeStruct((m1, m2), f32)
+                            for _ in range(3)),
+            scratch_shapes=[pltpu.VMEM((3 * TP1, t2), jnp.float32)],
+            interpret=interpret,
+        )(
+            jnp.asarray(params["sigma"], f32).reshape(1, 1) ** 2,
+            (1.0 / (2.0 * jnp.asarray(params["l"], f32) ** 2)).reshape(1, 1),
+            u1, w1,
+            X2.reshape(4, N2 // t2, t2, D_LANES),
+            q2.T, re2,
+            jnp.asarray(S2),
+        )
+    out = jnp.stack(outs, axis=2).reshape(m1, m2 * 3)
+    return out[:m1_in, :3 * m2_in].astype(e1.x.dtype)

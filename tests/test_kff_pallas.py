@@ -44,3 +44,15 @@ def test_kff_pallas_symmetric_matches_xla():
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-6)
     # and it is exactly symmetric after the mirror
     np.testing.assert_allclose(out, out.T, rtol=0, atol=2e-5)
+
+
+def test_kef_pallas_matches_xla():
+    from gpr_calculator_tpu.ops.kff_pallas import kef_pallas
+    from gpr_calculator_tpu.ops.packing import pack_energy
+    epts = make_points(3, 5, 6)
+    fpts = make_points(2, 3, 6)
+    e = pack_energy([(x, el) for x, _, el in epts], m_pad=3, a_pad=8)
+    f = pack_force(fpts, m_pad=2, b_pad=4)
+    ref = np.asarray(kernels.kef(e, f, PARAMS["rbf"], "rbf", 2))
+    out = np.asarray(kef_pallas(e, f, _params32(), zeta=2, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-7)

@@ -157,3 +157,17 @@ def test_kff_pallas_symmetric_compiled():
     scale = np.abs(ref).max()
     assert np.abs(out - ref).max() < 5e-5 * scale
     assert np.abs(out - out.T).max() < 5e-5 * scale
+
+
+@skip_off_tpu
+def test_kef_pallas_compiled():
+    import jax.numpy as jnp
+    from gpr_calculator_tpu.ops import kernels
+    from gpr_calculator_tpu.ops.kff_pallas import kef_pallas
+    e, f = _bench_like_data(m_e=16, m_f=40, seed=11)
+    params = {"sigma": jnp.asarray(1.7, jnp.float32),
+              "l": jnp.asarray(0.8, jnp.float32)}
+    ref = _fetch(kernels.kef(e, f, params, "rbf", 2))
+    out = _fetch(kef_pallas(e, f, params, zeta=2))
+    scale = max(np.abs(ref).max(), 1e-8)
+    assert np.abs(out - ref).max() < 5e-5 * scale
