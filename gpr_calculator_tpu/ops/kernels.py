@@ -468,8 +468,10 @@ def k_self(e: EnergyData, f: ForceData, params, kind: str = "rbf",
         K_ef = kef_pallas(e, f, params, zeta=zeta)
         K_ff = kff_pallas(f, f, params, zeta=zeta, symmetric=True)
     elif symmetric and row_chunk:
+        K_ef = kef(e, f, params, kind, zeta, row_chunk=row_chunk)
         K_ff = kff_self(f, params, kind, zeta, point_chunk=row_chunk)
     else:
+        K_ef = kef(e, f, params, kind, zeta, row_chunk=row_chunk)
         K_ff = kff(f, f, params, kind, zeta, row_chunk=row_chunk)
     top = jnp.concatenate([K_ee, K_ef], axis=1)
     bot = jnp.concatenate([K_ef.T, K_ff], axis=1)
