@@ -646,6 +646,31 @@ class GP:
             return False
         return self._mixed_error_estimate() < 0.5 * self.noise_e
 
+    def _serving_chunk(self, pf: ForceData, tf: ForceData,
+                       mixed: bool = False) -> int:
+        """Prediction-side row chunk bounded so the kff env-pair
+        intermediate (mc*B1*3, N2train*3) stays under a memory budget --
+        f64-emulated serving of big-neighbourhood models (e.g. the pd4
+        slab, 72 envs/point) otherwise OOMs at compile.  Respects a
+        smaller user row_chunk."""
+        # per-plane kff assembly keeps ~5 live (N1, N2) planes; f64
+        # emulation doubles each (pairs of f32)
+        f32_work = config.dtype() == jnp.float32 or mixed
+        bytes_per = 4 if f32_work else 12
+        n2 = tf.m * tf.x.shape[1] * 3
+        per_point = pf.x.shape[1] * 3 * n2 * bytes_per
+        budget = float(os.environ.get("GPR_CALC_TPU_ENV_BUDGET", 1.5e9))
+        mc = max(1, int(budget // max(per_point, 1)))
+        if self.row_chunk:
+            mc = min(mc, self.row_chunk)
+        if mc >= pf.m:
+            return self.row_chunk
+        return mc
+
+    def _serving_args(self, pf: ForceData, tf: ForceData):
+        mixed = self._serve_mixed()
+        return self._serving_chunk(pf, tf, mixed), mixed
+
     def _predict_points(self, energy_pts, force_pts, return_std=False,
                         total_E=False):
         """Predict means (and stds) for explicit descriptor points.
@@ -667,7 +692,7 @@ class GP:
         mean, std = _predict_packed(
             pe, pf, te, tf, self.kernel.jax_params(), self.alpha_,
             self._K_inv, self.kernel.kind, self.kernel.zeta,
-            return_std, self.row_chunk, self._serve_mixed())
+            return_std, *self._serving_args(pf, tf))
         mean = np.asarray(mean)
         nE, nF = len(energy_pts), len(force_pts)
         mean_e = mean[:nE]
@@ -767,7 +792,7 @@ class GP:
         mean, std = _predict_packed(
             pe, pf, te, tf, self.kernel.jax_params(), self.alpha_,
             self._K_inv, self.kernel.kind, self.kernel.zeta, return_std,
-            self.row_chunk, self._serve_mixed())
+            *self._serving_args(pf, tf))
         mean = np.asarray(mean)
         ncart = 9 if stress else 3
         E = mean[0] * n_atoms
@@ -902,7 +927,7 @@ class GP:
         mean, std = _predict_packed(
             pe, pf, te, tf, self.kernel.jax_params(), self.alpha_,
             self._K_inv, self.kernel.kind, self.kernel.zeta, return_std,
-            self.row_chunk, self._serve_mixed())
+            *self._serving_args(pf, tf))
         mean = np.asarray(mean)
         if return_std:
             std = np.asarray(std)

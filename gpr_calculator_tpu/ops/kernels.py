@@ -288,6 +288,43 @@ def _kff_env_blocks(u1, r1, v1, J1, u2, r2, v2, J2, pm, params, kind, zeta,
     return out   # in work_dtype; callers accumulate in the input dtype
 
 
+
+def _kff_point_blocks(u1, r1, v1, J1, u2, r2, v2, J2, pm, params, kind,
+                      zeta, mc, B1, m2, B2):
+    """Reduced (mc*C1, m2*C2) point block, assembled plane-by-plane.
+
+    Every large tensor here is 2D (env-pair planes) or 3D with a wide
+    trailing dim; the 4D (N1, C1, N2, C2) env tensor of _kff_env_blocks
+    tiles its 3-wide cart axis to 128 lanes when materialised (42x HBM
+    padding), which OOMs the f64 serving path at pd4-slab scale."""
+    N1, d, C1 = J1.shape
+    N2, _, C2 = J2.shape
+    c = u1 @ u2.T                                               # (N1, N2)
+    _, A_c, B_c = _pair_coeffs(c, params, kind, zeta, grad_block=True)
+    rr = 1.0 / (jnp.where(v1, r1, 1.0)[:, None]
+                * jnp.where(v2, r2, 1.0)[None, :])
+    A_c = jnp.where(pm, A_c * rr, 0.0)
+    B_c = jnp.where(pm, B_c * rr, 0.0)
+    Q1 = jnp.einsum("ndc,nd->nc", J1, u1)                       # (N1, C1)
+    Q2 = jnp.einsum("ndc,nd->nc", J2, u2)                       # (N2, C2)
+    ABc = A_c + B_c * c
+
+    P2s = [u1 @ J2[:, :, v].T for v in range(C2)]
+    planes = []
+    for u in range(C1):
+        P1u = J1[:, :, u] @ u2.T
+        L1u = P1u - c * Q1[:, u][:, None]
+        AQ1u = A_c * Q1[:, u][:, None]
+        for v in range(C2):
+            Muv = J1[:, :, u] @ J2[:, :, v].T
+            env = (A_c * Muv - AQ1u * P2s[v]
+                   + L1u * (B_c * P2s[v] - ABc * Q2[:, v][None, :]))
+            red = env.reshape(mc, B1, N2).sum(axis=1)           # (mc, N2)
+            planes.append(red.reshape(mc, m2, B2).sum(axis=2))  # (mc, m2)
+    out = jnp.stack(planes).reshape(C1, C2, mc, m2)
+    return out.transpose(2, 0, 3, 1).reshape(mc * C1, m2 * C2)
+
+
 def kff(f1: ForceData, f2: ForceData, params, kind: str = "rbf",
         zeta: int = 2, row_chunk: int = 0, fast: bool = False) -> jnp.ndarray:
     """Force-force covariance block, (C1*m1, 3*m2) with row = p*C1+u.
@@ -313,10 +350,11 @@ def kff(f1: ForceData, f2: ForceData, params, kind: str = "rbf",
     def block(fsub: ForceData) -> jnp.ndarray:
         u1, r1, ele1, v1, J1 = _flatten_force(fsub)
         pm = _pair_mask(ele1, v1, ele2, v2)
-        env = _kff_env_blocks(u1, r1, v1, J1, u2, r2, v2, J2, pm,
-                              params, kind, zeta, work_dtype=work_dtype)
         mc = fsub.ele.shape[0]
         if fast:
+            env = _kff_env_blocks(u1, r1, v1, J1, u2, r2, v2, J2, pm,
+                                  params, kind, zeta,
+                                  work_dtype=work_dtype)
             # dot-based env->point reductions: read bf16, accumulate f32,
             # never materialise the env tensor in f32
             onesb = jnp.ones((B2,), env.dtype)
@@ -324,10 +362,9 @@ def kff(f1: ForceData, f2: ForceData, params, kind: str = "rbf",
                              env.reshape(mc * B1 * C1, m2, B2, C2), onesb,
                              preferred_element_type=acc_dtype)
             env = red.reshape(mc, B1, C1, m2, C2).sum(axis=1)
-        else:
-            env = env.reshape(mc, B1, C1, m2, B2, C2).sum(
-                axis=(1, 4), dtype=acc_dtype)
-        return env.reshape(mc * C1, m2 * C2)
+            return env.reshape(mc * C1, m2 * C2)
+        return _kff_point_blocks(u1, r1, v1, J1, u2, r2, v2, J2, pm,
+                                 params, kind, zeta, mc, B1, m2, B2)
 
     row_chunk = _effective_chunk(m1, row_chunk)
     if row_chunk:
