@@ -94,6 +94,31 @@ def _pair_coeffs(c, params, kind: str, zeta: int, grad_block: bool):
         A = dk_dD * zeta * d1
         B = dk_dD * (zeta * (zeta - 1) * d2 + (zeta * d1) ** 2 / (2.0 * l2))
         return k, A, B
+    elif kind == "rbf_dgamma":
+        # d/d(gamma) of the RBF coefficients, gamma = 1/(2 l^2).  Every
+        # covariance block builder is LINEAR in (k, A, B), so running the
+        # ordinary machinery with these derivative coefficients yields
+        # dK/d(gamma) -- the analytic LML gradient needs exactly one such
+        # extra build instead of autodiff through the chunked env-pair
+        # tensors (see GP._nll_rbf_analytic).
+        sigma, l = params["sigma"], params["l"]
+        s2, l2 = sigma * sigma, l * l
+        gamma = 1.0 / (2.0 * l2)
+        D = _ipow(c, zeta)
+        k = s2 * jnp.exp(-(1.0 - D) * gamma)
+        dk = k * (D - 1.0)
+        if not grad_block:
+            return dk, None, None
+        d1 = _ipow(c, zeta - 1)
+        d2 = _ipow(c, zeta - 2) if zeta >= 2 else jnp.zeros_like(c)
+        a0 = zeta * d1
+        b0 = zeta * (zeta - 1) * d2
+        b1 = (zeta * d1) ** 2
+        A = k * gamma * a0
+        B = k * gamma * (b0 + b1 * gamma)
+        dA = A * (D - 1.0) + k * a0
+        dB = B * (D - 1.0) + k * (b0 + 2.0 * b1 * gamma)
+        return dk, dA, dB
     elif kind == "dot":
         sigma, sigma0 = params["sigma"], params["sigma0"]
         s2 = sigma * sigma
@@ -490,7 +515,8 @@ def k_block(e1: EnergyData, f1: ForceData, e2: EnergyData, f2: ForceData,
 
 def k_self(e: EnergyData, f: ForceData, params, kind: str = "rbf",
            zeta: int = 2, row_chunk: int = 0,
-           symmetric: bool = False) -> jnp.ndarray:
+           symmetric: bool = False,
+           allow_pallas: bool = True) -> jnp.ndarray:
     """Symmetric training covariance (reuses K_EF^T for K_FE, like
     RBF_mb.k_total RBF_mb.py:161-165).
 
@@ -500,10 +526,12 @@ def k_self(e: EnergyData, f: ForceData, params, kind: str = "rbf",
     autodiff memory, so the LML objective keeps the plain path.
     """
     K_ee = kee(e, e, params, kind, zeta, row_chunk=row_chunk)
-    if _use_pallas_kff(f, kind):
+    if allow_pallas and _use_pallas_kff(f, kind):
         from .kff_pallas import kef_pallas, kff_pallas
-        K_ef = kef_pallas(e, f, params, zeta=zeta)
-        K_ff = kff_pallas(f, f, params, zeta=zeta, symmetric=True)
+        dg = kind == "rbf_dgamma"
+        K_ef = kef_pallas(e, f, params, zeta=zeta, deriv=dg)
+        K_ff = kff_pallas(f, f, params, zeta=zeta, symmetric=True,
+                          deriv=dg)
     elif symmetric and row_chunk:
         K_ef = kef(e, f, params, kind, zeta, row_chunk=row_chunk)
         K_ff = kff_self(f, params, kind, zeta, point_chunk=row_chunk)
@@ -523,6 +551,6 @@ def _use_pallas_kff(f: ForceData, kind: str) -> bool:
     import os
     if os.environ.get("GPR_CALC_TPU_KFF", "") != "pallas":
         return False
-    return (kind == "rbf" and f.x.dtype == jnp.float32
+    return (kind in ("rbf", "rbf_dgamma") and f.x.dtype == jnp.float32
             and f.dxdr.shape[3] == 3 and f.x.shape[2] <= 128
             and jax.default_backend() in ("tpu", "axon"))

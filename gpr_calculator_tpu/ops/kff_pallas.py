@@ -65,7 +65,8 @@ def _kff_body(sigma2, inv2l2, s, first,
               x1_ref, q1_ref, re1_ref,
               x2_ref, q2_ref, re2_ref,
               s2_ref, out_refs, acc_ref,
-              zeta: int, t1: int, t2: int, b1: int, tp2: int):
+              zeta: int, t1: int, t2: int, b1: int, tp2: int,
+              deriv: bool = False):
     f32 = jnp.float32
 
     X1 = x1_ref[:].reshape(4 * t1, D_LANES)
@@ -86,14 +87,22 @@ def _kff_body(sigma2, inv2l2, s, first,
         d1 = dm2 * c
     D = d1 * c
     k = sigma2 * jnp.exp((D - np.float32(1.0)) * inv2l2)
-    dk_dD = k * inv2l2
     rr = re1_ref[:, 0][:, None] * re2_ref[0][None, :]       # (t1, t2)
     same = jnp.where(re1_ref[:, 1][:, None] == re2_ref[1][None, :],
                      np.float32(1.0), np.float32(0.0))
     zd1 = zeta * d1
-    A = dk_dD * zd1 * rr * same
-    B = (dk_dD * (zeta * (zeta - 1) * dm2 + zd1 * zd1 * inv2l2)
-         * rr * same)
+    b0 = zeta * (zeta - 1) * dm2
+    b1c = zd1 * zd1
+    A = k * inv2l2 * zd1
+    B = k * inv2l2 * (b0 + b1c * inv2l2)
+    if deriv:
+        # d/d(gamma) coefficients, gamma = 1/(2 l^2) -- the analytic LML
+        # gradient's dK/dgamma build (ops/kernels rbf_dgamma)
+        Dm1 = D - np.float32(1.0)
+        A, B = (A * Dm1 + k * zd1,
+                B * Dm1 + k * (b0 + np.float32(2.0) * b1c * inv2l2))
+    A = A * rr * same
+    B = B * rr * same
 
     # assemble the nine env planes, pre-reduced over the lhs env axis
     # (sublane reshape-sum -- VPU), stacked in one scratch accumulator so
@@ -145,12 +154,13 @@ def _kff_kernel(sig2_ref, inv2l2_ref,
                 x1_ref, q1_ref, re1_ref,
                 x2_ref, q2_ref, re2_ref,
                 s2_ref,
-                *refs, zeta: int, t1: int, t2: int, b1: int, tp2: int):
+                *refs, zeta: int, t1: int, t2: int, b1: int, tp2: int,
+                deriv: bool = False):
     out_refs, (acc_ref,) = refs[:9], refs[9:]
     s = pl.program_id(2)
     _kff_body(sig2_ref[0, 0], inv2l2_ref[0, 0], s, s == 0,
               x1_ref, q1_ref, re1_ref, x2_ref, q2_ref, re2_ref,
-              s2_ref, out_refs, acc_ref, zeta, t1, t2, b1, tp2)
+              s2_ref, out_refs, acc_ref, zeta, t1, t2, b1, tp2, deriv)
 
 
 def _kff_kernel_tri(cell_i, cell_j, cell_s, cell_first,
@@ -158,7 +168,8 @@ def _kff_kernel_tri(cell_i, cell_j, cell_s, cell_first,
                     x1_ref, q1_ref, re1_ref,
                     x2_ref, q2_ref, re2_ref,
                     s2_ref,
-                    *refs, zeta: int, t1: int, t2: int, b1: int, tp2: int):
+                    *refs, zeta: int, t1: int, t2: int, b1: int, tp2: int,
+                    deriv: bool = False):
     """Triangular (self) schedule: the 1D grid enumerates only the cells
     whose column sub-tile reaches the upper triangle; (i, j, s) and the
     new-output-block flag come in as prefetched scalars."""
@@ -167,7 +178,7 @@ def _kff_kernel_tri(cell_i, cell_j, cell_s, cell_first,
     _kff_body(sig2_ref[0, 0], inv2l2_ref[0, 0], cell_s[c],
               cell_first[c] == 1,
               x1_ref, q1_ref, re1_ref, x2_ref, q2_ref, re2_ref,
-              s2_ref, out_refs, acc_ref, zeta, t1, t2, b1, tp2)
+              s2_ref, out_refs, acc_ref, zeta, t1, t2, b1, tp2, deriv)
 
 
 def _tri_cells(n_row_tiles, n_col_blocks, nsub, tp2):
@@ -224,10 +235,11 @@ def _prep(f: ForceData):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("zeta", "interpret", "symmetric"))
+                   static_argnames=("zeta", "interpret", "symmetric",
+                                    "deriv"))
 def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
-               interpret: bool = False,
-               symmetric: bool = False) -> jnp.ndarray:
+               interpret: bool = False, symmetric: bool = False,
+               deriv: bool = False) -> jnp.ndarray:
     """RBF force-force block via the fused Pallas kernel, (3 m1, 3 m2).
 
     f1.dxdr must have 3 cartesian columns (the stress path stays on the
@@ -282,7 +294,7 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
         if not symmetric:
             outs = pl.pallas_call(
                 functools.partial(_kff_kernel, zeta=zeta, t1=t1, t2=t2,
-                                  b1=B1, tp2=tp2),
+                                  b1=B1, tp2=tp2, deriv=deriv),
                 grid=grid,
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -341,7 +353,7 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
             )
             outs = pl.pallas_call(
                 functools.partial(_kff_kernel_tri, zeta=zeta, t1=t1,
-                                  t2=t2, b1=B1, tp2=tp2),
+                                  t2=t2, b1=B1, tp2=tp2, deriv=deriv),
                 grid_spec=grid_spec,
                 out_shape=out_shape,
                 interpret=interpret,
@@ -375,7 +387,8 @@ def _kef_kernel(sig2_ref, inv2l2_ref,
                 u1_ref, w1_ref,
                 x2_ref, q2_ref, re2_ref,
                 s2_ref,
-                *refs, zeta: int, t1: int, t2: int, a1: int, tp2: int):
+                *refs, zeta: int, t1: int, t2: int, a1: int, tp2: int,
+                deriv: bool = False):
     """K_EF = -(1/N_p) sum dk_dD z c^(z-1) (u1 - c u2)/r2 . J2v
     (rbf_kernel.cpp:102-171 + the wrapper normalisation), fused like
     _kff_body: one k=128 contraction, VPU assembly, stacked reduction."""
@@ -405,7 +418,10 @@ def _kef_kernel(sig2_ref, inv2l2_ref,
     scale = (w1_ref[:, 0][:, None] * re2_ref[0][None, :])
     same = jnp.where(w1_ref[:, 1][:, None] == re2_ref[1][None, :],
                      np.float32(1.0), np.float32(0.0))
-    A = -(k * inv2l2) * (zeta * d1) * scale * same
+    A = -(k * inv2l2) * (zeta * d1)
+    if deriv:
+        A = A * (D - np.float32(1.0)) - k * (zeta * d1)
+    A = A * scale * same
 
     tp1 = t1 // a1
     for v in range(3):
@@ -448,9 +464,10 @@ def _pad_energy(e, multiple: int):
         nreal=e.nreal)
 
 
-@functools.partial(jax.jit, static_argnames=("zeta", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("zeta", "interpret", "deriv"))
 def kef_pallas(e1, f2: ForceData, params, zeta: int = 2,
-               interpret: bool = False) -> jnp.ndarray:
+               interpret: bool = False, deriv: bool = False) -> jnp.ndarray:
     """RBF energy-force block via the fused Pallas kernel, (m1, 3 m2)."""
     f32 = jnp.float32
     m1_in, m2_in = e1.x.shape[0], f2.x.shape[0]
@@ -483,7 +500,7 @@ def kef_pallas(e1, f2: ForceData, params, zeta: int = 2,
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             functools.partial(_kef_kernel, zeta=zeta, t1=t1, t2=t2,
-                              a1=A1, tp2=tp2),
+                              a1=A1, tp2=tp2, deriv=deriv),
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -1,0 +1,91 @@
+"""Analytic LML gradients (rbf_dgamma coefficient build) vs autodiff."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpr_calculator_tpu import config
+from gpr_calculator_tpu.models.gp import (_nll_rbf_analytic,
+                                          _nll_value_and_grad)
+from gpr_calculator_tpu.ops.packing import pack_energy, pack_force
+
+from test_kernels import make_points
+
+
+def _data(seed=0, m_e=3, m_f=6, n=5, d=6):
+    rng = np.random.RandomState(seed)
+    epts = [(p[0], p[2]) for p in make_points(m_e, n, d)]
+    fpts = make_points(m_f, n, d)
+    e = pack_energy(epts, m_pad=4, a_pad=8)
+    f = pack_force(fpts, m_pad=8, b_pad=8)
+    y = jnp.asarray(rng.randn(e.m + 3 * f.m) * 0.1, config.dtype())
+    return e, f, y
+
+
+@pytest.mark.parametrize("noise_opt", [False, True])
+@pytest.mark.parametrize("zeta", [2, 3])
+def test_analytic_matches_autodiff(zeta, noise_opt):
+    e, f, y = _data()
+    dt = config.dtype()
+    theta = jnp.asarray([1.7, 0.8] + ([0.02] if noise_opt else []), dt)
+    noise_fixed = jnp.asarray([0.01, 0.1], dt)
+    f_coef = jnp.asarray(10.0, dt)
+
+    nll_a, g_a = _nll_rbf_analytic(theta, e, f, y, noise_fixed, f_coef,
+                                   zeta, noise_opt, 0)
+    nll_d, g_d = _nll_value_and_grad(theta, e, f, y, noise_fixed, f_coef,
+                                     "rbf", zeta, noise_opt, 0)
+    np.testing.assert_allclose(float(nll_a), float(nll_d), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_d),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_analytic_matches_finite_difference():
+    e, f, y = _data(seed=3)
+    dt = config.dtype()
+    noise_fixed = jnp.asarray([0.01, 0.1], dt)
+    f_coef = jnp.asarray(10.0, dt)
+    theta0 = np.array([1.4, 1.1])
+
+    def val(t):
+        nll, _ = _nll_rbf_analytic(jnp.asarray(t, dt), e, f, y,
+                                   noise_fixed, f_coef, 2, False, 0)
+        return float(nll)
+
+    _, g = _nll_rbf_analytic(jnp.asarray(theta0, dt), e, f, y,
+                             noise_fixed, f_coef, 2, False, 0)
+    h = 1e-6
+    for i in range(2):
+        tp, tm = theta0.copy(), theta0.copy()
+        tp[i] += h
+        tm[i] -= h
+        fd = (val(tp) - val(tm)) / (2 * h)
+        np.testing.assert_allclose(float(g[i]), fd, rtol=5e-6, atol=1e-8)
+
+
+def test_fit_uses_analytic_and_matches(monkeypatch):
+    """GP.fit(opt=True) converges to the same hyperparameters with the
+    analytic path as with autodiff."""
+    from gpr_calculator_tpu.calculators import EMT
+    from gpr_calculator_tpu.models import GP, RBF
+    from gpr_calculator_tpu.ops.so3 import SO3
+    from test_gp import make_structs
+
+    def fitted(env):
+        if env:
+            monkeypatch.setenv("GPR_CALC_TPU_NLL", env)
+        else:
+            monkeypatch.delenv("GPR_CALC_TPU_NLL", raising=False)
+        structs = make_structs(n=4, natoms=5, seed=77)
+        calc = EMT()
+        gp = GP(kernel=RBF(para=[1.0, 1.0]),
+                descriptor=SO3(nmax=2, lmax=2, rcut=4.0),
+                noise_e=0.01, noise_f=0.1, log_file="/tmp/ag.log")
+        for s in structs:
+            gp.add_structure((s, calc.get_potential_energy(s),
+                              calc.get_forces(s)))
+        gp.fit(show=False, opt=True, maxiter=8)
+        return np.asarray(gp.kernel.parameters())
+
+    p_analytic = fitted("")
+    p_autodiff = fitted("autodiff")
+    np.testing.assert_allclose(p_analytic, p_autodiff, rtol=1e-5)
