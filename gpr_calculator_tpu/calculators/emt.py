@@ -77,7 +77,6 @@ def _element_table(symbols: tuple):
     return np.asarray(rows)
 
 
-@functools.partial(jax.jit, static_argnames=("natoms",))
 def _emt_energy(positions, pair_i, pair_j, offsets, pair_valid, table,
                 type_idx, natoms: int):
     """Total EMT energy; differentiable w.r.t. positions.
@@ -124,6 +123,14 @@ def _emt_energy(positions, pair_i, pair_j, offsets, pair_valid, table,
     return jnp.sum(E_c) + jnp.sum(E_as_atom) - E_pair
 
 
+# jit OUTSIDE value_and_grad: an unjitted grad re-traces the backward
+# pass as dozens of eager single-op programs on every base-calculator
+# call (measured ~195 mini-compiles per on-the-fly NEB run)
+_emt_energy_and_grad = functools.partial(
+    jax.jit, static_argnames=("natoms",))(
+        jax.value_and_grad(_emt_energy))
+
+
 class EMT(Calculator):
     name = "emt"
     implemented_properties = ["energy", "forces"]
@@ -159,8 +166,7 @@ class EMT(Calculator):
                 jnp.asarray(pj_p), jnp.asarray(off_p, dt),
                 jnp.asarray(valid), jnp.asarray(table, dt),
                 jnp.asarray(type_idx))
-        e, g = jax.value_and_grad(_emt_energy)(
-            *args, natoms=len(numbers))
+        e, g = _emt_energy_and_grad(*args, natoms=len(numbers))
         self.results = {
             "energy": float(e),
             "free_energy": float(e),

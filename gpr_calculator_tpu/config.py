@@ -12,6 +12,18 @@ import os
 
 import jax
 
+# Persistent compilation cache (survives processes).  The remote TPU
+# compiler costs 15-200 s per program and on-the-fly workloads recompile
+# at every training-set bucket change, so this is a ~10x wall-clock lever
+# for NEB/MD runs.  GPR_CALC_TPU_COMPILE_CACHE=0 disables.
+if os.environ.get("GPR_CALC_TPU_COMPILE_CACHE", "1") != "0":
+    _cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/gpr_calculator_tpu/jax"))
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 # Enable x64 unless explicitly disabled.  Must happen before any jnp array is
 # created, hence at package import time (config is imported from __init__).
 if os.environ.get("GPR_CALC_TPU_X64", "1") != "0":

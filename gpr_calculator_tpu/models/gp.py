@@ -549,8 +549,8 @@ class GP:
                 e, f, y, self.kernel.jax_params(),
                 jnp.asarray(self.noise_e, dt), jnp.asarray(self.noise_f, dt),
                 self.kernel.kind, self.kernel.zeta, self.row_chunk)
-            if not bool(jnp.isfinite(alpha[0])) or not bool(
-                    jnp.all(jnp.isfinite(alpha))):
+            alpha_host = np.asarray(alpha)
+            if not np.all(np.isfinite(alpha_host)):
                 msg = ("Cholesky factorisation failed (non-finite alpha). "
                        f"K is not positive definite at noise_e="
                        f"{self.noise_e:.2e}, sigma={self.kernel.parameters()[0]:.3g} "
