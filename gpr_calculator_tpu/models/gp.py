@@ -933,6 +933,16 @@ class GP:
         return E, F, S, E_std, F_std
 
     # -- validation (gaussianprocess.py:490-551) -----------------------------
+    def update_y_train(self):
+        """API parity (gaussianprocess.py:472-488): flatten the stored
+        labels to the (N_E + 3 N_F, 1) column vector the reference keeps
+        as ``y_train``."""
+        y = np.concatenate([
+            np.asarray(self._energy_y[:self.N_energy], float),
+            np.asarray(self._force_y[:self.N_forces], float).reshape(-1)])
+        self.y_train = y.reshape(-1, 1)
+        return self.y_train
+
     def validate_data(self, test_data=None, total_E=False,
                       return_std=False, show=False):
         if test_data is None:

@@ -103,3 +103,28 @@ def test_ulm_writer_direct_append_keeps_frames(tmp_path):
     np.testing.assert_allclose(frames[1].positions, b.positions)
     # incremental: appending one frame must not double the data region
     assert os.path.getsize(fn) < 2 * size1
+
+
+def test_update_y_train_parity():
+    """y_train column vector matches the reference layout
+    (gaussianprocess.py:472-488: energies first, then 3 rows/force pt)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_gp import make_structs
+    from gpr_calculator_tpu.calculators import EMT
+    from gpr_calculator_tpu.models import GP, RBF
+    from gpr_calculator_tpu.ops.so3 import SO3
+    calc = EMT()
+    gp = GP(kernel=RBF(para=[1.0, 1.0]),
+            descriptor=SO3(nmax=2, lmax=2, rcut=4.0),
+            noise_e=0.01, noise_f=0.1, log_file="/tmp/yt.log")
+    for s in make_structs(n=2, natoms=4, seed=91):
+        gp.add_structure((s, calc.get_potential_energy(s),
+                          calc.get_forces(s)))
+    y = gp.update_y_train()
+    assert y.shape == (gp.N_energy + 3 * gp.N_forces, 1)
+    np.testing.assert_allclose(y[:gp.N_energy, 0],
+                               gp._energy_y[:gp.N_energy])
+    np.testing.assert_allclose(
+        y[gp.N_energy:, 0],
+        np.asarray(gp._force_y[:gp.N_forces]).reshape(-1))
