@@ -57,14 +57,15 @@ def make_data(dtype):
 
 def bench_tpu():
     import jax
-    # 'highest' (6-pass f32) is required: at bf16 matmul precision the
-    # covariance error exceeds the noise floor and the Cholesky fails;
-    # measured cost difference vs 'default' is <2% (the op is bound by
-    # the thin-k matmul floor, not pass count).
+    # 'highest' (6-pass f32) for the XLA paths: at plain bf16 matmul
+    # precision the covariance error exceeds the noise floor and the
+    # Cholesky fails.  The Pallas paths control their own in-kernel
+    # matmul precision via consistently-rounded operands (exact-Gram
+    # construction, kff_pallas module docstring), which is how the
+    # pallas/pallas_bf16 impls stay PSD at fewer MXU passes.
     jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
     from gpr_calculator_tpu.ops import kernels as K_ops
-    from gpr_calculator_tpu.ops.kff_pallas import kef_pallas, kff_pallas
     from gpr_calculator_tpu.models.gp import _noise_diag
 
     dtype = jnp.float32
@@ -79,20 +80,27 @@ def bench_tpu():
 
     @functools.partial(jax.jit, static_argnames=("impl",))
     def fit_call(e, f, y, params, impl="xla"):
-        K_ee = K_ops.kee(e, e, params, "rbf", 2, row_chunk=ROW_CHUNK)
-        if impl == "pallas":
-            K_ef = kef_pallas(e, f, params, zeta=2)
-            K_ff = kff_pallas(f, f, params, zeta=2, symmetric=True)
-        elif impl == "sym":
-            K_ef = K_ops.kef(e, f, params, "rbf", 2, row_chunk=ROW_CHUNK)
-            K_ff = K_ops.kff_self(f, params, "rbf", 2,
-                                  point_chunk=sym_chunk)
+        if impl.startswith("pallas"):
+            # fused Pallas blocks via the shared-operand assembly (the
+            # production k_self path): one consistent Gram, PSD by
+            # construction at any matmul-precision mode
+            K = K_ops.k_self(e, f, params, "rbf", 2, row_chunk=ROW_CHUNK,
+                             symmetric=True)
         else:
-            K_ef = K_ops.kef(e, f, params, "rbf", 2, row_chunk=ROW_CHUNK)
-            K_ff = K_ops.kff(f, f, params, "rbf", 2, row_chunk=ROW_CHUNK)
-        top = jnp.concatenate([K_ee, K_ef], axis=1)
-        bot = jnp.concatenate([K_ef.T, K_ff], axis=1)
-        K = jnp.concatenate([top, bot], axis=0)
+            K_ee = K_ops.kee(e, e, params, "rbf", 2, row_chunk=ROW_CHUNK)
+            if impl == "sym":
+                K_ef = K_ops.kef(e, f, params, "rbf", 2,
+                                 row_chunk=ROW_CHUNK)
+                K_ff = K_ops.kff_self(f, params, "rbf", 2,
+                                      point_chunk=sym_chunk)
+            else:
+                K_ef = K_ops.kef(e, f, params, "rbf", 2,
+                                 row_chunk=ROW_CHUNK)
+                K_ff = K_ops.kff(f, f, params, "rbf", 2,
+                                 row_chunk=ROW_CHUNK)
+            top = jnp.concatenate([K_ee, K_ef], axis=1)
+            bot = jnp.concatenate([K_ef.T, K_ff], axis=1)
+            K = jnp.concatenate([top, bot], axis=0)
         K = K + jnp.diag(_noise_diag(e, f, jnp.asarray(0.01, dtype),
                                      jnp.asarray(0.1, dtype)))
         L = jnp.linalg.cholesky(K)
@@ -100,6 +108,10 @@ def bench_tpu():
         return jnp.sum(alpha), jnp.sum(jnp.log(jnp.diagonal(L)))
 
     def timed(impl):
+        if impl.startswith("pallas"):
+            os.environ["GPR_CALC_TPU_KFF"] = "pallas"
+            os.environ["GPR_CALC_TPU_KFF_PRECISION"] = (
+                "bf16" if impl == "pallas_bf16" else "bf16x4")
         t0 = time.time()
         s, logdet = fit_call(e, f, y, params, impl=impl)
         s = float(s)
@@ -118,11 +130,15 @@ def bench_tpu():
             samples.append(time.time() - t0)
         return min(samples) * 1e3, compile_and_first
 
-    # 'sym' computes only the upper triangle of chunk pairs (~2x): 4.5 s
-    # vs 9.0 s for the chunked-XLA path at the 10k workload.  Its cold
-    # compile is slow (~9 min) but the terminal-side compile cache
-    # persists across processes; 'xla' remains the fallback.
-    impls = os.environ.get("GPR_BENCH_IMPLS", "sym,pallas").split(",")
+    # 'sym' computes only the upper triangle of chunk pairs (~2x) in
+    # plain XLA; 'pallas' is the fused production build at the default
+    # bf16x4 matmul mode (f32-equivalent: exact Gram of bf16-pair-rounded
+    # inputs); 'pallas_bf16' is the documented fast mode (exact Gram of
+    # bf16-rounded inputs, ~2e-3 input perturbation -- inside the GPR
+    # noise assumption but not f32-identical, so it is reported but NOT
+    # eligible for the headline unless GPR_BENCH_ALLOW_BF16=1).
+    impls = os.environ.get("GPR_BENCH_IMPLS",
+                           "sym,pallas,pallas_bf16").split(",")
     results = {}
     for impl in impls:
         try:
@@ -135,7 +151,11 @@ def bench_tpu():
     if not results:
         # fall back to the plain XLA path
         results["xla"] = timed("xla")
-    best_impl = min(results, key=lambda k: results[k][0])
+    eligible = {k: v for k, v in results.items()
+                if k != "pallas_bf16"
+                or os.environ.get("GPR_BENCH_ALLOW_BF16") == "1"}
+    best_impl = min(eligible or results,
+                    key=lambda k: (eligible or results)[k][0])
     return results[best_impl] + (best_impl,)
 
 

@@ -525,17 +525,36 @@ def k_self(e: EnergyData, f: ForceData, params, kind: str = "rbf",
     use: the scan/dynamic-update structure is hostile to reverse-mode
     autodiff memory, so the LML objective keeps the plain path.
     """
-    K_ee = kee(e, e, params, kind, zeta, row_chunk=row_chunk)
     if allow_pallas and _use_pallas_kff(f, kind):
-        from .kff_pallas import kef_pallas, kff_pallas
+        # Build the rounded matmul operands ONCE and feed the same arrays
+        # to every block: K_EE, K_EF and K_FF must be one consistent Gram
+        # of identical per-point rounded features or the covariance loses
+        # PSD (see the kff_pallas module docstring and force_operand).
+        from .kff_pallas import (TPC, _resolve_precision, energy_operand,
+                                 force_operand, kee_from_ops,
+                                 kef_from_ops, kff_from_ops)
         dg = kind == "rbf_dgamma"
-        K_ef = kef_pallas(e, f, params, zeta=zeta, deriv=dg)
-        K_ff = kff_pallas(f, f, params, zeta=zeta, symmetric=True,
-                          deriv=dg)
+        mode = _resolve_precision(None)
+        m_e, A = e.x.shape[0], e.x.shape[1]
+        m_f, B = f.x.shape[0], f.x.shape[1]
+        e_lhs, e_rhs, e_w = energy_operand(e, mode)
+        f_lhs, f_rhs, f_re = force_operand(f, mode, TPC)
+        dt = e.x.dtype
+        K_ee = kee_from_ops(params, e_lhs, e_rhs, e_w, A1=A, zeta=zeta,
+                            deriv=dg, mode=mode)[:m_e, :m_e].astype(dt)
+        K_ef = kef_from_ops(params, e_lhs, e_w, f_rhs, f_re, A1=A, B2=B,
+                            zeta=zeta, interpret=False, deriv=dg,
+                            mode=mode)[:m_e, :3 * m_f].astype(dt)
+        K_ff = kff_from_ops(params, f_lhs, f_re, f_rhs, f_re, B1=B, B2=B,
+                            zeta=zeta, interpret=False, symmetric=True,
+                            deriv=dg,
+                            mode=mode)[:3 * m_f, :3 * m_f].astype(dt)
     elif symmetric and row_chunk:
+        K_ee = kee(e, e, params, kind, zeta, row_chunk=row_chunk)
         K_ef = kef(e, f, params, kind, zeta, row_chunk=row_chunk)
         K_ff = kff_self(f, params, kind, zeta, point_chunk=row_chunk)
     else:
+        K_ee = kee(e, e, params, kind, zeta, row_chunk=row_chunk)
         K_ef = kef(e, f, params, kind, zeta, row_chunk=row_chunk)
         K_ff = kff(f, f, params, kind, zeta, row_chunk=row_chunk)
     top = jnp.concatenate([K_ee, K_ef], axis=1)

@@ -1,4 +1,4 @@
-r"""Fused Pallas TPU kernel for the force-force covariance block.
+r"""Fused Pallas TPU kernels for the force-force / energy-force blocks.
 
 Why a custom kernel: the XLA path (ops/kernels.py kff) materialises the
 (N1*3, N2*3) env-pair tensor in HBM between the matmuls and the
@@ -7,15 +7,24 @@ Why a custom kernel: the XLA path (ops/kernels.py kff) materialises the
 intermediate lives in VMEM; HBM sees the inputs and the nine (m1, m2)
 point-block planes only.
 
-Design (one grid cell = TP1 lhs points x TP2 rhs points, B envs each):
+Design (one grid cell = TP1 lhs points x TP2 rhs points, B envs each).
+The Jacobians are *projected* on the host side:
 
-    X = [u; J_x; J_y; J_z]  stacked along rows, d padded to 128 lanes
+    q_u  = J_u . u                  (per env)
+    Jt_u = J_u - q_u u              (component of J_u orthogonal to u)
+
+which reduces the reference's force-force formula
+(rbf_kernel.cpp:342-473; ops/kernels.py kff derivation) to a two-term
+assembly with no per-pair q corrections:
+
+    X = [u; Jt_x; Jt_y; Jt_z]  stacked along rows, d padded to 128 lanes
     G = X1 X2^T                          -- ONE MXU contraction (k=128)
         => all 16 pair blocks at once:
-        c   = G[0,0]   P1_u = G[1+u,0]   P2_v = G[0,1+v]   M_uv = G[1+u,1+v]
+        c    = G[0,0]          p1_u = G[1+u,0]
+        p2_v = G[0,1+v]        m_uv = G[1+u,1+v]
     A(c), B(c) per-pair coefficients                      (VPU)
-    env_uv = A (M_uv - P1_u q2_v - q1_u P2_v + c q1_u q2_v)
-             + B (P1_u - c q1_u)(P2_v - c q2_v)           (VPU, in VMEM)
+    env_uv = A m_uv + (B p1_u) p2_v                       (VPU, in VMEM)
+
     lhs env -> point: sublane reshape-sum (VPU), planes stacked in one
     VMEM scratch; rhs env -> point: ONE dense k=t2 matmul for all nine
     planes; sub-tile columns scattered into the 128-wide output blocks
@@ -26,6 +35,33 @@ first revision (per-matmul MXU latency capped it at ~0.34 TF/s), and the
 stacked reduction replaces that revision's 27 small reduction matmuls
 per cell.
 
+Matmul precision (GPR_CALC_TPU_KFF_PRECISION / mm_precision kwarg):
+TPU MXU multiplies in bf16; an exact-f32 matmul costs 6 passes.  The
+covariance stays POSITIVE SEMI-DEFINITE under reduced precision if and
+only if every G block is an EXACT inner product of consistently-rounded
+per-point vectors: the assembly env = F'(c) (V1.V2) +
+F''(c) (V1.u2)(u1.V2) is then exactly the directional-derivative Gram
+of the PD kernel F(y1.y2) at the rounded points (for ANY per-point
+(u, V), normalised or not), so Cholesky cannot fail beyond the noise
+floor.  A truncated multi-pass expansion (e.g. hi hi + hi lo + lo hi,
+dropping lo lo) is NOT a Gram matrix -- measured at the 10k workload it
+shifts the spectrum by ~80x the 1e-2 noise floor and NaNs the Cholesky;
+such modes are deliberately not offered.
+
+  highest  6 passes  exact f32 kernel of the f32 descriptors
+  bf16x4   4 passes  exact f32 Gram of hi+lo bf16-pair-rounded inputs
+                     (input perturbation ~2^-17: physically negligible;
+                     the default)
+  bf16     1 pass    exact f32 Gram of bf16-rounded inputs (input
+                     perturbation ~2^-9 ~ 2e-3 relative: inside any
+                     realistic GPR noise assumption; the fast mode)
+
+bf16x4/bf16 widen the lane (k) dimension instead of issuing separate
+dots (lhs [h|h|l|l] . rhs [h|l|h|l] for x4) so ONE contraction
+accumulates every product term in a single f32 G buffer -- separate
+dots would hold multiple (4 t1, 4 t2) partials and blow the 16 MB
+scoped-VMEM limit.
+
 Mathematical spec: rbf_kff_many (gpr_calc/kernels/rbf_kernel.cpp:342-473)
 == ops/kernels.py kff (parity asserted in tests/test_kff_pallas.py).
 Validity (padding env, |x| < eps, ele == 0) is encoded as rinv == 0,
@@ -35,6 +71,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import numpy as np
 import jax
@@ -49,6 +86,23 @@ TPC = 128    # rhs points per output column block
 D_LANES = 128
 T2_MAX = 512  # rhs env-tile budget (VMEM)
 
+_DN = (((1,), (1,)), ((), ()))   # contract lane dims, no batch
+
+
+def _resolve_precision(mm_precision):
+    if mm_precision is None:
+        mm_precision = os.environ.get("GPR_CALC_TPU_KFF_PRECISION",
+                                      "bf16x4")
+    if mm_precision not in ("highest", "bf16x4", "bf16"):
+        raise ValueError(f"unknown kff matmul precision: {mm_precision}")
+    return mm_precision
+
+
+def _lanes(mode: str) -> int:
+    """Operand lane width: bf16x4 quadruples the k dimension (see
+    _split_operand)."""
+    return 4 * D_LANES if mode == "bf16x4" else D_LANES
+
 
 def _rhs_tile_points(B2: int) -> int:
     """Smallest TP2 with TP2*B2 a lane-tile multiple, grown to the VMEM
@@ -61,20 +115,28 @@ def _rhs_tile_points(B2: int) -> int:
     return tp2
 
 
+def _pair_blocks(x1_ref, x2_ref, rows1, rows2, mode: str):
+    """G = X1 X2^T over all stacked components, computed at the requested
+    matmul precision; f32 accumulate."""
+    f32 = jnp.float32
+    kl = _lanes(mode)
+    a1 = x1_ref[:].reshape(rows1, kl)
+    a2 = x2_ref[:].reshape(rows2, kl)
+    prec = (jax.lax.Precision.HIGHEST if mode == "highest"
+            else jax.lax.Precision.DEFAULT)
+    return jax.lax.dot_general(a1, a2, _DN, precision=prec,
+                               preferred_element_type=f32)
+
+
 def _kff_body(sigma2, inv2l2, s, first,
-              x1_ref, q1_ref, re1_ref,
-              x2_ref, q2_ref, re2_ref,
+              x1_ref, re1_ref, x2_ref, re2_ref,
               s2_ref, out_refs, acc_ref,
               zeta: int, t1: int, t2: int, b1: int, tp2: int,
-              deriv: bool = False):
+              deriv: bool, mode: str):
     f32 = jnp.float32
 
-    X1 = x1_ref[:].reshape(4 * t1, D_LANES)
-    X2 = x2_ref[:].reshape(4 * t2, D_LANES)
     # one contraction yields every pair block
-    G = jax.lax.dot_general(
-        X1, X2, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32)            # (4*t1, 4*t2)
+    G = _pair_blocks(x1_ref, x2_ref, 4 * t1, 4 * t2, mode)
 
     c = G[:t1, :t2]
     if zeta == 2:
@@ -107,23 +169,16 @@ def _kff_body(sigma2, inv2l2, s, first,
     # assemble the nine env planes, pre-reduced over the lhs env axis
     # (sublane reshape-sum -- VPU), stacked in one scratch accumulator so
     # the rhs env reduction is a SINGLE k=t2 matmul per cell instead of
-    # 27 latency-bound small MXU ops
-    t2v = [None] * 3
-    for v in range(3):
-        P2v = G[:t1, (1 + v) * t2:(2 + v) * t2]
-        q2v = q2_ref[v][None, :]
-        t2v[v] = (P2v, P2v - c * q2v, q2v)
+    # 27 latency-bound small MXU ops.  With the projected Jacobians the
+    # plane is a two-term form: A m_uv + (B p1_u) p2_v.
+    p2 = [G[:t1, (1 + v) * t2:(2 + v) * t2] for v in range(3)]
     tp1 = t1 // b1
     for u in range(3):
-        P1u = G[(1 + u) * t1:(2 + u) * t1, :t2]
-        q1u = q1_ref[:, u][:, None]             # (t1, 1)
-        BL1u = B * (P1u - c * q1u)
-        Aq1 = A * q1u
-        AP1c = A * P1u - c * Aq1
+        p1u = G[(1 + u) * t1:(2 + u) * t1, :t2]
+        Bp1u = B * p1u
         for v in range(3):
-            P2v, L2v, q2v = t2v[v]
-            Muv = G[(1 + u) * t1:(2 + u) * t1, (1 + v) * t2:(2 + v) * t2]
-            env = A * Muv - AP1c * q2v - Aq1 * P2v + BL1u * L2v
+            m_uv = G[(1 + u) * t1:(2 + u) * t1, (1 + v) * t2:(2 + v) * t2]
+            env = A * m_uv + Bp1u * p2[v]
             # row (lhs env -> point) reduction on the VPU
             acc_ref[(u * 3 + v) * tp1:(u * 3 + v + 1) * tp1, :] = (
                 env.reshape(tp1, b1, t2).sum(axis=1))
@@ -151,25 +206,22 @@ def _kff_body(sigma2, inv2l2, s, first,
 
 
 def _kff_kernel(sig2_ref, inv2l2_ref,
-                x1_ref, q1_ref, re1_ref,
-                x2_ref, q2_ref, re2_ref,
-                s2_ref,
+                x1_ref, re1_ref, x2_ref, re2_ref, s2_ref,
                 *refs, zeta: int, t1: int, t2: int, b1: int, tp2: int,
-                deriv: bool = False):
+                deriv: bool, mode: str):
     out_refs, (acc_ref,) = refs[:9], refs[9:]
     s = pl.program_id(2)
     _kff_body(sig2_ref[0, 0], inv2l2_ref[0, 0], s, s == 0,
-              x1_ref, q1_ref, re1_ref, x2_ref, q2_ref, re2_ref,
-              s2_ref, out_refs, acc_ref, zeta, t1, t2, b1, tp2, deriv)
+              x1_ref, re1_ref, x2_ref, re2_ref,
+              s2_ref, out_refs, acc_ref, zeta, t1, t2, b1, tp2,
+              deriv, mode)
 
 
 def _kff_kernel_tri(cell_i, cell_j, cell_s, cell_first,
                     sig2_ref, inv2l2_ref,
-                    x1_ref, q1_ref, re1_ref,
-                    x2_ref, q2_ref, re2_ref,
-                    s2_ref,
+                    x1_ref, re1_ref, x2_ref, re2_ref, s2_ref,
                     *refs, zeta: int, t1: int, t2: int, b1: int, tp2: int,
-                    deriv: bool = False):
+                    deriv: bool, mode: str):
     """Triangular (self) schedule: the 1D grid enumerates only the cells
     whose column sub-tile reaches the upper triangle; (i, j, s) and the
     new-output-block flag come in as prefetched scalars."""
@@ -177,8 +229,9 @@ def _kff_kernel_tri(cell_i, cell_j, cell_s, cell_first,
     c = pl.program_id(0)
     _kff_body(sig2_ref[0, 0], inv2l2_ref[0, 0], cell_s[c],
               cell_first[c] == 1,
-              x1_ref, q1_ref, re1_ref, x2_ref, q2_ref, re2_ref,
-              s2_ref, out_refs, acc_ref, zeta, t1, t2, b1, tp2, deriv)
+              x1_ref, re1_ref, x2_ref, re2_ref,
+              s2_ref, out_refs, acc_ref, zeta, t1, t2, b1, tp2,
+              deriv, mode)
 
 
 def _tri_cells(n_row_tiles, n_col_blocks, nsub, tp2):
@@ -216,9 +269,36 @@ def _pad_points(f: ForceData, multiple: int) -> ForceData:
         nreal=f.nreal)
 
 
-def _prep(f: ForceData):
-    """Stacked [u; Jx; Jy; Jz] component-major rows, q, and validity."""
+def _lhs_rhs(X, mode: str):
+    """f32 X -> (lhs, rhs) matmul operands at the requested precision.
+    The hi/lo split happens ONCE; both operand forms are concats of the
+    same arrays, so the lhs.rhs contraction is an exact Gram of the
+    rounded values wherever the pair appears."""
+    if mode == "highest":
+        return X, X
+    hi = X.astype(jnp.bfloat16)
+    if mode == "bf16":
+        return hi, hi
+    lo = (X - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    lhs = jnp.concatenate((hi, hi, lo, lo), axis=-1)
+    rhs = jnp.concatenate((hi, lo, hi, lo), axis=-1)
+    return lhs, rhs
+
+
+def force_operand(f: ForceData, mode: str, multiple: int = TPC):
+    """(lhs, rhs, re) matmul operands for a force block side.
+
+    lhs/rhs: (4, N, kl) stacked [u; Jt_x; Jt_y; Jt_z] component-major rows
+    (Jt = the u-orthogonal Jacobian projection, see module docstring) at
+    the requested precision; re: (2, N) validity (rinv) + element id.
+
+    PSD of the assembled covariance requires every block that shares a
+    data side to consume the SAME operand arrays: recomputing u in a
+    differently-fused program can flip the bf16 rounding of a handful of
+    envs and sink lambda_min below the 1e-4-scale energy noise floor
+    (measured at the 10k workload).  Build once, pass everywhere."""
     f32 = jnp.float32
+    f = _pad_points(f, multiple)
     m, B, d = f.x.shape
     x = f.x.reshape(m * B, d).astype(f32)
     n2 = jnp.sum(x * x, axis=1)
@@ -228,18 +308,37 @@ def _prep(f: ForceData):
     rinv = jnp.where(valid, 1.0 / jnp.where(valid, n, 1.0), 0.0)
     J = f.dxdr.reshape(m * B, d, 3).astype(f32)
     q = jnp.einsum("ndu,nd->nu", J, u)             # (N, 3)
-    X = jnp.concatenate([u[None], jnp.transpose(J, (2, 0, 1))], axis=0)
+    Jt = J - u[:, :, None] * q[:, None, :]         # project out u
+    X = jnp.concatenate([u[None], jnp.transpose(Jt, (2, 0, 1))], axis=0)
     X = jnp.pad(X, ((0, 0), (0, 0), (0, D_LANES - d)))   # (4, N, 128)
     re = jnp.stack([rinv, f.ele.reshape(-1).astype(f32)], axis=0)  # (2, N)
-    return X, q.astype(f32), re
+    lhs, rhs = _lhs_rhs(X, mode)
+    return lhs, rhs, re
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("zeta", "interpret", "symmetric",
-                                    "deriv"))
+def energy_operand(e, mode: str):
+    """(lhs, rhs, w) operands for an energy side: lhs/rhs (N1, kl) unit
+    descriptors at the requested precision, w (N1, 2) = [valid/count,
+    element id].  Same build-once contract as force_operand."""
+    f32 = jnp.float32
+    e = _pad_energy(e, TP1)
+    m, A, d = e.x.shape
+    x = e.x.reshape(m * A, d).astype(f32)
+    n1 = jnp.sqrt(jnp.sum(x * x, axis=1))
+    v1 = (n1 > 1e-8) & (e.ele.reshape(-1) > 0)
+    u1 = jnp.pad(x / jnp.where(v1, n1, 1.0)[:, None],
+                 ((0, 0), (0, D_LANES - d)))
+    inv_count = jnp.repeat(1.0 / e.counts.astype(f32), A)
+    w = jnp.stack([jnp.where(v1, inv_count, 0.0),
+                   e.ele.reshape(-1).astype(f32)], axis=1)  # (N1, 2)
+    lhs, rhs = _lhs_rhs(u1, mode)
+    return lhs, rhs, w
+
+
 def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
                interpret: bool = False, symmetric: bool = False,
-               deriv: bool = False) -> jnp.ndarray:
+               deriv: bool = False,
+               mm_precision: str | None = None) -> jnp.ndarray:
     """RBF force-force block via the fused Pallas kernel, (3 m1, 3 m2).
 
     f1.dxdr must have 3 cartesian columns (the stress path stays on the
@@ -247,23 +346,46 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
     (d <= 128).  symmetric=True (f1 is f2, the training build) runs the
     triangular schedule -- only cells reaching the upper triangle are
     computed (~1.8x fewer) and the lower blocks are mirrored afterwards
-    (K_FF[(i,u),(j,v)] == K_FF[(j,v),(i,u)])."""
-    f32 = jnp.float32
+    (K_FF[(i,u),(j,v)] == K_FF[(j,v),(i,u)]).  mm_precision: see module
+    docstring (None -> GPR_CALC_TPU_KFF_PRECISION, default bf16x4)."""
+    mode = _resolve_precision(mm_precision)
     m1_in, m2_in = f1.x.shape[0], f2.x.shape[0]
     assert f1.dxdr.shape[3] == 3 and f2.dxdr.shape[3] == 3
     assert f1.x.shape[2] <= D_LANES, "descriptor width > 128: use XLA kff"
+    B1, B2 = f1.x.shape[1], f2.x.shape[1]
     if symmetric:
-        assert m1_in == m2_in and f1.x.shape[1] == f2.x.shape[1]
-    f1 = _pad_points(f1, TPC if symmetric else TP1)
-    f2 = _pad_points(f2, TPC)
-    m1, B1, d = f1.x.shape
-    m2, B2, _ = f2.x.shape
+        assert m1_in == m2_in and B1 == B2
+        lhs, rhs, re = force_operand(f1, mode, TPC)
+        out = kff_from_ops(params, lhs, re, rhs, re, B1=B1, B2=B2,
+                           zeta=zeta, interpret=interpret,
+                           symmetric=True, deriv=deriv, mode=mode)
+    else:
+        lhs1, _, re1 = force_operand(f1, mode, TP1)
+        _, rhs2, re2 = force_operand(f2, mode, TPC)
+        out = kff_from_ops(params, lhs1, re1, rhs2, re2, B1=B1, B2=B2,
+                           zeta=zeta, interpret=interpret,
+                           symmetric=False, deriv=deriv, mode=mode)
+    return out[:3 * m1_in, :3 * m2_in].astype(f1.x.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("B1", "B2", "zeta", "interpret",
+                                    "symmetric", "deriv", "mode"))
+def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
+                 zeta: int, interpret: bool, symmetric: bool, deriv: bool,
+                 mode: str) -> jnp.ndarray:
+    """Force-force block from prebuilt operands (force_operand), returning
+    the PADDED (3 m1p, 3 m2p) f32 block.  k_self passes the SAME operand
+    arrays here and to kef/kee so the training covariance is one
+    consistent Gram (see force_operand)."""
+    f32 = jnp.float32
+    kl = _lanes(mode)
+    N1, N2 = lhs1.shape[1], rhs2.shape[1]
+    m1, m2 = N1 // B1, N2 // B2
     tp2 = _rhs_tile_points(B2)
     t1, t2 = TP1 * B1, tp2 * B2
     nsub = TPC // tp2
-
-    X1, q1, re1 = _prep(f1)
-    X2, q2, re2 = _prep(f2)
+    X1, X2 = lhs1, rhs2
 
     # rhs env -> point one-hot reduction map (the lhs reduction is a
     # sublane reshape-sum inside the kernel)
@@ -278,36 +400,34 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
     tensor_args = (
         jnp.asarray(params["sigma"], f32).reshape(1, 1) ** 2,
         (1.0 / (2.0 * jnp.asarray(params["l"], f32) ** 2)).reshape(1, 1),
-        X1.reshape(4, N1 // t1, t1, D_LANES),
-        q1, re1.T,
-        X2.reshape(4, N2 // t2, t2, D_LANES),
-        q2.T, re2,
+        X1.reshape(4, N1 // t1, t1, kl),
+        re1.T,
+        X2.reshape(4, N2 // t2, t2, kl),
+        re2,
         jnp.asarray(S2),
     )
     out_shape = tuple(jax.ShapeDtypeStruct((m1, m2), f32)
                       for _ in range(9))
     scratch = [pltpu.VMEM((9 * TP1, t2), jnp.float32)]
+    kern_kw = dict(zeta=zeta, t1=t1, t2=t2, b1=B1, tp2=tp2, deriv=deriv,
+                   mode=mode)
 
     # Trace with x64 disabled: under x64 the BlockSpec index maps produce
     # i64 grid indices, which Mosaic cannot legalize.
     with jax.enable_x64(False):
         if not symmetric:
             outs = pl.pallas_call(
-                functools.partial(_kff_kernel, zeta=zeta, t1=t1, t2=t2,
-                                  b1=B1, tp2=tp2, deriv=deriv),
+                functools.partial(_kff_kernel, **kern_kw),
                 grid=grid,
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
-                    pl.BlockSpec((4, 1, t1, D_LANES),
+                    pl.BlockSpec((4, 1, t1, kl),
                                  lambda i, j, s: (0, i, 0, 0)),
-                    pl.BlockSpec((t1, 3), lambda i, j, s: (i, 0)),
                     pl.BlockSpec((t1, 2), lambda i, j, s: (i, 0)),
-                    pl.BlockSpec((4, 1, t2, D_LANES),
+                    pl.BlockSpec((4, 1, t2, kl),
                                  lambda i, j, s, n=nsub: (0, j * n + s,
                                                           0, 0)),
-                    pl.BlockSpec((3, t2),
-                                 lambda i, j, s, n=nsub: (0, j * n + s)),
                     pl.BlockSpec((2, t2),
                                  lambda i, j, s, n=nsub: (0, j * n + s)),
                     pl.BlockSpec((t2, tp2), lambda i, j, s: (0, 0)),
@@ -327,18 +447,13 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
-                    pl.BlockSpec((4, 1, t1, D_LANES),
+                    pl.BlockSpec((4, 1, t1, kl),
                                  lambda c, I, J, S, F: (0, I[c], 0, 0)),
-                    pl.BlockSpec((t1, 3),
-                                 lambda c, I, J, S, F: (I[c], 0)),
                     pl.BlockSpec((t1, 2),
                                  lambda c, I, J, S, F: (I[c], 0)),
-                    pl.BlockSpec((4, 1, t2, D_LANES),
+                    pl.BlockSpec((4, 1, t2, kl),
                                  lambda c, I, J, S, F, n=nsub:
                                  (0, J[c] * n + S[c], 0, 0)),
-                    pl.BlockSpec((3, t2),
-                                 lambda c, I, J, S, F, n=nsub:
-                                 (0, J[c] * n + S[c])),
                     pl.BlockSpec((2, t2),
                                  lambda c, I, J, S, F, n=nsub:
                                  (0, J[c] * n + S[c])),
@@ -352,8 +467,7 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
                 scratch_shapes=scratch,
             )
             outs = pl.pallas_call(
-                functools.partial(_kff_kernel_tri, zeta=zeta, t1=t1,
-                                  t2=t2, b1=B1, tp2=tp2, deriv=deriv),
+                functools.partial(_kff_kernel_tri, **kern_kw),
                 grid_spec=grid_spec,
                 out_shape=out_shape,
                 interpret=interpret,
@@ -375,8 +489,7 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
     else:
         out = jnp.stack(outs, axis=0)                 # (9, m1, m2)
     out = out.reshape(3, 3, m1, m2)
-    out = out.transpose(2, 0, 3, 1).reshape(m1 * 3, m2 * 3)
-    return out[:3 * m1_in, :3 * m2_in].astype(f1.x.dtype)
+    return out.transpose(2, 0, 3, 1).reshape(m1 * 3, m2 * 3)
 
 
 # ---------------------------------------------------------------------------
@@ -384,25 +497,21 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
 # ---------------------------------------------------------------------------
 
 def _kef_kernel(sig2_ref, inv2l2_ref,
-                u1_ref, w1_ref,
-                x2_ref, q2_ref, re2_ref,
-                s2_ref,
+                u1_ref, w1_ref, x2_ref, re2_ref, s2_ref,
                 *refs, zeta: int, t1: int, t2: int, a1: int, tp2: int,
-                deriv: bool = False):
-    """K_EF = -(1/N_p) sum dk_dD z c^(z-1) (u1 - c u2)/r2 . J2v
+                deriv: bool, mode: str):
+    """K_EF = -(1/N_p) sum dk_dD z c^(z-1) u1 . Jt2_v
     (rbf_kernel.cpp:102-171 + the wrapper normalisation), fused like
-    _kff_body: one k=128 contraction, VPU assembly, stacked reduction."""
+    _kff_body: one k=128 contraction, VPU assembly, stacked reduction.
+    The rhs Jacobian projection folds the reference's (u1 - c u2)/r2 . J2v
+    into a single pair block (u1 . Jt2_v)."""
     f32 = jnp.float32
     out_refs, (acc_ref,) = refs[:3], refs[3:]
     sigma2 = sig2_ref[0, 0]
     inv2l2 = inv2l2_ref[0, 0]
     s = pl.program_id(2)
 
-    u1 = u1_ref[:]                                  # (t1, 128)
-    X2 = x2_ref[:].reshape(4 * t2, D_LANES)
-    G = jax.lax.dot_general(
-        u1, X2, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32)                 # (t1, 4*t2)
+    G = _pair_blocks(u1_ref, x2_ref, t1, 4 * t2, mode)  # (t1, 4*t2)
 
     c = G[:, :t2]
     if zeta == 2:
@@ -425,9 +534,7 @@ def _kef_kernel(sig2_ref, inv2l2_ref,
 
     tp1 = t1 // a1
     for v in range(3):
-        P2v = G[:, (1 + v) * t2:(2 + v) * t2]
-        q2v = q2_ref[v][None, :]
-        env = A * (P2v - c * q2v)
+        env = A * G[:, (1 + v) * t2:(2 + v) * t2]
         acc_ref[v * tp1:(v + 1) * tp1, :] = (
             env.reshape(tp1, a1, t2).sum(axis=1))
 
@@ -464,53 +571,55 @@ def _pad_energy(e, multiple: int):
         nreal=e.nreal)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("zeta", "interpret", "deriv"))
 def kef_pallas(e1, f2: ForceData, params, zeta: int = 2,
-               interpret: bool = False, deriv: bool = False) -> jnp.ndarray:
+               interpret: bool = False, deriv: bool = False,
+               mm_precision: str | None = None) -> jnp.ndarray:
     """RBF energy-force block via the fused Pallas kernel, (m1, 3 m2)."""
-    f32 = jnp.float32
+    mode = _resolve_precision(mm_precision)
     m1_in, m2_in = e1.x.shape[0], f2.x.shape[0]
     assert f2.dxdr.shape[3] == 3
     assert e1.x.shape[2] <= D_LANES
-    e1 = _pad_energy(e1, TP1)
-    f2 = _pad_points(f2, TPC)
-    m1, A1, d = e1.x.shape
-    m2, B2, _ = f2.x.shape
+    lhs1, _, w1 = energy_operand(e1, mode)
+    _, rhs2, re2 = force_operand(f2, mode, TPC)
+    out = kef_from_ops(params, lhs1, w1, rhs2, re2,
+                       A1=e1.x.shape[1], B2=f2.x.shape[1], zeta=zeta,
+                       interpret=interpret, deriv=deriv, mode=mode)
+    return out[:m1_in, :3 * m2_in].astype(e1.x.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("A1", "B2", "zeta", "interpret",
+                                    "deriv", "mode"))
+def kef_from_ops(params, U1, w1, rhs2, re2, *, A1: int, B2: int,
+                 zeta: int, interpret: bool, deriv: bool,
+                 mode: str) -> jnp.ndarray:
+    """Energy-force block from prebuilt operands (energy_operand /
+    force_operand), returning the PADDED (m1p, 3 m2p) f32 block."""
+    f32 = jnp.float32
+    kl = _lanes(mode)
+    N1, N2 = U1.shape[0], rhs2.shape[1]
+    m1, m2 = N1 // A1, N2 // B2
     tp2 = _rhs_tile_points(B2)
     t1, t2 = TP1 * A1, tp2 * B2
     nsub = TPC // tp2
-
-    x1 = e1.x.reshape(m1 * A1, d).astype(f32)
-    n1 = jnp.sqrt(jnp.sum(x1 * x1, axis=1))
-    v1 = (n1 > 1e-8) & (e1.ele.reshape(-1) > 0)
-    u1 = jnp.pad(x1 / jnp.where(v1, n1, 1.0)[:, None],
-                 ((0, 0), (0, D_LANES - d)))
-    inv_count = jnp.repeat(1.0 / e1.counts.astype(f32), A1)
-    w1 = jnp.stack([jnp.where(v1, inv_count, 0.0),
-                    e1.ele.reshape(-1).astype(f32)], axis=1)  # (N1, 2)
-
-    X2, q2, re2 = _prep(f2)
+    X2 = rhs2
     S2 = np.kron(np.eye(tp2, dtype=np.float32),
                  np.ones((1, B2), np.float32)).T
 
     grid = (m1 // TP1, m2 // TPC, nsub)
-    N2 = m2 * B2
 
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             functools.partial(_kef_kernel, zeta=zeta, t1=t1, t2=t2,
-                              a1=A1, tp2=tp2, deriv=deriv),
+                              a1=A1, tp2=tp2, deriv=deriv, mode=mode),
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((t1, D_LANES), lambda i, j, s: (i, 0)),
+                pl.BlockSpec((t1, kl), lambda i, j, s: (i, 0)),
                 pl.BlockSpec((t1, 2), lambda i, j, s: (i, 0)),
-                pl.BlockSpec((4, 1, t2, D_LANES),
+                pl.BlockSpec((4, 1, t2, kl),
                              lambda i, j, s, n=nsub: (0, j * n + s, 0, 0)),
-                pl.BlockSpec((3, t2),
-                             lambda i, j, s, n=nsub: (0, j * n + s)),
                 pl.BlockSpec((2, t2),
                              lambda i, j, s, n=nsub: (0, j * n + s)),
                 pl.BlockSpec((t2, tp2), lambda i, j, s: (0, 0)),
@@ -525,10 +634,60 @@ def kef_pallas(e1, f2: ForceData, params, zeta: int = 2,
         )(
             jnp.asarray(params["sigma"], f32).reshape(1, 1) ** 2,
             (1.0 / (2.0 * jnp.asarray(params["l"], f32) ** 2)).reshape(1, 1),
-            u1, w1,
-            X2.reshape(4, N2 // t2, t2, D_LANES),
-            q2.T, re2,
+            U1,
+            w1,
+            X2.reshape(4, N2 // t2, t2, kl),
+            re2,
             jnp.asarray(S2),
         )
-    out = jnp.stack(outs, axis=2).reshape(m1, m2 * 3)
-    return out[:m1_in, :3 * m2_in].astype(e1.x.dtype)
+    return jnp.stack(outs, axis=2).reshape(m1, m2 * 3)
+
+
+# ---------------------------------------------------------------------------
+# energy-energy block from the same operands (consistency companion)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=("A1", "zeta", "deriv", "mode"))
+def kee_from_ops(params, lhs, rhs, w, *, A1: int, zeta: int,
+                 deriv: bool, mode: str) -> jnp.ndarray:
+    """Energy-energy self block from prebuilt operands (energy_operand),
+    (m1p, m1p) f32, padded.
+
+    Plain XLA (the block is tiny next to K_FF), but c is the SAME exact
+    Gram of the SAME rounded operand arrays the Pallas K_EF/K_FF consume
+    -- an exact-f32 K_EE next to rounded force blocks breaks the
+    whole-covariance Gram property and NaNs the Cholesky (see module
+    docstring).  Chunked over lhs points to bound the (N1, N1) pair
+    matrix."""
+    f32 = jnp.float32
+    N1 = lhs.shape[0]
+    m = N1 // A1
+    sigma2 = jnp.asarray(params["sigma"], f32) ** 2
+    inv2l2 = 1.0 / (2.0 * jnp.asarray(params["l"], f32) ** 2)
+    wgt = w[:, 0].astype(f32)
+    ele = w[:, 1].astype(f32)
+    prec = (jax.lax.Precision.HIGHEST if mode == "highest"
+            else jax.lax.Precision.DEFAULT)
+
+    def block(args):
+        lb, wb, eb = args
+        c = jax.lax.dot_general(lb, rhs, _DN, precision=prec,
+                                preferred_element_type=f32)
+        D = c
+        for _ in range(zeta - 1):
+            D = D * c
+        k = sigma2 * jnp.exp((D - 1.0) * inv2l2)
+        if deriv:
+            k = k * (D - 1.0)
+        k = k * jnp.where(eb[:, None] == ele[None, :], 1.0, 0.0)
+        k = k * (wb[:, None] * wgt[None, :])
+        pc = lb.shape[0] // A1
+        return k.reshape(pc, A1, m, A1).sum(axis=(1, 3))
+
+    pc = math.gcd(m, 64)
+    nch = m // pc
+    out = jax.lax.map(block, (lhs.reshape(nch, pc * A1, lhs.shape[1]),
+                              wgt.reshape(nch, pc * A1),
+                              ele.reshape(nch, pc * A1)))
+    return out.reshape(m, m)

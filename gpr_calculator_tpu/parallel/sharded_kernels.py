@@ -37,7 +37,8 @@ def _shard_map(fn, mesh, in_specs, out_specs):
 
 
 def kff_pallas_sharded(f: ForceData, params, mesh, zeta: int = 2,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       mm_precision: str | None = None):
     """(3 m, 3 m) self force-force block, rows sharded over ``mesh``.
 
     The point axis must divide the mesh size (shard_train_data pads it).
@@ -58,7 +59,7 @@ def kff_pallas_sharded(f: ForceData, params, mesh, zeta: int = 2,
 
     def stripe(f1_block: ForceData, f2_full: ForceData):
         return kff_pallas(f1_block, f2_full, params, zeta=zeta,
-                          interpret=interpret)
+                          interpret=interpret, mm_precision=mm_precision)
 
     fn = _shard_map(stripe, mesh, in_specs=(f_specs, full_specs),
                     out_specs=P(ROW_AXIS))
@@ -72,7 +73,8 @@ def kff_pallas_sharded(f: ForceData, params, mesh, zeta: int = 2,
 
 
 def kef_pallas_sharded(e, f: ForceData, params, mesh, zeta: int = 2,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       mm_precision: str | None = None):
     """(m_e, 3 m_f) energy-force block with the ENERGY rows sharded."""
     from ..ops.kff_pallas import kef_pallas
     from ..ops.packing import EnergyData
@@ -86,7 +88,7 @@ def kef_pallas_sharded(e, f: ForceData, params, mesh, zeta: int = 2,
 
     def stripe(e_block, f_full):
         return kef_pallas(e_block, f_full, params, zeta=zeta,
-                          interpret=interpret)
+                          interpret=interpret, mm_precision=mm_precision)
 
     fn = _shard_map(stripe, mesh, in_specs=(e_specs, f_specs),
                     out_specs=P(ROW_AXIS))

@@ -22,7 +22,7 @@ def test_kff_pallas_matches_xla():
     f2 = pack_force(pts2, m_pad=2, b_pad=4)
     ref = np.asarray(kernels.kff(f1, f2, PARAMS["rbf"], "rbf", 2))
     out = np.asarray(kff_pallas(f1, f2, _params32(), zeta=2,
-                                interpret=True))
+                                interpret=True, mm_precision="highest"))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-6)
 
 
@@ -30,7 +30,8 @@ def test_kff_pallas_zeta3():
     pts = make_points(2, 3, 5)
     f = pack_force(pts, m_pad=2, b_pad=4)
     ref = np.asarray(kernels.kff(f, f, PARAMS["rbf"], "rbf", 3))
-    out = np.asarray(kff_pallas(f, f, _params32(), zeta=3, interpret=True))
+    out = np.asarray(kff_pallas(f, f, _params32(), zeta=3, interpret=True,
+                                mm_precision="highest"))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-6)
 
 
@@ -39,8 +40,8 @@ def test_kff_pallas_symmetric_matches_xla():
     pts = make_points(6, 4, 6)
     f = pack_force(pts, m_pad=6, b_pad=4)
     ref = np.asarray(kernels.kff(f, f, PARAMS["rbf"], "rbf", 2))
-    out = np.asarray(kff_pallas(f, f, _params32(), zeta=2,
-                                interpret=True, symmetric=True))
+    out = np.asarray(kff_pallas(f, f, _params32(), zeta=2, interpret=True,
+                                symmetric=True, mm_precision="highest"))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-6)
     # and it is exactly symmetric after the mirror
     np.testing.assert_allclose(out, out.T, rtol=0, atol=2e-5)
@@ -54,7 +55,8 @@ def test_kef_pallas_matches_xla():
     e = pack_energy([(x, el) for x, _, el in epts], m_pad=3, a_pad=8)
     f = pack_force(fpts, m_pad=2, b_pad=4)
     ref = np.asarray(kernels.kef(e, f, PARAMS["rbf"], "rbf", 2))
-    out = np.asarray(kef_pallas(e, f, _params32(), zeta=2, interpret=True))
+    out = np.asarray(kef_pallas(e, f, _params32(), zeta=2, interpret=True,
+                                mm_precision="highest"))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-7)
 
 
@@ -83,3 +85,118 @@ def test_kff_kef_pallas_deriv_match_xla():
                                    interpret=True, deriv=True))
     scale_e = max(np.abs(ref_ef).max(), 1e-8)
     assert np.abs(out_ef - ref_ef).max() < 3e-5 * scale_e
+
+
+def test_kff_kef_pallas_bf16x4_production_mode():
+    """The default split-precision matmul mode (bf16x4: exact Gram of
+    bf16-pair-rounded inputs, 4 native MXU passes): error must stay tiny
+    relative to the kernel scale on both blocks and the deriv build."""
+    from gpr_calculator_tpu.ops.kff_pallas import kef_pallas
+    from gpr_calculator_tpu.ops.packing import pack_energy
+    pts1 = make_points(4, 4, 6)
+    pts2 = make_points(2, 3, 6)
+    epts = make_points(3, 5, 6)
+    f1 = pack_force(pts1, m_pad=4, b_pad=4)
+    f2 = pack_force(pts2, m_pad=2, b_pad=4)
+    e = pack_energy([(x, el) for x, _, el in epts], m_pad=3, a_pad=8)
+    for kind, deriv in [("rbf", False), ("rbf_dgamma", True)]:
+        ref = np.asarray(kernels.kff(f1, f2, PARAMS["rbf"], kind, 2))
+        out = np.asarray(kff_pallas(f1, f2, _params32(), zeta=2,
+                                    interpret=True, deriv=deriv,
+                                    mm_precision="bf16x4"))
+        scale = max(np.abs(ref).max(), 1e-8)
+        assert np.abs(out - ref).max() < 5e-4 * scale
+        ref_ef = np.asarray(kernels.kef(e, f2, PARAMS["rbf"], kind, 2))
+        out_ef = np.asarray(kef_pallas(e, f2, _params32(), zeta=2,
+                                       interpret=True, deriv=deriv,
+                                       mm_precision="bf16x4"))
+        scale_e = max(np.abs(ref_ef).max(), 1e-8)
+        assert np.abs(out_ef - ref_ef).max() < 5e-4 * scale_e
+
+
+def test_kff_pallas_bf16x4_symmetric():
+    """Triangular schedule + mirror under the production matmul mode."""
+    pts = make_points(6, 4, 6)
+    f = pack_force(pts, m_pad=6, b_pad=4)
+    ref = np.asarray(kernels.kff(f, f, PARAMS["rbf"], "rbf", 2))
+    out = np.asarray(kff_pallas(f, f, _params32(), zeta=2,
+                                interpret=True, symmetric=True,
+                                mm_precision="bf16x4"))
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() < 5e-4 * scale
+    np.testing.assert_allclose(out, out.T, rtol=0, atol=1e-5)
+
+
+def test_kff_pallas_bf16_fast_mode():
+    """1-pass bf16 mode: an exact Gram of bf16-rounded inputs -- larger
+    (input-level ~2e-3) error, but structurally PSD; verify the error is
+    bounded and symmetric assembly stays exact."""
+    pts = make_points(6, 4, 6)
+    f = pack_force(pts, m_pad=6, b_pad=4)
+    ref = np.asarray(kernels.kff(f, f, PARAMS["rbf"], "rbf", 2))
+    out = np.asarray(kff_pallas(f, f, _params32(), zeta=2,
+                                interpret=True, symmetric=True,
+                                mm_precision="bf16"))
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() < 3e-2 * scale
+    np.testing.assert_allclose(out, out.T, rtol=0, atol=1e-5)
+
+
+def test_kee_from_ops_matches_xla():
+    """The consistency companion K_EE (kee_from_ops) == the XLA kee in
+    highest mode, and stays within Gram-rounding error in bf16x4."""
+    from gpr_calculator_tpu.ops.kff_pallas import (energy_operand,
+                                                   kee_from_ops)
+    from gpr_calculator_tpu.ops.packing import pack_energy
+    epts = make_points(5, 4, 6)
+    e = pack_energy([(x, el) for x, _, el in epts], m_pad=5, a_pad=8)
+    ref = np.asarray(kernels.kee(e, e, PARAMS["rbf"], "rbf", 2))
+    for kind, deriv in [("rbf", False), ("rbf_dgamma", True)]:
+        ref = np.asarray(kernels.kee(e, e, PARAMS["rbf"], kind, 2))
+        for mode, tol in [("highest", 3e-6), ("bf16x4", 1e-5),
+                          ("bf16", 3e-2)]:
+            lhs, rhs, w = energy_operand(e, mode)
+            out = np.asarray(kee_from_ops(
+                _params32(), lhs, rhs, w, A1=e.x.shape[1], zeta=2,
+                deriv=deriv, mode=mode))[:5, :5]
+            scale = max(np.abs(ref).max(), 1e-8)
+            assert np.abs(out - ref).max() < tol * scale, (kind, mode)
+
+
+def test_k_self_pallas_psd_consistency(monkeypatch):
+    """The shared-operand pallas assembly produces a PSD covariance in
+    every precision mode (interpret on CPU): bare Cholesky (no noise)
+    must succeed -- the Gram-consistency property the module docstring
+    derives.  The compiled 10k-scale version of this check lives in the
+    TPU lane (test_tpu.py)."""
+    import jax
+    import jax.numpy as jnp
+    from gpr_calculator_tpu.ops.kff_pallas import (TPC, energy_operand,
+                                                   force_operand,
+                                                   kee_from_ops,
+                                                   kef_from_ops,
+                                                   kff_from_ops)
+    from gpr_calculator_tpu.ops.packing import pack_energy
+    rng = np.random.RandomState(3)
+    fpts = [(rng.uniform(0.2, 1.0, (4, 6)),
+             rng.uniform(-1.0, 1.0, (4, 6, 3)),
+             rng.choice([13, 79], 4)) for _ in range(6)]
+    epts = [(x, el) for x, _, el in fpts[:4]]
+    f = pack_force(fpts, m_pad=6, b_pad=4)
+    e = pack_energy(epts, m_pad=4, a_pad=4)
+    params = _params32()
+    for mode in ["bf16", "bf16x4", "highest"]:
+        e_lhs, e_rhs, e_w = energy_operand(e, mode)
+        f_lhs, f_rhs, f_re = force_operand(f, mode, TPC)
+        K_ee = kee_from_ops(params, e_lhs, e_rhs, e_w, A1=4, zeta=2,
+                            deriv=False, mode=mode)[:4, :4]
+        K_ef = kef_from_ops(params, e_lhs, e_w, f_rhs, f_re, A1=4, B2=4,
+                            zeta=2, interpret=True, deriv=False,
+                            mode=mode)[:4, :18]
+        K_ff = kff_from_ops(params, f_lhs, f_re, f_rhs, f_re, B1=4, B2=4,
+                            zeta=2, interpret=True, symmetric=True,
+                            deriv=False, mode=mode)[:18, :18]
+        K = np.block([[np.asarray(K_ee), np.asarray(K_ef)],
+                      [np.asarray(K_ef).T, np.asarray(K_ff)]])
+        w = np.linalg.eigvalsh(K.astype(np.float64))
+        assert w.min() > -1e-5 * max(1.0, w.max()), (mode, w.min())

@@ -27,7 +27,8 @@ def test_kff_sharded_matches_single():
     f = pack_force(_pts(rng, 8, 4, 6), m_pad=8, b_pad=4)
     mesh = make_mesh(8)
     out = np.asarray(kff_pallas_sharded(f, _params32(), mesh, zeta=2,
-                                        interpret=True))
+                                        interpret=True,
+                                        mm_precision="highest"))
     ref = np.asarray(kernels.kff(f, f, PARAMS["rbf"], "rbf", 2))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-6)
 
@@ -39,6 +40,19 @@ def test_kef_sharded_matches_single():
     e = pack_energy([(x, el) for x, _, el in epts], m_pad=8, a_pad=8)
     mesh = make_mesh(8)
     out = np.asarray(kef_pallas_sharded(e, f, _params32(), mesh, zeta=2,
-                                        interpret=True))
+                                        interpret=True,
+                                        mm_precision="highest"))
     ref = np.asarray(kernels.kef(e, f, PARAMS["rbf"], "rbf", 2))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-7)
+
+
+def test_kff_sharded_production_precision():
+    """Default (bf16x3) matmul mode through the shard_map wrapper."""
+    rng = np.random.RandomState(7)
+    f = pack_force(_pts(rng, 8, 4, 6), m_pad=8, b_pad=4)
+    mesh = make_mesh(8)
+    out = np.asarray(kff_pallas_sharded(f, _params32(), mesh, zeta=2,
+                                        interpret=True))
+    ref = np.asarray(kernels.kff(f, f, PARAMS["rbf"], "rbf", 2))
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() < 5e-4 * scale

@@ -171,3 +171,31 @@ def test_kef_pallas_compiled():
     out = _fetch(kef_pallas(e, f, params, zeta=2))
     scale = max(np.abs(ref).max(), 1e-8)
     assert np.abs(out - ref).max() < 5e-5 * scale
+
+
+@skip_off_tpu
+def test_k_self_pallas_psd_compiled(monkeypatch):
+    """Compiled shared-operand pallas training build stays PSD in every
+    matmul-precision mode: bare Cholesky (no noise diagonal) of the full
+    [[K_EE, K_EF], [K_FE, K_FF]] must be finite.  Guards the
+    Gram-consistency property (kff_pallas module docstring) at a scale
+    where a single inconsistently-rounded env measurably breaks it."""
+    import jax
+    import jax.numpy as jnp
+    from gpr_calculator_tpu.ops import kernels as K_ops
+    monkeypatch.setenv("GPR_CALC_TPU_KFF", "pallas")
+    e, f = _bench_like_data(m_e=64, m_f=192)
+    params = {"sigma": jnp.asarray(2.0, jnp.float32),
+              "l": jnp.asarray(1.0, jnp.float32)}
+    for mode in ["bf16", "bf16x4"]:
+        monkeypatch.setenv("GPR_CALC_TPU_KFF_PRECISION", mode)
+
+        @jax.jit
+        def logdet(e, f):
+            K = K_ops.k_self(e, f, params, "rbf", 2, row_chunk=8,
+                             symmetric=True)
+            L = jnp.linalg.cholesky(K)
+            return jnp.sum(jnp.log(jnp.diagonal(L)))
+
+        val = float(logdet(e, f))
+        assert np.isfinite(val), (mode, val)
