@@ -121,8 +121,9 @@ def _nll_rbf_analytic(theta, e: EnergyData, f: ForceData, y,
         kp = theta
     sigma, l = kp[0], kp[1]
     params = {"sigma": sigma, "l": l}
-    Kk = K_ops.k_self(e, f, params, "rbf", zeta, row_chunk=row_chunk,
-                      symmetric=True)
+    # one fused dual pass on the Pallas path: K and dK/dgamma share the
+    # G contraction and the exp (k_self_dual)
+    Kk, Kd = K_ops.k_self_dual(e, f, params, zeta, row_chunk=row_chunk)
     nz = _noise_diag(e, f, noise_e, noise_f)
     K = Kk + jnp.diag(nz)
     L = jnp.linalg.cholesky(K)
@@ -131,9 +132,6 @@ def _nll_rbf_analytic(theta, e: EnergyData, f: ForceData, y,
     nll = (0.5 * jnp.sum(y * alpha)
            + jnp.sum(jnp.log(jnp.diagonal(L)))
            + 0.5 * n_real * jnp.log(2 * jnp.pi))
-
-    Kd = K_ops.k_self(e, f, params, "rbf_dgamma", zeta,
-                      row_chunk=row_chunk, symmetric=True)
 
     # diag(K^-1) and tr(K^-1 Kd) via column-blocked solves: one explicit
     # cho_solve(L, eye) at the 10k scale leaves ~6 GB of staged

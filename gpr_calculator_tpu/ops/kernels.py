@@ -562,13 +562,55 @@ def k_self(e: EnergyData, f: ForceData, params, kind: str = "rbf",
     return jnp.concatenate([top, bot], axis=0)
 
 
+def k_self_dual(e: EnergyData, f: ForceData, params, zeta: int = 2,
+                row_chunk: int = 0, allow_pallas: bool = True):
+    """(K, dK/dgamma) of the symmetric training covariance.
+
+    On the fused Pallas path the two builds come from ONE kernel pass per
+    block (shared G contraction and exp; dual=True plane pairs), which is
+    what the analytic-LML gradient (models/gp._nll_rbf_analytic) runs
+    every L-BFGS iteration.  Fallback: two k_self builds."""
+    if allow_pallas and _use_pallas_kff(f, "rbf"):
+        from .kff_pallas import (TPC, _resolve_precision, energy_operand,
+                                 force_operand, kee_from_ops,
+                                 kef_from_ops, kff_from_ops)
+        mode = _resolve_precision(None)
+        m_e, A = e.x.shape[0], e.x.shape[1]
+        m_f, B = f.x.shape[0], f.x.shape[1]
+        e_lhs, e_rhs, e_w = energy_operand(e, mode)
+        f_lhs, f_rhs, f_re = force_operand(f, mode, TPC)
+        dt = e.x.dtype
+        ee = kee_from_ops(params, e_lhs, e_rhs, e_w, A1=A, zeta=zeta,
+                          deriv=False, mode=mode, dual=True)
+        ef = kef_from_ops(params, e_lhs, e_w, f_rhs, f_re, A1=A, B2=B,
+                          zeta=zeta, interpret=False, deriv=False,
+                          mode=mode, dual=True)
+        ff = kff_from_ops(params, f_lhs, f_re, f_rhs, f_re, B1=B, B2=B,
+                          zeta=zeta, interpret=False, symmetric=True,
+                          deriv=False, mode=mode, dual=True)
+
+        def asm(K_ee, K_ef, K_ff):
+            K_ee = K_ee[:m_e, :m_e].astype(dt)
+            K_ef = K_ef[:m_e, :3 * m_f].astype(dt)
+            K_ff = K_ff[:3 * m_f, :3 * m_f].astype(dt)
+            top = jnp.concatenate([K_ee, K_ef], axis=1)
+            bot = jnp.concatenate([K_ef.T, K_ff], axis=1)
+            return jnp.concatenate([top, bot], axis=0)
+
+        return asm(ee[0], ef[0], ff[0]), asm(ee[1], ef[1], ff[1])
+    return (k_self(e, f, params, "rbf", zeta, row_chunk=row_chunk,
+                   symmetric=True, allow_pallas=allow_pallas),
+            k_self(e, f, params, "rbf_dgamma", zeta, row_chunk=row_chunk,
+                   symmetric=True, allow_pallas=allow_pallas))
+
+
 def _use_pallas_kff(f: ForceData, kind: str) -> bool:
-    """Production opt-in for the fused Pallas K_FF (GPR_CALC_TPU_KFF=
-    pallas): f32 RBF on a TPU backend with 3 cart columns and d <= 128
-    (the f64 tight-noise path keeps the XLA build -- the Pallas kernel
-    computes in f32)."""
+    """The fused Pallas training build is the DEFAULT on TPU for f32 RBF
+    with 3 cart columns and d <= 128 (the f64 tight-noise path keeps the
+    XLA build -- the Pallas kernel computes in f32).  GPR_CALC_TPU_KFF=
+    xla opts out; =pallas forces the previous opt-in spelling."""
     import os
-    if os.environ.get("GPR_CALC_TPU_KFF", "") != "pallas":
+    if os.environ.get("GPR_CALC_TPU_KFF", "pallas") != "pallas":
         return False
     return (kind in ("rbf", "rbf_dgamma") and f.x.dtype == jnp.float32
             and f.dxdr.shape[3] == 3 and f.x.shape[2] <= 128

@@ -128,17 +128,12 @@ def _pair_blocks(x1_ref, x2_ref, rows1, rows2, mode: str):
                                preferred_element_type=f32)
 
 
-def _kff_body(sigma2, inv2l2, s, first,
-              x1_ref, re1_ref, x2_ref, re2_ref,
-              s2_ref, out_refs, acc_ref,
-              zeta: int, t1: int, t2: int, b1: int, tp2: int,
-              deriv: bool, mode: str):
-    f32 = jnp.float32
-
-    # one contraction yields every pair block
-    G = _pair_blocks(x1_ref, x2_ref, 4 * t1, 4 * t2, mode)
-
-    c = G[:t1, :t2]
+def _coeff_sets(sigma2, inv2l2, c, zeta: int, deriv: bool, dual: bool,
+                rr, same):
+    """Per-pair (k, A, B) coefficient sets.  deriv -> the d/d(gamma)
+    set only (gamma = 1/(2 l^2), the analytic LML gradient's dK/dgamma
+    build, ops/kernels rbf_dgamma); dual -> BOTH sets, sharing the exp
+    and the G blocks (one fused pass instead of two kernel launches)."""
     if zeta == 2:
         d1 = c
         dm2 = jnp.ones_like(c)
@@ -149,49 +144,68 @@ def _kff_body(sigma2, inv2l2, s, first,
         d1 = dm2 * c
     D = d1 * c
     k = sigma2 * jnp.exp((D - np.float32(1.0)) * inv2l2)
-    rr = re1_ref[:, 0][:, None] * re2_ref[0][None, :]       # (t1, t2)
-    same = jnp.where(re1_ref[:, 1][:, None] == re2_ref[1][None, :],
-                     np.float32(1.0), np.float32(0.0))
     zd1 = zeta * d1
     b0 = zeta * (zeta - 1) * dm2
     b1c = zd1 * zd1
     A = k * inv2l2 * zd1
     B = k * inv2l2 * (b0 + b1c * inv2l2)
-    if deriv:
-        # d/d(gamma) coefficients, gamma = 1/(2 l^2) -- the analytic LML
-        # gradient's dK/dgamma build (ops/kernels rbf_dgamma)
+    sets = []
+    if not deriv:
+        sets.append((A * rr * same, B * rr * same))
+    if deriv or dual:
         Dm1 = D - np.float32(1.0)
-        A, B = (A * Dm1 + k * zd1,
-                B * Dm1 + k * (b0 + np.float32(2.0) * b1c * inv2l2))
-    A = A * rr * same
-    B = B * rr * same
+        dA = A * Dm1 + k * zd1
+        dB = B * Dm1 + k * (b0 + np.float32(2.0) * b1c * inv2l2)
+        sets.append((dA * rr * same, dB * rr * same))
+    return sets
 
-    # assemble the nine env planes, pre-reduced over the lhs env axis
-    # (sublane reshape-sum -- VPU), stacked in one scratch accumulator so
-    # the rhs env reduction is a SINGLE k=t2 matmul per cell instead of
-    # 27 latency-bound small MXU ops.  With the projected Jacobians the
-    # plane is a two-term form: A m_uv + (B p1_u) p2_v.
+
+def _kff_body(sigma2, inv2l2, s, first,
+              x1_ref, re1_ref, x2_ref, re2_ref,
+              s2_ref, out_refs, acc_ref,
+              zeta: int, t1: int, t2: int, b1: int, tp2: int,
+              deriv: bool, dual: bool, mode: str):
+    f32 = jnp.float32
+
+    # one contraction yields every pair block
+    G = _pair_blocks(x1_ref, x2_ref, 4 * t1, 4 * t2, mode)
+
+    c = G[:t1, :t2]
+    rr = re1_ref[:, 0][:, None] * re2_ref[0][None, :]       # (t1, t2)
+    same = jnp.where(re1_ref[:, 1][:, None] == re2_ref[1][None, :],
+                     np.float32(1.0), np.float32(0.0))
+    sets = _coeff_sets(sigma2, inv2l2, c, zeta, deriv, dual, rr, same)
+    nsets = len(sets)
+
+    # assemble the env planes (9 per coefficient set), pre-reduced over
+    # the lhs env axis (sublane reshape-sum -- VPU), stacked in one
+    # scratch accumulator so the rhs env reduction is a SINGLE k=t2
+    # matmul per cell instead of 27 latency-bound small MXU ops.  With
+    # the projected Jacobians the plane is a two-term form:
+    # A m_uv + (B p1_u) p2_v.
     p2 = [G[:t1, (1 + v) * t2:(2 + v) * t2] for v in range(3)]
     tp1 = t1 // b1
     for u in range(3):
         p1u = G[(1 + u) * t1:(2 + u) * t1, :t2]
-        Bp1u = B * p1u
+        Bp1 = [B * p1u for (_, B) in sets]
         for v in range(3):
             m_uv = G[(1 + u) * t1:(2 + u) * t1, (1 + v) * t2:(2 + v) * t2]
-            env = A * m_uv + Bp1u * p2[v]
-            # row (lhs env -> point) reduction on the VPU
-            acc_ref[(u * 3 + v) * tp1:(u * 3 + v + 1) * tp1, :] = (
-                env.reshape(tp1, b1, t2).sum(axis=1))
+            for ci, (A, _) in enumerate(sets):
+                env = A * m_uv + Bp1[ci] * p2[v]
+                # row (lhs env -> point) reduction on the VPU
+                plane = ci * 9 + u * 3 + v
+                acc_ref[plane * tp1:(plane + 1) * tp1, :] = (
+                    env.reshape(tp1, b1, t2).sum(axis=1))
 
     # rhs env -> point reduction: one dense k=t2 contraction
     red = jnp.dot(acc_ref[:], s2_ref[:],
-                  preferred_element_type=f32)   # (9*tp1, tp2)
+                  preferred_element_type=f32)   # (nsets*9*tp1, tp2)
     # scatter the tp2 columns of sub-tile s into the TPC-wide output
     # blocks with a tiled mask (VPU only -- no per-plane MXU op)
     lane = jax.lax.broadcasted_iota(jnp.int32, (tp1, TPC), 1)
     mask = (lane // tp2 == s).astype(f32)
     ncopy = TPC // tp2
-    for uv in range(9):
+    for uv in range(9 * nsets):
         blk = red[uv * tp1:(uv + 1) * tp1, :]
         tiled = jnp.concatenate([blk] * ncopy, axis=1) * mask
         ref = out_refs[uv]
@@ -208,30 +222,32 @@ def _kff_body(sigma2, inv2l2, s, first,
 def _kff_kernel(sig2_ref, inv2l2_ref,
                 x1_ref, re1_ref, x2_ref, re2_ref, s2_ref,
                 *refs, zeta: int, t1: int, t2: int, b1: int, tp2: int,
-                deriv: bool, mode: str):
-    out_refs, (acc_ref,) = refs[:9], refs[9:]
+                deriv: bool, dual: bool, mode: str):
+    n_out = 18 if dual else 9
+    out_refs, (acc_ref,) = refs[:n_out], refs[n_out:]
     s = pl.program_id(2)
     _kff_body(sig2_ref[0, 0], inv2l2_ref[0, 0], s, s == 0,
               x1_ref, re1_ref, x2_ref, re2_ref,
               s2_ref, out_refs, acc_ref, zeta, t1, t2, b1, tp2,
-              deriv, mode)
+              deriv, dual, mode)
 
 
 def _kff_kernel_tri(cell_i, cell_j, cell_s, cell_first,
                     sig2_ref, inv2l2_ref,
                     x1_ref, re1_ref, x2_ref, re2_ref, s2_ref,
                     *refs, zeta: int, t1: int, t2: int, b1: int, tp2: int,
-                    deriv: bool, mode: str):
+                    deriv: bool, dual: bool, mode: str):
     """Triangular (self) schedule: the 1D grid enumerates only the cells
     whose column sub-tile reaches the upper triangle; (i, j, s) and the
     new-output-block flag come in as prefetched scalars."""
-    out_refs, (acc_ref,) = refs[:9], refs[9:]
+    n_out = 18 if dual else 9
+    out_refs, (acc_ref,) = refs[:n_out], refs[n_out:]
     c = pl.program_id(0)
     _kff_body(sig2_ref[0, 0], inv2l2_ref[0, 0], cell_s[c],
               cell_first[c] == 1,
               x1_ref, re1_ref, x2_ref, re2_ref,
               s2_ref, out_refs, acc_ref, zeta, t1, t2, b1, tp2,
-              deriv, mode)
+              deriv, dual, mode)
 
 
 def _tri_cells(n_row_tiles, n_col_blocks, nsub, tp2):
@@ -370,14 +386,16 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
 
 @functools.partial(jax.jit,
                    static_argnames=("B1", "B2", "zeta", "interpret",
-                                    "symmetric", "deriv", "mode"))
+                                    "symmetric", "deriv", "dual", "mode"))
 def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
                  zeta: int, interpret: bool, symmetric: bool, deriv: bool,
-                 mode: str) -> jnp.ndarray:
+                 mode: str, dual: bool = False) -> jnp.ndarray:
     """Force-force block from prebuilt operands (force_operand), returning
     the PADDED (3 m1p, 3 m2p) f32 block.  k_self passes the SAME operand
     arrays here and to kef/kee so the training covariance is one
-    consistent Gram (see force_operand)."""
+    consistent Gram (see force_operand).  dual=True returns the
+    (K, dK/dgamma) PAIR from one fused pass (shared G contraction and
+    exp -- the analytic-LML training gradient's hot path)."""
     f32 = jnp.float32
     kl = _lanes(mode)
     N1, N2 = lhs1.shape[1], rhs2.shape[1]
@@ -385,6 +403,7 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
     tp2 = _rhs_tile_points(B2)
     t1, t2 = TP1 * B1, tp2 * B2
     nsub = TPC // tp2
+    n_planes = 18 if dual else 9
     X1, X2 = lhs1, rhs2
 
     # rhs env -> point one-hot reduction map (the lhs reduction is a
@@ -407,10 +426,10 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
         jnp.asarray(S2),
     )
     out_shape = tuple(jax.ShapeDtypeStruct((m1, m2), f32)
-                      for _ in range(9))
-    scratch = [pltpu.VMEM((9 * TP1, t2), jnp.float32)]
+                      for _ in range(n_planes))
+    scratch = [pltpu.VMEM((n_planes * TP1, t2), jnp.float32)]
     kern_kw = dict(zeta=zeta, t1=t1, t2=t2, b1=B1, tp2=tp2, deriv=deriv,
-                   mode=mode)
+                   dual=dual, mode=mode)
 
     # Trace with x64 disabled: under x64 the BlockSpec index maps produce
     # i64 grid indices, which Mosaic cannot legalize.
@@ -434,7 +453,7 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
                 ],
                 out_specs=tuple(
                     pl.BlockSpec((TP1, TPC), lambda i, j, s: (i, j))
-                    for _ in range(9)),
+                    for _ in range(n_planes)),
                 out_shape=out_shape,
                 scratch_shapes=scratch,
                 interpret=interpret,
@@ -463,7 +482,7 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
                 out_specs=tuple(
                     pl.BlockSpec((TP1, TPC),
                                  lambda c, I, J, S, F: (I[c], J[c]))
-                    for _ in range(9)),
+                    for _ in range(n_planes)),
                 scratch_shapes=scratch,
             )
             outs = pl.pallas_call(
@@ -474,22 +493,28 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
             )(jnp.asarray(I), jnp.asarray(J), jnp.asarray(S),
               jnp.asarray(F), *tensor_args)
 
-    if symmetric:
-        # mirror the never-visited lower cells: plane (u,v) at (p, q)
-        # equals plane (v,u) at (q, p); "kept" reproduces _tri_cells.
-        # Per-plane 2D transposes only -- a 4D transpose of the stacked
-        # planes picks a tiling-hostile layout (42x padding, OOM).
-        p_idx = jnp.arange(m1)[:, None]
-        q_idx = jnp.arange(m2)[None, :]
-        kept = (TP1 * (p_idx // TP1)
-                < tp2 * (q_idx // tp2) + tp2)         # (m1, m2)
-        out = jnp.stack(
-            [jnp.where(kept, outs[u * 3 + v], outs[v * 3 + u].T)
-             for u in range(3) for v in range(3)], axis=0)
-    else:
-        out = jnp.stack(outs, axis=0)                 # (9, m1, m2)
-    out = out.reshape(3, 3, m1, m2)
-    return out.transpose(2, 0, 3, 1).reshape(m1 * 3, m2 * 3)
+    def assemble(planes):
+        if symmetric:
+            # mirror the never-visited lower cells: plane (u,v) at (p, q)
+            # equals plane (v,u) at (q, p); "kept" reproduces _tri_cells.
+            # Per-plane 2D transposes only -- a 4D transpose of the
+            # stacked planes picks a tiling-hostile layout (42x padding,
+            # OOM).
+            p_idx = jnp.arange(m1)[:, None]
+            q_idx = jnp.arange(m2)[None, :]
+            kept = (TP1 * (p_idx // TP1)
+                    < tp2 * (q_idx // tp2) + tp2)     # (m1, m2)
+            out = jnp.stack(
+                [jnp.where(kept, planes[u * 3 + v], planes[v * 3 + u].T)
+                 for u in range(3) for v in range(3)], axis=0)
+        else:
+            out = jnp.stack(planes, axis=0)           # (9, m1, m2)
+        out = out.reshape(3, 3, m1, m2)
+        return out.transpose(2, 0, 3, 1).reshape(m1 * 3, m2 * 3)
+
+    if dual:
+        return assemble(outs[:9]), assemble(outs[9:])
+    return assemble(outs)
 
 
 # ---------------------------------------------------------------------------
@@ -499,14 +524,16 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
 def _kef_kernel(sig2_ref, inv2l2_ref,
                 u1_ref, w1_ref, x2_ref, re2_ref, s2_ref,
                 *refs, zeta: int, t1: int, t2: int, a1: int, tp2: int,
-                deriv: bool, mode: str):
+                deriv: bool, dual: bool, mode: str):
     """K_EF = -(1/N_p) sum dk_dD z c^(z-1) u1 . Jt2_v
     (rbf_kernel.cpp:102-171 + the wrapper normalisation), fused like
     _kff_body: one k=128 contraction, VPU assembly, stacked reduction.
     The rhs Jacobian projection folds the reference's (u1 - c u2)/r2 . J2v
-    into a single pair block (u1 . Jt2_v)."""
+    into a single pair block (u1 . Jt2_v).  dual=True emits the
+    (K, dK/dgamma) plane pairs from the shared contraction."""
     f32 = jnp.float32
-    out_refs, (acc_ref,) = refs[:3], refs[3:]
+    n_out = 6 if dual else 3
+    out_refs, (acc_ref,) = refs[:n_out], refs[n_out:]
     sigma2 = sig2_ref[0, 0]
     inv2l2 = inv2l2_ref[0, 0]
     s = pl.program_id(2)
@@ -527,23 +554,30 @@ def _kef_kernel(sig2_ref, inv2l2_ref,
     scale = (w1_ref[:, 0][:, None] * re2_ref[0][None, :])
     same = jnp.where(w1_ref[:, 1][:, None] == re2_ref[1][None, :],
                      np.float32(1.0), np.float32(0.0))
-    A = -(k * inv2l2) * (zeta * d1)
-    if deriv:
-        A = A * (D - np.float32(1.0)) - k * (zeta * d1)
-    A = A * scale * same
+    A0 = -(k * inv2l2) * (zeta * d1)
+    A_sets = []
+    if not deriv:
+        A_sets.append(A0 * scale * same)
+    if deriv or dual:
+        Ad = A0 * (D - np.float32(1.0)) - k * (zeta * d1)
+        A_sets.append(Ad * scale * same)
+    nsets = len(A_sets)
 
     tp1 = t1 // a1
     for v in range(3):
-        env = A * G[:, (1 + v) * t2:(2 + v) * t2]
-        acc_ref[v * tp1:(v + 1) * tp1, :] = (
-            env.reshape(tp1, a1, t2).sum(axis=1))
+        P2v = G[:, (1 + v) * t2:(2 + v) * t2]
+        for ci, A in enumerate(A_sets):
+            env = A * P2v
+            plane = ci * 3 + v
+            acc_ref[plane * tp1:(plane + 1) * tp1, :] = (
+                env.reshape(tp1, a1, t2).sum(axis=1))
 
     red = jnp.dot(acc_ref[:], s2_ref[:], preferred_element_type=f32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (tp1, TPC), 1)
     mask = (lane // tp2 == s).astype(f32)
     ncopy = TPC // tp2
     first = s == 0
-    for v in range(3):
+    for v in range(3 * nsets):
         blk = red[v * tp1:(v + 1) * tp1, :]
         tiled = jnp.concatenate([blk] * ncopy, axis=1) * mask
         ref = out_refs[v]
@@ -589,12 +623,13 @@ def kef_pallas(e1, f2: ForceData, params, zeta: int = 2,
 
 @functools.partial(jax.jit,
                    static_argnames=("A1", "B2", "zeta", "interpret",
-                                    "deriv", "mode"))
+                                    "deriv", "dual", "mode"))
 def kef_from_ops(params, U1, w1, rhs2, re2, *, A1: int, B2: int,
                  zeta: int, interpret: bool, deriv: bool,
-                 mode: str) -> jnp.ndarray:
+                 mode: str, dual: bool = False) -> jnp.ndarray:
     """Energy-force block from prebuilt operands (energy_operand /
-    force_operand), returning the PADDED (m1p, 3 m2p) f32 block."""
+    force_operand), returning the PADDED (m1p, 3 m2p) f32 block.
+    dual=True returns the (K, dK/dgamma) pair from one fused pass."""
     f32 = jnp.float32
     kl = _lanes(mode)
     N1, N2 = U1.shape[0], rhs2.shape[1]
@@ -607,11 +642,13 @@ def kef_from_ops(params, U1, w1, rhs2, re2, *, A1: int, B2: int,
                  np.ones((1, B2), np.float32)).T
 
     grid = (m1 // TP1, m2 // TPC, nsub)
+    n_planes = 6 if dual else 3
 
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             functools.partial(_kef_kernel, zeta=zeta, t1=t1, t2=t2,
-                              a1=A1, tp2=tp2, deriv=deriv, mode=mode),
+                              a1=A1, tp2=tp2, deriv=deriv, dual=dual,
+                              mode=mode),
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -626,10 +663,11 @@ def kef_from_ops(params, U1, w1, rhs2, re2, *, A1: int, B2: int,
             ],
             out_specs=tuple(
                 pl.BlockSpec((TP1, TPC), lambda i, j, s: (i, j))
-                for _ in range(3)),
+                for _ in range(n_planes)),
             out_shape=tuple(jax.ShapeDtypeStruct((m1, m2), f32)
-                            for _ in range(3)),
-            scratch_shapes=[pltpu.VMEM((3 * TP1, t2), jnp.float32)],
+                            for _ in range(n_planes)),
+            scratch_shapes=[pltpu.VMEM((n_planes * TP1, t2),
+                                       jnp.float32)],
             interpret=interpret,
         )(
             jnp.asarray(params["sigma"], f32).reshape(1, 1) ** 2,
@@ -640,6 +678,9 @@ def kef_from_ops(params, U1, w1, rhs2, re2, *, A1: int, B2: int,
             re2,
             jnp.asarray(S2),
         )
+    if dual:
+        return (jnp.stack(outs[:3], axis=2).reshape(m1, m2 * 3),
+                jnp.stack(outs[3:], axis=2).reshape(m1, m2 * 3))
     return jnp.stack(outs, axis=2).reshape(m1, m2 * 3)
 
 
@@ -648,9 +689,9 @@ def kef_from_ops(params, U1, w1, rhs2, re2, *, A1: int, B2: int,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("A1", "zeta", "deriv", "mode"))
+                   static_argnames=("A1", "zeta", "deriv", "dual", "mode"))
 def kee_from_ops(params, lhs, rhs, w, *, A1: int, zeta: int,
-                 deriv: bool, mode: str) -> jnp.ndarray:
+                 deriv: bool, mode: str, dual: bool = False) -> jnp.ndarray:
     """Energy-energy self block from prebuilt operands (energy_operand),
     (m1p, m1p) f32, padded.
 
@@ -678,16 +719,22 @@ def kee_from_ops(params, lhs, rhs, w, *, A1: int, zeta: int,
         for _ in range(zeta - 1):
             D = D * c
         k = sigma2 * jnp.exp((D - 1.0) * inv2l2)
-        if deriv:
-            k = k * (D - 1.0)
-        k = k * jnp.where(eb[:, None] == ele[None, :], 1.0, 0.0)
-        k = k * (wb[:, None] * wgt[None, :])
+        msk = jnp.where(eb[:, None] == ele[None, :], 1.0, 0.0)
+        msk = msk * (wb[:, None] * wgt[None, :])
         pc = lb.shape[0] // A1
-        return k.reshape(pc, A1, m, A1).sum(axis=(1, 3))
+        vals = []
+        if not deriv:
+            vals.append((k * msk).reshape(pc, A1, m, A1).sum(axis=(1, 3)))
+        if deriv or dual:
+            vals.append((k * (D - 1.0) * msk)
+                        .reshape(pc, A1, m, A1).sum(axis=(1, 3)))
+        return tuple(vals) if len(vals) > 1 else vals[0]
 
     pc = math.gcd(m, 64)
     nch = m // pc
     out = jax.lax.map(block, (lhs.reshape(nch, pc * A1, lhs.shape[1]),
                               wgt.reshape(nch, pc * A1),
                               ele.reshape(nch, pc * A1)))
+    if dual:
+        return out[0].reshape(m, m), out[1].reshape(m, m)
     return out.reshape(m, m)

@@ -200,3 +200,80 @@ def test_k_self_pallas_psd_consistency(monkeypatch):
                       [np.asarray(K_ef).T, np.asarray(K_ff)]])
         w = np.linalg.eigvalsh(K.astype(np.float64))
         assert w.min() > -1e-5 * max(1.0, w.max()), (mode, w.min())
+
+
+def test_dual_pass_matches_separate_builds():
+    """dual=True (fused K + dK/dgamma, one kernel pass) == the two
+    separate builds, for all three blocks (interpret mode)."""
+    from gpr_calculator_tpu.ops.kff_pallas import (TPC, energy_operand,
+                                                   force_operand,
+                                                   kee_from_ops,
+                                                   kef_from_ops,
+                                                   kff_from_ops)
+    from gpr_calculator_tpu.ops.packing import pack_energy
+    rng = np.random.RandomState(11)
+    fpts = [(rng.uniform(0.2, 1.0, (4, 6)),
+             rng.uniform(-1.0, 1.0, (4, 6, 3)),
+             rng.choice([13, 79], 4)) for _ in range(6)]
+    f = pack_force(fpts, m_pad=6, b_pad=4)
+    e = pack_energy([(x, el) for x, _, el in fpts[:4]], m_pad=4, a_pad=4)
+    params = _params32()
+    mode = "bf16x4"
+    e_lhs, e_rhs, e_w = energy_operand(e, mode)
+    f_lhs, f_rhs, f_re = force_operand(f, mode, TPC)
+
+    ff_k, ff_d = kff_from_ops(params, f_lhs, f_re, f_rhs, f_re, B1=4,
+                              B2=4, zeta=2, interpret=True,
+                              symmetric=True, deriv=False, mode=mode,
+                              dual=True)
+    ff_k1 = kff_from_ops(params, f_lhs, f_re, f_rhs, f_re, B1=4, B2=4,
+                         zeta=2, interpret=True, symmetric=True,
+                         deriv=False, mode=mode)
+    ff_d1 = kff_from_ops(params, f_lhs, f_re, f_rhs, f_re, B1=4, B2=4,
+                         zeta=2, interpret=True, symmetric=True,
+                         deriv=True, mode=mode)
+    np.testing.assert_allclose(np.asarray(ff_k), np.asarray(ff_k1),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ff_d), np.asarray(ff_d1),
+                               rtol=0, atol=1e-6)
+
+    ef_k, ef_d = kef_from_ops(params, e_lhs, e_w, f_rhs, f_re, A1=4,
+                              B2=4, zeta=2, interpret=True, deriv=False,
+                              mode=mode, dual=True)
+    ef_k1 = kef_from_ops(params, e_lhs, e_w, f_rhs, f_re, A1=4, B2=4,
+                         zeta=2, interpret=True, deriv=False, mode=mode)
+    ef_d1 = kef_from_ops(params, e_lhs, e_w, f_rhs, f_re, A1=4, B2=4,
+                         zeta=2, interpret=True, deriv=True, mode=mode)
+    np.testing.assert_allclose(np.asarray(ef_k), np.asarray(ef_k1),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ef_d), np.asarray(ef_d1),
+                               rtol=0, atol=1e-6)
+
+    ee_k, ee_d = kee_from_ops(params, e_lhs, e_rhs, e_w, A1=4, zeta=2,
+                              deriv=False, mode=mode, dual=True)
+    ee_k1 = kee_from_ops(params, e_lhs, e_rhs, e_w, A1=4, zeta=2,
+                         deriv=False, mode=mode)
+    ee_d1 = kee_from_ops(params, e_lhs, e_rhs, e_w, A1=4, zeta=2,
+                         deriv=True, mode=mode)
+    np.testing.assert_allclose(np.asarray(ee_k), np.asarray(ee_k1),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ee_d), np.asarray(ee_d1),
+                               rtol=0, atol=1e-6)
+
+
+def test_k_self_dual_fallback_matches():
+    """k_self_dual without the pallas gate == two k_self builds."""
+    from gpr_calculator_tpu.ops.packing import pack_energy
+    rng = np.random.RandomState(12)
+    fpts = [(rng.uniform(0.2, 1.0, (3, 5)),
+             rng.uniform(-1.0, 1.0, (3, 5, 3)),
+             rng.choice([13, 79], 3)) for _ in range(4)]
+    f = pack_force(fpts, m_pad=4, b_pad=4)
+    e = pack_energy([(x, el) for x, _, el in fpts], m_pad=4, a_pad=4)
+    K, Kd = kernels.k_self_dual(e, f, PARAMS["rbf"], 2)
+    K1 = kernels.k_self(e, f, PARAMS["rbf"], "rbf", 2, symmetric=True)
+    Kd1 = kernels.k_self(e, f, PARAMS["rbf"], "rbf_dgamma", 2,
+                         symmetric=True)
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(Kd), np.asarray(Kd1),
+                               rtol=1e-12)
