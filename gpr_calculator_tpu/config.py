@@ -16,10 +16,36 @@ import jax
 # compiler costs 15-200 s per program and on-the-fly workloads recompile
 # at every training-set bucket change, so this is a ~10x wall-clock lever
 # for NEB/MD runs.  GPR_CALC_TPU_COMPILE_CACHE=0 disables.
+#
+# The cache directory is keyed by a host fingerprint: XLA:CPU AOT
+# executables bake in the compile machine's vector-ISA feature set, and
+# reloading them on a host with different features is at best a warning
+# storm and at worst a SIGILL (observed when a cache written on an
+# AVX-512 box was read on a different machine).  TPU executables are
+# keyed by the accelerator, not the host, so sharing per-host dirs costs
+# only duplicate CPU entries.
+def _host_fingerprint() -> str:
+    import hashlib
+    import platform
+    tag = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    tag += hashlib.sha1(
+                        " ".join(sorted(line.split()[2:]))
+                        .encode()).hexdigest()[:12]
+                    break
+    except OSError:
+        tag += platform.processor() or "unknown"
+    return tag
+
+
 if os.environ.get("GPR_CALC_TPU_COMPILE_CACHE", "1") != "0":
     _cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
-        os.path.expanduser("~/.cache/gpr_calculator_tpu/jax"))
+        os.path.join(os.path.expanduser("~/.cache/gpr_calculator_tpu"),
+                     "jax-" + _host_fingerprint()))
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

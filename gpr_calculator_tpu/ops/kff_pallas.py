@@ -289,13 +289,28 @@ def _lhs_rhs(X, mode: str):
     """f32 X -> (lhs, rhs) matmul operands at the requested precision.
     The hi/lo split happens ONCE; both operand forms are concats of the
     same arrays, so the lhs.rhs contraction is an exact Gram of the
-    rounded values wherever the pair appears."""
+    rounded values wherever the pair appears.
+
+    The bf16x4 split uses integer mantissa masking, NOT dtype converts:
+    ``lo = (X - bf16(X).astype(f32)).astype(bf16)`` looks right but the
+    f32->bf16->f32 round trip folds away under XLA's
+    --xla_allow_excess_precision (set by TPU runtimes), making lo
+    identically zero and silently degrading the mode to plain bf16
+    (observed on hardware: bf16x4 and bf16 produced bit-identical
+    alphas).  Masking the low 16 mantissa bits is opaque to that
+    rewrite; hi keeps the top 16 IEEE bits (exactly bf16-representable,
+    truncation split) and lo = X - hi is exact in f32, rounded once to
+    bf16."""
     if mode == "highest":
         return X, X
-    hi = X.astype(jnp.bfloat16)
     if mode == "bf16":
+        hi = X.astype(jnp.bfloat16)
         return hi, hi
-    lo = (X - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    xu = jax.lax.bitcast_convert_type(X, jnp.uint32)
+    hi_f = jax.lax.bitcast_convert_type(
+        xu & np.uint32(0xFFFF0000), jnp.float32)
+    hi = hi_f.astype(jnp.bfloat16)              # exact (low bits zero)
+    lo = (X - hi_f).astype(jnp.bfloat16)
     lhs = jnp.concatenate((hi, hi, lo, lo), axis=-1)
     rhs = jnp.concatenate((hi, lo, hi, lo), axis=-1)
     return lhs, rhs

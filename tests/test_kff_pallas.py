@@ -153,7 +153,7 @@ def test_kee_from_ops_matches_xla():
     ref = np.asarray(kernels.kee(e, e, PARAMS["rbf"], "rbf", 2))
     for kind, deriv in [("rbf", False), ("rbf_dgamma", True)]:
         ref = np.asarray(kernels.kee(e, e, PARAMS["rbf"], kind, 2))
-        for mode, tol in [("highest", 3e-6), ("bf16x4", 1e-5),
+        for mode, tol in [("highest", 3e-6), ("bf16x4", 5e-5),
                           ("bf16", 3e-2)]:
             lhs, rhs, w = energy_operand(e, mode)
             out = np.asarray(kee_from_ops(

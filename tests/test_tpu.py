@@ -199,3 +199,45 @@ def test_k_self_pallas_psd_compiled(monkeypatch):
 
         val = float(logdet(e, f))
         assert np.isfinite(val), (mode, val)
+
+
+@skip_off_tpu
+def test_bf16x4_factorization_is_f32_equivalent(monkeypatch):
+    """alpha from the bf16x4 training build must match the exact-f32
+    (highest) build closely -- guards the hi/lo split against silent
+    degradation (XLA's --xla_allow_excess_precision once folded the
+    f32->bf16->f32 round trip away, zeroing lo and collapsing bf16x4 to
+    bf16; caught by exactly this comparison on a real fit)."""
+    import jax
+    import jax.numpy as jnp
+    from gpr_calculator_tpu.ops import kernels as K_ops
+    from gpr_calculator_tpu.models.gp import _noise_diag
+    monkeypatch.setenv("GPR_CALC_TPU_KFF", "pallas")
+    e, f = _bench_like_data(m_e=64, m_f=192)
+    params = {"sigma": jnp.asarray(2.0, jnp.float32),
+              "l": jnp.asarray(1.0, jnp.float32)}
+    n = 64 + 3 * 192
+    y = jnp.asarray(np.random.RandomState(7).randn(n) * 0.1, jnp.float32)
+
+    def alpha_for(mode):
+        monkeypatch.setenv("GPR_CALC_TPU_KFF_PRECISION", mode)
+
+        @jax.jit
+        def solve(e, f, y):
+            K = K_ops.k_self(e, f, params, "rbf", 2, row_chunk=8,
+                             symmetric=True)
+            K = K + jnp.diag(_noise_diag(e, f,
+                                         jnp.asarray(0.01, jnp.float32),
+                                         jnp.asarray(0.1, jnp.float32)))
+            L = jnp.linalg.cholesky(K)
+            return jax.scipy.linalg.cho_solve((L, True), y)
+
+        return np.asarray(solve(e, f, y))
+
+    a_hi = alpha_for("highest")
+    a_x4 = alpha_for("bf16x4")
+    a_b1 = alpha_for("bf16")
+    rel_x4 = np.linalg.norm(a_x4 - a_hi) / np.linalg.norm(a_hi)
+    rel_b1 = np.linalg.norm(a_b1 - a_hi) / np.linalg.norm(a_hi)
+    assert rel_x4 < 2e-2, rel_x4           # f32-equivalent class
+    assert rel_x4 < 0.3 * max(rel_b1, 1e-9), (rel_x4, rel_b1)
