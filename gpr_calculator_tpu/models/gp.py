@@ -453,13 +453,13 @@ class GP:
             def call(theta, e, f, y, noise_fixed, f_coef, noise_opt):
                 return _nll_rbf_analytic(theta, e, f, y, noise_fixed,
                                          f_coef, self.kernel.zeta,
-                                         noise_opt, self.row_chunk)
+                                         noise_opt, self._fit_chunk(e, f))
         else:
             def call(theta, e, f, y, noise_fixed, f_coef, noise_opt):
                 return _nll_value_and_grad(theta, e, f, y, noise_fixed,
                                            f_coef, self.kernel.kind,
                                            self.kernel.zeta, noise_opt,
-                                           self.row_chunk)
+                                           self._fit_chunk(e, f))
         return call
 
     # -- LML / fit -----------------------------------------------------------
@@ -546,7 +546,7 @@ class GP:
             L, alpha, K_inv = _factorize(
                 e, f, y, self.kernel.jax_params(),
                 jnp.asarray(self.noise_e, dt), jnp.asarray(self.noise_f, dt),
-                self.kernel.kind, self.kernel.zeta, self.row_chunk)
+                self.kernel.kind, self.kernel.zeta, self._fit_chunk(e, f))
             alpha_host = np.asarray(alpha)
             if not np.all(np.isfinite(alpha_host)):
                 msg = ("Cholesky factorisation failed (non-finite alpha). "
@@ -742,6 +742,26 @@ class GP:
         if jax.default_backend() == "cpu":
             return False
         return self._mixed_error_estimate() < 0.5 * self.noise_e
+
+    def _fit_chunk(self, te, tf) -> int:
+        """Training-build row chunk bounded by the env-pair memory model
+        (cf. _serving_chunk): big-neighbourhood models (pd4-class: 224
+        envs/energy point, 72/force point) OOM the f64-emulated TPU
+        kernel build at the user-friendly row_chunk=32 but compile and
+        run at <=8; derive the bound from shapes instead of making the
+        user guess.  A user row_chunk still caps from above."""
+        f32_work = config.dtype() == jnp.float32
+        bytes_per = 4 if f32_work else 12
+        n2 = tf.m * tf.x.shape[1] * 3 + te.m * te.x.shape[1]
+        width = max(tf.x.shape[1] * 3, te.x.shape[1])
+        per_point = width * n2 * bytes_per
+        budget = float(os.environ.get("GPR_CALC_TPU_ENV_BUDGET", 1e9))
+        mc = max(1, int(budget // max(per_point, 1)))
+        if self.row_chunk:
+            return min(self.row_chunk, mc)
+        if mc >= tf.m:
+            return 0
+        return mc
 
     def _serving_chunk(self, pf: ForceData, tf: ForceData,
                        mixed: bool = False) -> int:

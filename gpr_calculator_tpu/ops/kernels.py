@@ -446,10 +446,22 @@ def kff_self(f: ForceData, params, kind: str = "rbf", zeta: int = 2,
         u1, r1, e1, v1, J1 = _flatten_force(fi)
         u2, r2, e2, v2, J2 = _flatten_force(fj)
         pm = _pair_mask(e1, v1, e2, v2)
-        env = _kff_env_blocks(u1, r1, v1, J1, u2, r2, v2, J2, pm,
-                              params, kind, zeta, work_dtype=work_dtype)
-        blk = env.reshape(chunk, B, C, chunk, B, C).sum(
-            axis=(1, 4), dtype=acc_dtype).reshape(chunk * C, chunk * C)
+        if fast:
+            env = _kff_env_blocks(u1, r1, v1, J1, u2, r2, v2, J2, pm,
+                                  params, kind, zeta,
+                                  work_dtype=work_dtype)
+            blk = env.reshape(chunk, B, C, chunk, B, C).sum(
+                axis=(1, 4), dtype=acc_dtype).reshape(chunk * C,
+                                                      chunk * C)
+        else:
+            # plane-by-plane assembly: the 4D (N1, C, N2, C) env tensor
+            # lane-pads its 3-wide cart axes to 128 when materialised
+            # (42x HBM) and OOMs at many-env shapes (pd4: B=72, f64 --
+            # 16 GB per chunk pair); _kff_point_blocks keeps every large
+            # tensor 2D
+            blk = _kff_point_blocks(u1, r1, v1, J1, u2, r2, v2, J2, pm,
+                                    params, kind, zeta, chunk, B, chunk,
+                                    B)
         K = jax.lax.dynamic_update_slice(K, blk, (i * chunk * C,
                                                   j * chunk * C))
         K = jax.lax.dynamic_update_slice(K, blk.T, (j * chunk * C,
@@ -525,7 +537,7 @@ def k_self(e: EnergyData, f: ForceData, params, kind: str = "rbf",
     use: the scan/dynamic-update structure is hostile to reverse-mode
     autodiff memory, so the LML objective keeps the plain path.
     """
-    if allow_pallas and _use_pallas_kff(f, kind):
+    if allow_pallas and _use_pallas_kff(f, kind, e):
         # Build the rounded matmul operands ONCE and feed the same arrays
         # to every block: K_EE, K_EF and K_FF must be one consistent Gram
         # of identical per-point rounded features or the covariance loses
@@ -570,7 +582,7 @@ def k_self_dual(e: EnergyData, f: ForceData, params, zeta: int = 2,
     block (shared G contraction and exp; dual=True plane pairs), which is
     what the analytic-LML gradient (models/gp._nll_rbf_analytic) runs
     every L-BFGS iteration.  Fallback: two k_self builds."""
-    if allow_pallas and _use_pallas_kff(f, "rbf"):
+    if allow_pallas and _use_pallas_kff(f, "rbf", e):
         from .kff_pallas import (TPC, _resolve_precision, energy_operand,
                                  force_operand, kee_from_ops,
                                  kef_from_ops, kff_from_ops)
@@ -604,14 +616,42 @@ def k_self_dual(e: EnergyData, f: ForceData, params, zeta: int = 2,
                    symmetric=True, allow_pallas=allow_pallas))
 
 
-def _use_pallas_kff(f: ForceData, kind: str) -> bool:
+def _pallas_tiles_fit(e: EnergyData | None, f: ForceData,
+                      budget_bytes: int = 10 * 2 ** 20) -> bool:
+    """Would the fused kernels' per-cell G buffers fit scoped VMEM?
+
+    The grid cell holds G = (4 t1, 4 t2) f32 where t1 = TP1 * envs_lhs
+    and t2 = tp2 * envs_rhs; workloads with many envs per point (e.g.
+    the 220-atom pd4 structures: A=220+, B=72) push G to 36-42 MB
+    against the 16 MB scoped-VMEM limit and fail to compile.  Those
+    shapes fall back to the XLA build."""
+    from .kff_pallas import TP1, _rhs_tile_points
+    B = f.x.shape[1]
+    tp2 = _rhs_tile_points(B)
+    t2 = tp2 * B
+    g_ff = (4 * TP1 * B) * (4 * t2) * 4
+    if g_ff > budget_bytes:
+        return False
+    if e is not None:
+        A = e.x.shape[1]
+        g_ef = (TP1 * A) * (4 * t2) * 4
+        if g_ef > budget_bytes:
+            return False
+    return True
+
+
+def _use_pallas_kff(f: ForceData, kind: str,
+                    e: EnergyData | None = None) -> bool:
     """The fused Pallas training build is the DEFAULT on TPU for f32 RBF
-    with 3 cart columns and d <= 128 (the f64 tight-noise path keeps the
-    XLA build -- the Pallas kernel computes in f32).  GPR_CALC_TPU_KFF=
-    xla opts out; =pallas forces the previous opt-in spelling."""
+    with 3 cart columns, d <= 128, and tile shapes that fit scoped VMEM
+    (_pallas_tiles_fit); otherwise the XLA build (also for the f64
+    tight-noise path -- the Pallas kernel computes in f32).
+    GPR_CALC_TPU_KFF=xla opts out; =pallas forces the previous opt-in
+    spelling."""
     import os
     if os.environ.get("GPR_CALC_TPU_KFF", "pallas") != "pallas":
         return False
     return (kind in ("rbf", "rbf_dgamma") and f.x.dtype == jnp.float32
             and f.dxdr.shape[3] == 3 and f.x.shape[2] <= 128
+            and _pallas_tiles_fit(e, f)
             and jax.default_backend() in ("tpu", "axon"))

@@ -205,3 +205,34 @@ def test_predict_return_cov():
     # the two contraction orders agree only to ~|k| * eps / var
     np.testing.assert_allclose(np.sqrt(np.clip(np.diag(cov), 0, None)),
                                std, rtol=5e-2, atol=1e-8)
+
+
+def test_fit_chunk_bounds_big_neighbourhood_builds():
+    """pd4-class shapes (224 envs/energy pt, 72/force pt, f64) must get a
+    memory-bounded training row chunk even when the user asks for a
+    bigger one -- the f64-emulated kernel build OOMs TPU HBM at
+    row_chunk=32 (observed: 16.1 G of 15.75 G) but runs at <=8."""
+    import jax.numpy as jnp
+    from gpr_calculator_tpu.models.gp import GP
+    from gpr_calculator_tpu.ops.packing import EnergyData, ForceData
+
+    def fake(m, envs, d=30):
+        e = EnergyData(x=jnp.zeros((m, envs, d)),
+                       ele=jnp.ones((m, envs), jnp.int32),
+                       counts=jnp.full((m,), float(envs)),
+                       nreal=jnp.asarray(m, jnp.int32))
+        f = ForceData(x=jnp.zeros((m, envs, d)),
+                      dxdr=jnp.zeros((m, envs, d, 3)),
+                      ele=jnp.ones((m, envs), jnp.int32),
+                      nreal=jnp.asarray(m, jnp.int32))
+        return e, f
+
+    gp = GP(noise_e=0.01, row_chunk=32)
+    e_big, _ = fake(96, 224)
+    _, f_big = fake(256, 72)
+    assert gp._fit_chunk(e_big, f_big) <= 8
+    # small problems keep the user's chunk
+    e_s, f_s = fake(8, 8)
+    assert gp._fit_chunk(e_s, f_s) == 32
+    gp0 = GP(noise_e=0.01)
+    assert gp0._fit_chunk(e_s, f_s) == 0

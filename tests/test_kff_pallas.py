@@ -277,3 +277,31 @@ def test_k_self_dual_fallback_matches():
     np.testing.assert_allclose(np.asarray(K), np.asarray(K1), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(Kd), np.asarray(Kd1),
                                rtol=1e-12)
+
+
+def test_pallas_gate_rejects_vmem_oversized_tiles():
+    """Workloads with many envs per point (pd4-class: A=220+, B=72) blow
+    the 16 MB scoped-VMEM limit inside the fused kernels; the gate must
+    route them to the XLA build instead of failing to compile."""
+    import jax.numpy as jnp
+    from gpr_calculator_tpu.ops.kernels import _pallas_tiles_fit
+    from gpr_calculator_tpu.ops.packing import EnergyData, ForceData
+
+    def fake(m, envs, d=30):
+        e = EnergyData(x=jnp.zeros((m, envs, d), jnp.float32),
+                       ele=jnp.ones((m, envs), jnp.int32),
+                       counts=jnp.full((m,), float(envs), jnp.float32),
+                       nreal=jnp.asarray(m, jnp.int32))
+        f = ForceData(x=jnp.zeros((m, envs, d), jnp.float32),
+                      dxdr=jnp.zeros((m, envs, d, 3), jnp.float32),
+                      ele=jnp.ones((m, envs), jnp.int32),
+                      nreal=jnp.asarray(m, jnp.int32))
+        return e, f
+
+    e, f = fake(8, 32)            # bench-class: fits
+    assert _pallas_tiles_fit(e, f)
+    e_big, f_big = fake(8, 72)    # pd4 force envs: G_ff 42 MB
+    assert not _pallas_tiles_fit(e_big, f_big)
+    e220, _ = fake(8, 224)        # pd4 energy envs: G_ef 36 MB
+    _, f_ok = fake(8, 32)
+    assert not _pallas_tiles_fit(e220, f_ok)
