@@ -546,6 +546,7 @@ def k_self(e: EnergyData, f: ForceData, params, kind: str = "rbf",
                                  force_operand, kee_from_ops,
                                  kef_from_ops, kff_from_ops)
         dg = kind == "rbf_dgamma"
+        pk = "dot" if kind == "dot" else "rbf"
         mode = _resolve_precision(None)
         m_e, A = e.x.shape[0], e.x.shape[1]
         m_f, B = f.x.shape[0], f.x.shape[1]
@@ -553,14 +554,15 @@ def k_self(e: EnergyData, f: ForceData, params, kind: str = "rbf",
         f_lhs, f_rhs, f_re = force_operand(f, mode, TPC)
         dt = e.x.dtype
         K_ee = kee_from_ops(params, e_lhs, e_rhs, e_w, A1=A, zeta=zeta,
-                            deriv=dg, mode=mode)[:m_e, :m_e].astype(dt)
+                            deriv=dg, mode=mode,
+                            kind=pk)[:m_e, :m_e].astype(dt)
         K_ef = kef_from_ops(params, e_lhs, e_w, f_rhs, f_re, A1=A, B2=B,
                             zeta=zeta, interpret=False, deriv=dg,
-                            mode=mode)[:m_e, :3 * m_f].astype(dt)
+                            mode=mode, kind=pk)[:m_e, :3 * m_f].astype(dt)
         K_ff = kff_from_ops(params, f_lhs, f_re, f_rhs, f_re, B1=B, B2=B,
                             zeta=zeta, interpret=False, symmetric=True,
-                            deriv=dg,
-                            mode=mode)[:3 * m_f, :3 * m_f].astype(dt)
+                            deriv=dg, mode=mode,
+                            kind=pk)[:3 * m_f, :3 * m_f].astype(dt)
     elif symmetric and row_chunk:
         K_ee = kee(e, e, params, kind, zeta, row_chunk=row_chunk)
         K_ef = kef(e, f, params, kind, zeta, row_chunk=row_chunk)
@@ -651,7 +653,8 @@ def _use_pallas_kff(f: ForceData, kind: str,
     import os
     if os.environ.get("GPR_CALC_TPU_KFF", "pallas") != "pallas":
         return False
-    return (kind in ("rbf", "rbf_dgamma") and f.x.dtype == jnp.float32
+    return (kind in ("rbf", "rbf_dgamma", "dot")
+            and f.x.dtype == jnp.float32
             and f.dxdr.shape[3] == 3 and f.x.shape[2] <= 128
             and _pallas_tiles_fit(e, f)
             and jax.default_backend() in ("tpu", "axon"))

@@ -128,12 +128,17 @@ def _pair_blocks(x1_ref, x2_ref, rows1, rows2, mode: str):
                                preferred_element_type=f32)
 
 
-def _coeff_sets(sigma2, inv2l2, c, zeta: int, deriv: bool, dual: bool,
-                rr, same):
-    """Per-pair (k, A, B) coefficient sets.  deriv -> the d/d(gamma)
-    set only (gamma = 1/(2 l^2), the analytic LML gradient's dK/dgamma
-    build, ops/kernels rbf_dgamma); dual -> BOTH sets, sharing the exp
-    and the G blocks (one fused pass instead of two kernel launches)."""
+def _coeff_sets(sigma2, p2, c, zeta: int, deriv: bool, dual: bool,
+                rr, same, kind: str = "rbf"):
+    """Per-pair (A, B) coefficient sets (F', F'' of the pair kernel).
+
+    kind="rbf": p2 = gamma = 1/(2 l^2); deriv -> the d/d(gamma) set only
+    (the analytic LML gradient's dK/dgamma build, ops/kernels
+    rbf_dgamma); dual -> BOTH sets, sharing the exp and the G blocks
+    (one fused pass instead of two kernel launches).
+    kind="dot" (k = s2 (c^zeta + s0^2), Dot_mb.py / dot_kernel.cpp):
+    p2 = s0^2 (unused by the derivative blocks); no deriv/dual
+    (hyperparameter gradients for Dot go through the autodiff NLL)."""
     if zeta == 2:
         d1 = c
         dm2 = jnp.ones_like(c)
@@ -143,9 +148,14 @@ def _coeff_sets(sigma2, inv2l2, c, zeta: int, deriv: bool, dual: bool,
             dm2 = dm2 * c
         d1 = dm2 * c
     D = d1 * c
-    k = sigma2 * jnp.exp((D - np.float32(1.0)) * inv2l2)
     zd1 = zeta * d1
     b0 = zeta * (zeta - 1) * dm2
+    if kind == "dot":
+        assert not (deriv or dual), "dot kernel has no fused deriv build"
+        return [(sigma2 * zd1 * rr * same,
+                 sigma2 * b0 * rr * same)]
+    inv2l2 = p2
+    k = sigma2 * jnp.exp((D - np.float32(1.0)) * inv2l2)
     b1c = zd1 * zd1
     A = k * inv2l2 * zd1
     B = k * inv2l2 * (b0 + b1c * inv2l2)
@@ -160,11 +170,11 @@ def _coeff_sets(sigma2, inv2l2, c, zeta: int, deriv: bool, dual: bool,
     return sets
 
 
-def _kff_body(sigma2, inv2l2, s, first,
+def _kff_body(sigma2, p2c, s, first,
               x1_ref, re1_ref, x2_ref, re2_ref,
               s2_ref, out_refs, acc_ref,
               zeta: int, t1: int, t2: int, b1: int, tp2: int,
-              deriv: bool, dual: bool, mode: str):
+              deriv: bool, dual: bool, mode: str, kind: str):
     f32 = jnp.float32
 
     # one contraction yields every pair block
@@ -174,7 +184,8 @@ def _kff_body(sigma2, inv2l2, s, first,
     rr = re1_ref[:, 0][:, None] * re2_ref[0][None, :]       # (t1, t2)
     same = jnp.where(re1_ref[:, 1][:, None] == re2_ref[1][None, :],
                      np.float32(1.0), np.float32(0.0))
-    sets = _coeff_sets(sigma2, inv2l2, c, zeta, deriv, dual, rr, same)
+    sets = _coeff_sets(sigma2, p2c, c, zeta, deriv, dual, rr, same,
+                       kind=kind)
     nsets = len(sets)
 
     # assemble the env planes (9 per coefficient set), pre-reduced over
@@ -222,21 +233,21 @@ def _kff_body(sigma2, inv2l2, s, first,
 def _kff_kernel(sig2_ref, inv2l2_ref,
                 x1_ref, re1_ref, x2_ref, re2_ref, s2_ref,
                 *refs, zeta: int, t1: int, t2: int, b1: int, tp2: int,
-                deriv: bool, dual: bool, mode: str):
+                deriv: bool, dual: bool, mode: str, kind: str):
     n_out = 18 if dual else 9
     out_refs, (acc_ref,) = refs[:n_out], refs[n_out:]
     s = pl.program_id(2)
     _kff_body(sig2_ref[0, 0], inv2l2_ref[0, 0], s, s == 0,
               x1_ref, re1_ref, x2_ref, re2_ref,
               s2_ref, out_refs, acc_ref, zeta, t1, t2, b1, tp2,
-              deriv, dual, mode)
+              deriv, dual, mode, kind)
 
 
 def _kff_kernel_tri(cell_i, cell_j, cell_s, cell_first,
                     sig2_ref, inv2l2_ref,
                     x1_ref, re1_ref, x2_ref, re2_ref, s2_ref,
                     *refs, zeta: int, t1: int, t2: int, b1: int, tp2: int,
-                    deriv: bool, dual: bool, mode: str):
+                    deriv: bool, dual: bool, mode: str, kind: str):
     """Triangular (self) schedule: the 1D grid enumerates only the cells
     whose column sub-tile reaches the upper triangle; (i, j, s) and the
     new-output-block flag come in as prefetched scalars."""
@@ -247,7 +258,7 @@ def _kff_kernel_tri(cell_i, cell_j, cell_s, cell_first,
               cell_first[c] == 1,
               x1_ref, re1_ref, x2_ref, re2_ref,
               s2_ref, out_refs, acc_ref, zeta, t1, t2, b1, tp2,
-              deriv, dual, mode)
+              deriv, dual, mode, kind)
 
 
 def _tri_cells(n_row_tiles, n_col_blocks, nsub, tp2):
@@ -316,6 +327,15 @@ def _lhs_rhs(X, mode: str):
     return lhs, rhs
 
 
+def _second_scalar(params, kind: str):
+    """The kernel family's second scalar operand: gamma = 1/(2 l^2) for
+    RBF, sigma0^2 for the dot kernel."""
+    f32 = jnp.float32
+    if kind == "dot":
+        return (jnp.asarray(params["sigma0"], f32) ** 2).reshape(1, 1)
+    return (1.0 / (2.0 * jnp.asarray(params["l"], f32) ** 2)).reshape(1, 1)
+
+
 def force_operand(f: ForceData, mode: str, multiple: int = TPC):
     """(lhs, rhs, re) matmul operands for a force block side.
 
@@ -369,7 +389,8 @@ def energy_operand(e, mode: str):
 def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
                interpret: bool = False, symmetric: bool = False,
                deriv: bool = False,
-               mm_precision: str | None = None) -> jnp.ndarray:
+               mm_precision: str | None = None,
+               kind: str = "rbf") -> jnp.ndarray:
     """RBF force-force block via the fused Pallas kernel, (3 m1, 3 m2).
 
     f1.dxdr must have 3 cartesian columns (the stress path stays on the
@@ -389,22 +410,26 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
         lhs, rhs, re = force_operand(f1, mode, TPC)
         out = kff_from_ops(params, lhs, re, rhs, re, B1=B1, B2=B2,
                            zeta=zeta, interpret=interpret,
-                           symmetric=True, deriv=deriv, mode=mode)
+                           symmetric=True, deriv=deriv, mode=mode,
+                           kind=kind)
     else:
         lhs1, _, re1 = force_operand(f1, mode, TP1)
         _, rhs2, re2 = force_operand(f2, mode, TPC)
         out = kff_from_ops(params, lhs1, re1, rhs2, re2, B1=B1, B2=B2,
                            zeta=zeta, interpret=interpret,
-                           symmetric=False, deriv=deriv, mode=mode)
+                           symmetric=False, deriv=deriv, mode=mode,
+                           kind=kind)
     return out[:3 * m1_in, :3 * m2_in].astype(f1.x.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("B1", "B2", "zeta", "interpret",
-                                    "symmetric", "deriv", "dual", "mode"))
+                                    "symmetric", "deriv", "dual", "mode",
+                                    "kind"))
 def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
                  zeta: int, interpret: bool, symmetric: bool, deriv: bool,
-                 mode: str, dual: bool = False) -> jnp.ndarray:
+                 mode: str, dual: bool = False,
+                 kind: str = "rbf") -> jnp.ndarray:
     """Force-force block from prebuilt operands (force_operand), returning
     the PADDED (3 m1p, 3 m2p) f32 block.  k_self passes the SAME operand
     arrays here and to kef/kee so the training covariance is one
@@ -433,7 +458,7 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
 
     tensor_args = (
         jnp.asarray(params["sigma"], f32).reshape(1, 1) ** 2,
-        (1.0 / (2.0 * jnp.asarray(params["l"], f32) ** 2)).reshape(1, 1),
+        _second_scalar(params, kind),
         X1.reshape(4, N1 // t1, t1, kl),
         re1.T,
         X2.reshape(4, N2 // t2, t2, kl),
@@ -444,7 +469,7 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
                       for _ in range(n_planes))
     scratch = [pltpu.VMEM((n_planes * TP1, t2), jnp.float32)]
     kern_kw = dict(zeta=zeta, t1=t1, t2=t2, b1=B1, tp2=tp2, deriv=deriv,
-                   dual=dual, mode=mode)
+                   dual=dual, mode=mode, kind=kind)
 
     # Trace with x64 disabled: under x64 the BlockSpec index maps produce
     # i64 grid indices, which Mosaic cannot legalize.
@@ -539,7 +564,7 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
 def _kef_kernel(sig2_ref, inv2l2_ref,
                 u1_ref, w1_ref, x2_ref, re2_ref, s2_ref,
                 *refs, zeta: int, t1: int, t2: int, a1: int, tp2: int,
-                deriv: bool, dual: bool, mode: str):
+                deriv: bool, dual: bool, mode: str, kind: str):
     """K_EF = -(1/N_p) sum dk_dD z c^(z-1) u1 . Jt2_v
     (rbf_kernel.cpp:102-171 + the wrapper normalisation), fused like
     _kff_body: one k=128 contraction, VPU assembly, stacked reduction.
@@ -550,7 +575,7 @@ def _kef_kernel(sig2_ref, inv2l2_ref,
     n_out = 6 if dual else 3
     out_refs, (acc_ref,) = refs[:n_out], refs[n_out:]
     sigma2 = sig2_ref[0, 0]
-    inv2l2 = inv2l2_ref[0, 0]
+    p2c = inv2l2_ref[0, 0]
     s = pl.program_id(2)
 
     G = _pair_blocks(u1_ref, x2_ref, t1, 4 * t2, mode)  # (t1, 4*t2)
@@ -563,19 +588,23 @@ def _kef_kernel(sig2_ref, inv2l2_ref,
         for _ in range(zeta - 2):
             d1 = d1 * c
     D = d1 * c
-    k = sigma2 * jnp.exp((D - np.float32(1.0)) * inv2l2)
     # w1 carries validity/count on the lhs; re2 carries rinv (validity)
     # and the element id on the rhs
     scale = (w1_ref[:, 0][:, None] * re2_ref[0][None, :])
     same = jnp.where(w1_ref[:, 1][:, None] == re2_ref[1][None, :],
                      np.float32(1.0), np.float32(0.0))
-    A0 = -(k * inv2l2) * (zeta * d1)
-    A_sets = []
-    if not deriv:
-        A_sets.append(A0 * scale * same)
-    if deriv or dual:
-        Ad = A0 * (D - np.float32(1.0)) - k * (zeta * d1)
-        A_sets.append(Ad * scale * same)
+    if kind == "dot":
+        A_sets = [-(sigma2 * zeta * d1) * scale * same]
+    else:
+        inv2l2 = p2c
+        k = sigma2 * jnp.exp((D - np.float32(1.0)) * inv2l2)
+        A0 = -(k * inv2l2) * (zeta * d1)
+        A_sets = []
+        if not deriv:
+            A_sets.append(A0 * scale * same)
+        if deriv or dual:
+            Ad = A0 * (D - np.float32(1.0)) - k * (zeta * d1)
+            A_sets.append(Ad * scale * same)
     nsets = len(A_sets)
 
     tp1 = t1 // a1
@@ -622,8 +651,9 @@ def _pad_energy(e, multiple: int):
 
 def kef_pallas(e1, f2: ForceData, params, zeta: int = 2,
                interpret: bool = False, deriv: bool = False,
-               mm_precision: str | None = None) -> jnp.ndarray:
-    """RBF energy-force block via the fused Pallas kernel, (m1, 3 m2)."""
+               mm_precision: str | None = None,
+               kind: str = "rbf") -> jnp.ndarray:
+    """Energy-force block via the fused Pallas kernel, (m1, 3 m2)."""
     mode = _resolve_precision(mm_precision)
     m1_in, m2_in = e1.x.shape[0], f2.x.shape[0]
     assert f2.dxdr.shape[3] == 3
@@ -632,16 +662,18 @@ def kef_pallas(e1, f2: ForceData, params, zeta: int = 2,
     _, rhs2, re2 = force_operand(f2, mode, TPC)
     out = kef_from_ops(params, lhs1, w1, rhs2, re2,
                        A1=e1.x.shape[1], B2=f2.x.shape[1], zeta=zeta,
-                       interpret=interpret, deriv=deriv, mode=mode)
+                       interpret=interpret, deriv=deriv, mode=mode,
+                       kind=kind)
     return out[:m1_in, :3 * m2_in].astype(e1.x.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("A1", "B2", "zeta", "interpret",
-                                    "deriv", "dual", "mode"))
+                                    "deriv", "dual", "mode", "kind"))
 def kef_from_ops(params, U1, w1, rhs2, re2, *, A1: int, B2: int,
                  zeta: int, interpret: bool, deriv: bool,
-                 mode: str, dual: bool = False) -> jnp.ndarray:
+                 mode: str, dual: bool = False,
+                 kind: str = "rbf") -> jnp.ndarray:
     """Energy-force block from prebuilt operands (energy_operand /
     force_operand), returning the PADDED (m1p, 3 m2p) f32 block.
     dual=True returns the (K, dK/dgamma) pair from one fused pass."""
@@ -663,7 +695,7 @@ def kef_from_ops(params, U1, w1, rhs2, re2, *, A1: int, B2: int,
         outs = pl.pallas_call(
             functools.partial(_kef_kernel, zeta=zeta, t1=t1, t2=t2,
                               a1=A1, tp2=tp2, deriv=deriv, dual=dual,
-                              mode=mode),
+                              mode=mode, kind=kind),
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -686,7 +718,7 @@ def kef_from_ops(params, U1, w1, rhs2, re2, *, A1: int, B2: int,
             interpret=interpret,
         )(
             jnp.asarray(params["sigma"], f32).reshape(1, 1) ** 2,
-            (1.0 / (2.0 * jnp.asarray(params["l"], f32) ** 2)).reshape(1, 1),
+            _second_scalar(params, kind),
             U1,
             w1,
             X2.reshape(4, N2 // t2, t2, kl),
@@ -704,9 +736,11 @@ def kef_from_ops(params, U1, w1, rhs2, re2, *, A1: int, B2: int,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("A1", "zeta", "deriv", "dual", "mode"))
+                   static_argnames=("A1", "zeta", "deriv", "dual", "mode",
+                                    "kind"))
 def kee_from_ops(params, lhs, rhs, w, *, A1: int, zeta: int,
-                 deriv: bool, mode: str, dual: bool = False) -> jnp.ndarray:
+                 deriv: bool, mode: str, dual: bool = False,
+                 kind: str = "rbf") -> jnp.ndarray:
     """Energy-energy self block from prebuilt operands (energy_operand),
     (m1p, m1p) f32, padded.
 
@@ -719,8 +753,10 @@ def kee_from_ops(params, lhs, rhs, w, *, A1: int, zeta: int,
     f32 = jnp.float32
     N1 = lhs.shape[0]
     m = N1 // A1
+    if kind == "dot":
+        assert not (deriv or dual), "dot kernel has no fused deriv build"
     sigma2 = jnp.asarray(params["sigma"], f32) ** 2
-    inv2l2 = 1.0 / (2.0 * jnp.asarray(params["l"], f32) ** 2)
+    p2c = _second_scalar(params, kind)[0, 0]
     wgt = w[:, 0].astype(f32)
     ele = w[:, 1].astype(f32)
     prec = (jax.lax.Precision.HIGHEST if mode == "highest"
@@ -733,7 +769,10 @@ def kee_from_ops(params, lhs, rhs, w, *, A1: int, zeta: int,
         D = c
         for _ in range(zeta - 1):
             D = D * c
-        k = sigma2 * jnp.exp((D - 1.0) * inv2l2)
+        if kind == "dot":
+            k = sigma2 * (D + p2c)
+        else:
+            k = sigma2 * jnp.exp((D - 1.0) * p2c)
         msk = jnp.where(eb[:, None] == ele[None, :], 1.0, 0.0)
         msk = msk * (wb[:, None] * wgt[None, :])
         pc = lb.shape[0] // A1

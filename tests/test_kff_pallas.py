@@ -305,3 +305,44 @@ def test_pallas_gate_rejects_vmem_oversized_tiles():
     e220, _ = fake(8, 224)        # pd4 energy envs: G_ef 36 MB
     _, f_ok = fake(8, 32)
     assert not _pallas_tiles_fit(e220, f_ok)
+
+
+def test_pallas_dot_kernel_matches_xla():
+    """kind='dot' through the fused kernels (k = s2 (c^z + s0^2),
+    Dot_mb.py semantics) == the XLA dot builders, all three blocks."""
+    from gpr_calculator_tpu.ops.kff_pallas import (TPC, energy_operand,
+                                                   force_operand,
+                                                   kee_from_ops,
+                                                   kef_from_ops,
+                                                   kff_from_ops)
+    from gpr_calculator_tpu.ops.packing import pack_energy
+    import jax.numpy as jnp
+    rng = np.random.RandomState(21)
+    fpts = [(rng.uniform(0.2, 1.0, (4, 6)),
+             rng.uniform(-1.0, 1.0, (4, 6, 3)),
+             rng.choice([13, 79], 4)) for _ in range(6)]
+    f = pack_force(fpts, m_pad=6, b_pad=4)
+    e = pack_energy([(x, el) for x, _, el in fpts[:4]], m_pad=4, a_pad=4)
+    params = {"sigma": jnp.asarray(1.2, jnp.float32),
+              "sigma0": jnp.asarray(0.5, jnp.float32)}
+    pd = {"sigma": jnp.asarray(1.2), "sigma0": jnp.asarray(0.5)}
+    mode = "highest"
+    e_lhs, e_rhs, e_w = energy_operand(e, mode)
+    f_lhs, f_rhs, f_re = force_operand(f, mode, TPC)
+    K_ff = np.asarray(kff_from_ops(params, f_lhs, f_re, f_rhs, f_re,
+                                   B1=4, B2=4, zeta=2, interpret=True,
+                                   symmetric=True, deriv=False,
+                                   mode=mode, kind="dot"))[:18, :18]
+    ref_ff = np.asarray(kernels.kff(f, f, pd, "dot", 2))
+    np.testing.assert_allclose(K_ff, ref_ff, rtol=2e-5, atol=1e-6)
+    K_ef = np.asarray(kef_from_ops(params, e_lhs, e_w, f_rhs, f_re,
+                                   A1=4, B2=4, zeta=2, interpret=True,
+                                   deriv=False, mode=mode,
+                                   kind="dot"))[:4, :18]
+    ref_ef = np.asarray(kernels.kef(e, f, pd, "dot", 2))
+    np.testing.assert_allclose(K_ef, ref_ef, rtol=2e-5, atol=1e-7)
+    K_ee = np.asarray(kee_from_ops(params, e_lhs, e_rhs, e_w, A1=4,
+                                   zeta=2, deriv=False, mode=mode,
+                                   kind="dot"))[:4, :4]
+    ref_ee = np.asarray(kernels.kee(e, e, pd, "dot", 2))
+    np.testing.assert_allclose(K_ee, ref_ee, rtol=2e-5, atol=1e-7)

@@ -241,3 +241,23 @@ def test_bf16x4_factorization_is_f32_equivalent(monkeypatch):
     rel_b1 = np.linalg.norm(a_b1 - a_hi) / np.linalg.norm(a_hi)
     assert rel_x4 < 2e-2, rel_x4           # f32-equivalent class
     assert rel_x4 < 0.3 * max(rel_b1, 1e-9), (rel_x4, rel_b1)
+
+
+@skip_off_tpu
+def test_k_self_dot_pallas_compiled(monkeypatch):
+    """kind='dot' through the fused kernels, compiled: parity vs the XLA
+    dot build at bench-like shapes."""
+    import jax
+    import jax.numpy as jnp
+    from gpr_calculator_tpu.ops import kernels as K_ops
+    e, f = _bench_like_data(m_e=16, m_f=48)
+    params = {"sigma": jnp.asarray(1.2, jnp.float32),
+              "sigma0": jnp.asarray(0.5, jnp.float32)}
+    monkeypatch.setenv("GPR_CALC_TPU_KFF", "xla")
+    ref = _fetch(K_ops.k_self(e, f, params, "dot", 2, row_chunk=8,
+                              symmetric=True))
+    monkeypatch.setenv("GPR_CALC_TPU_KFF", "pallas")
+    out = _fetch(K_ops.k_self(e, f, params, "dot", 2, row_chunk=8,
+                              symmetric=True))
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() < 5e-5 * scale
