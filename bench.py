@@ -112,6 +112,12 @@ def bench_tpu():
             os.environ["GPR_CALC_TPU_KFF"] = "pallas"
             os.environ["GPR_CALC_TPU_KFF_PRECISION"] = (
                 "bf16" if impl == "pallas_bf16" else "bf16x4")
+            # k_self silently falls back to XLA when the gate rejects --
+            # never report an XLA timing under a 'pallas' label
+            if not K_ops._use_pallas_kff(f, "rbf", e):
+                raise RuntimeError(
+                    "pallas gate rejected the bench shapes; refusing to "
+                    "mislabel the XLA fallback")
         t0 = time.time()
         s, logdet = fit_call(e, f, y, params, impl=impl)
         s = float(s)

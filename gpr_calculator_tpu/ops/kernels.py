@@ -538,32 +538,9 @@ def k_self(e: EnergyData, f: ForceData, params, kind: str = "rbf",
     autodiff memory, so the LML objective keeps the plain path.
     """
     if allow_pallas and _use_pallas_kff(f, kind, e):
-        # Build the rounded matmul operands ONCE and feed the same arrays
-        # to every block: K_EE, K_EF and K_FF must be one consistent Gram
-        # of identical per-point rounded features or the covariance loses
-        # PSD (see the kff_pallas module docstring and force_operand).
-        from .kff_pallas import (TPC, _resolve_precision, energy_operand,
-                                 force_operand, kee_from_ops,
-                                 kef_from_ops, kff_from_ops)
-        dg = kind == "rbf_dgamma"
-        pk = "dot" if kind == "dot" else "rbf"
-        mode = _resolve_precision(None)
-        m_e, A = e.x.shape[0], e.x.shape[1]
-        m_f, B = f.x.shape[0], f.x.shape[1]
-        e_lhs, e_rhs, e_w = energy_operand(e, mode)
-        f_lhs, f_rhs, f_re = force_operand(f, mode, TPC)
-        dt = e.x.dtype
-        K_ee = kee_from_ops(params, e_lhs, e_rhs, e_w, A1=A, zeta=zeta,
-                            deriv=dg, mode=mode,
-                            kind=pk)[:m_e, :m_e].astype(dt)
-        K_ef = kef_from_ops(params, e_lhs, e_w, f_rhs, f_re, A1=A, B2=B,
-                            zeta=zeta, interpret=False, deriv=dg,
-                            mode=mode, kind=pk)[:m_e, :3 * m_f].astype(dt)
-        K_ff = kff_from_ops(params, f_lhs, f_re, f_rhs, f_re, B1=B, B2=B,
-                            zeta=zeta, interpret=False, symmetric=True,
-                            deriv=dg, mode=mode,
-                            kind=pk)[:3 * m_f, :3 * m_f].astype(dt)
-    elif symmetric and row_chunk:
+        (K,) = _pallas_self_blocks(e, f, params, kind, zeta, dual=False)
+        return K
+    if symmetric and row_chunk:
         K_ee = kee(e, e, params, kind, zeta, row_chunk=row_chunk)
         K_ef = kef(e, f, params, kind, zeta, row_chunk=row_chunk)
         K_ff = kff_self(f, params, kind, zeta, point_chunk=row_chunk)
@@ -585,37 +562,54 @@ def k_self_dual(e: EnergyData, f: ForceData, params, zeta: int = 2,
     what the analytic-LML gradient (models/gp._nll_rbf_analytic) runs
     every L-BFGS iteration.  Fallback: two k_self builds."""
     if allow_pallas and _use_pallas_kff(f, "rbf", e):
-        from .kff_pallas import (TPC, _resolve_precision, energy_operand,
-                                 force_operand, kee_from_ops,
-                                 kef_from_ops, kff_from_ops)
-        mode = _resolve_precision(None)
-        m_e, A = e.x.shape[0], e.x.shape[1]
-        m_f, B = f.x.shape[0], f.x.shape[1]
-        e_lhs, e_rhs, e_w = energy_operand(e, mode)
-        f_lhs, f_rhs, f_re = force_operand(f, mode, TPC)
-        dt = e.x.dtype
-        ee = kee_from_ops(params, e_lhs, e_rhs, e_w, A1=A, zeta=zeta,
-                          deriv=False, mode=mode, dual=True)
-        ef = kef_from_ops(params, e_lhs, e_w, f_rhs, f_re, A1=A, B2=B,
-                          zeta=zeta, interpret=False, deriv=False,
-                          mode=mode, dual=True)
-        ff = kff_from_ops(params, f_lhs, f_re, f_rhs, f_re, B1=B, B2=B,
-                          zeta=zeta, interpret=False, symmetric=True,
-                          deriv=False, mode=mode, dual=True)
-
-        def asm(K_ee, K_ef, K_ff):
-            K_ee = K_ee[:m_e, :m_e].astype(dt)
-            K_ef = K_ef[:m_e, :3 * m_f].astype(dt)
-            K_ff = K_ff[:3 * m_f, :3 * m_f].astype(dt)
-            top = jnp.concatenate([K_ee, K_ef], axis=1)
-            bot = jnp.concatenate([K_ef.T, K_ff], axis=1)
-            return jnp.concatenate([top, bot], axis=0)
-
-        return asm(ee[0], ef[0], ff[0]), asm(ee[1], ef[1], ff[1])
+        return _pallas_self_blocks(e, f, params, "rbf", zeta, dual=True)
     return (k_self(e, f, params, "rbf", zeta, row_chunk=row_chunk,
                    symmetric=True, allow_pallas=allow_pallas),
             k_self(e, f, params, "rbf_dgamma", zeta, row_chunk=row_chunk,
                    symmetric=True, allow_pallas=allow_pallas))
+
+
+def _pallas_self_blocks(e: EnergyData, f: ForceData, params,
+                        kind: str, zeta: int, dual: bool):
+    """Assemble the symmetric training covariance (and, when dual, its
+    gamma-derivative) from the fused Pallas blocks.
+
+    Builds the rounded matmul operands ONCE and feeds the same arrays to
+    every block: K_EE, K_EF and K_FF must be one consistent Gram of
+    identical per-point rounded features or the covariance loses PSD
+    (see the kff_pallas module docstring and force_operand).  Returns a
+    1-tuple (K,) or a 2-tuple (K, dK/dgamma)."""
+    from .kff_pallas import (TPC, _resolve_precision, energy_operand,
+                             force_operand, kee_from_ops, kef_from_ops,
+                             kff_from_ops)
+    dg = kind == "rbf_dgamma"
+    pk = "dot" if kind == "dot" else "rbf"
+    mode = _resolve_precision(None)
+    m_e, A = e.x.shape[0], e.x.shape[1]
+    m_f, B = f.x.shape[0], f.x.shape[1]
+    e_lhs, e_rhs, e_w = energy_operand(e, mode)
+    f_lhs, f_rhs, f_re = force_operand(f, mode, TPC)
+    dt = e.x.dtype
+    ee = kee_from_ops(params, e_lhs, e_rhs, e_w, A1=A, zeta=zeta,
+                      deriv=dg, mode=mode, kind=pk, dual=dual)
+    ef = kef_from_ops(params, e_lhs, e_w, f_rhs, f_re, A1=A, B2=B,
+                      zeta=zeta, interpret=False, deriv=dg, mode=mode,
+                      kind=pk, dual=dual)
+    ff = kff_from_ops(params, f_lhs, f_re, f_rhs, f_re, B1=B, B2=B,
+                      zeta=zeta, interpret=False, symmetric=True,
+                      deriv=dg, mode=mode, kind=pk, dual=dual)
+    if not dual:
+        ee, ef, ff = (ee,), (ef,), (ff,)
+
+    def asm(K_ee, K_ef, K_ff):
+        K_ee = K_ee[:m_e, :m_e].astype(dt)
+        K_ef = K_ef[:m_e, :3 * m_f].astype(dt)
+        K_ff = K_ff[:3 * m_f, :3 * m_f].astype(dt)
+        top = jnp.concatenate([K_ee, K_ef], axis=1)
+        bot = jnp.concatenate([K_ef.T, K_ff], axis=1)
+        return jnp.concatenate([top, bot], axis=0)
+
+    return tuple(asm(a, b, c) for a, b, c in zip(ee, ef, ff))
 
 
 def _pallas_tiles_fit(e: EnergyData | None, f: ForceData,

@@ -139,7 +139,10 @@ def _coeff_sets(sigma2, p2, c, zeta: int, deriv: bool, dual: bool,
     kind="dot" (k = s2 (c^zeta + s0^2), Dot_mb.py / dot_kernel.cpp):
     p2 = s0^2 (unused by the derivative blocks); no deriv/dual
     (hyperparameter gradients for Dot go through the autodiff NLL)."""
-    if zeta == 2:
+    if zeta == 1:
+        d1 = jnp.ones_like(c)
+        dm2 = jnp.zeros_like(c)      # b0 = z(z-1) dm2 = 0 for zeta=1
+    elif zeta == 2:
         d1 = c
         dm2 = jnp.ones_like(c)
     else:
@@ -436,6 +439,9 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
     consistent Gram (see force_operand).  dual=True returns the
     (K, dK/dgamma) PAIR from one fused pass (shared G contraction and
     exp -- the analytic-LML training gradient's hot path)."""
+    assert not (dual and deriv), "dual already includes the deriv set"
+    assert not (kind == "dot" and (deriv or dual)), (
+        "dot kernel has no fused deriv build")
     f32 = jnp.float32
     kl = _lanes(mode)
     N1, N2 = lhs1.shape[1], rhs2.shape[1]
@@ -581,8 +587,8 @@ def _kef_kernel(sig2_ref, inv2l2_ref,
     G = _pair_blocks(u1_ref, x2_ref, t1, 4 * t2, mode)  # (t1, 4*t2)
 
     c = G[:, :t2]
-    if zeta == 2:
-        d1 = c
+    if zeta == 1:
+        d1 = jnp.ones_like(c)
     else:
         d1 = c
         for _ in range(zeta - 2):
@@ -677,6 +683,9 @@ def kef_from_ops(params, U1, w1, rhs2, re2, *, A1: int, B2: int,
     """Energy-force block from prebuilt operands (energy_operand /
     force_operand), returning the PADDED (m1p, 3 m2p) f32 block.
     dual=True returns the (K, dK/dgamma) pair from one fused pass."""
+    assert not (dual and deriv), "dual already includes the deriv set"
+    assert not (kind == "dot" and (deriv or dual)), (
+        "dot kernel has no fused deriv build")
     f32 = jnp.float32
     kl = _lanes(mode)
     N1, N2 = U1.shape[0], rhs2.shape[1]
@@ -784,7 +793,16 @@ def kee_from_ops(params, lhs, rhs, w, *, A1: int, zeta: int,
                         .reshape(pc, A1, m, A1).sum(axis=(1, 3)))
         return tuple(vals) if len(vals) > 1 else vals[0]
 
+    # bound the (pc*A1, N1) pair matrix (plus ~4 elementwise temps) by a
+    # memory budget -- the fixed gcd(m, 64) chunk can transiently
+    # allocate GBs at many-env shapes the VMEM gate accepts
+    budget_rows = max(1, int(2.5e8) // max(4 * N1, 1))   # ~1 GB of f32
+    pc_cap = max(1, budget_rows // A1)
     pc = math.gcd(m, 64)
+    while pc > pc_cap and pc > 1:
+        # shrink to a divisor of m under the cap
+        pc = next(d for d in range(min(pc_cap, pc - 1), 0, -1)
+                  if m % d == 0)
     nch = m // pc
     out = jax.lax.map(block, (lhs.reshape(nch, pc * A1, lhs.shape[1]),
                               wgt.reshape(nch, pc * A1),

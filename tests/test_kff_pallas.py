@@ -346,3 +346,51 @@ def test_pallas_dot_kernel_matches_xla():
                                    kind="dot"))[:4, :4]
     ref_ee = np.asarray(kernels.kee(e, e, pd, "dot", 2))
     np.testing.assert_allclose(K_ee, ref_ee, rtol=2e-5, atol=1e-7)
+
+
+def test_pallas_zeta1_coefficients_match_xla():
+    """zeta=1 powers: d1 = c^0 = 1 (the review caught d1=c leaking in)."""
+    pts1 = make_points(4, 4, 6)
+    pts2 = make_points(2, 3, 6)
+    f1 = pack_force(pts1, m_pad=4, b_pad=4)
+    f2 = pack_force(pts2, m_pad=2, b_pad=4)
+    ref = np.asarray(kernels.kff(f1, f2, PARAMS["rbf"], "rbf", 1))
+    out = np.asarray(kff_pallas(f1, f2, _params32(), zeta=1,
+                                interpret=True, mm_precision="highest"))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-6)
+    from gpr_calculator_tpu.ops.kff_pallas import kef_pallas
+    from gpr_calculator_tpu.ops.packing import pack_energy
+    epts = make_points(3, 5, 6)
+    e = pack_energy([(x, el) for x, _, el in epts], m_pad=3, a_pad=8)
+    ref_ef = np.asarray(kernels.kef(e, f2, PARAMS["rbf"], "rbf", 1))
+    out_ef = np.asarray(kef_pallas(e, f2, _params32(), zeta=1,
+                                   interpret=True,
+                                   mm_precision="highest"))
+    np.testing.assert_allclose(out_ef, ref_ef, rtol=2e-5, atol=1e-7)
+
+
+def test_from_ops_rejects_invalid_static_combos():
+    """dual+deriv and dot+deriv/dual are rejected loudly, never returning
+    half-written output planes."""
+    import pytest
+    from gpr_calculator_tpu.ops.kff_pallas import (TPC, energy_operand,
+                                                   force_operand,
+                                                   kef_from_ops,
+                                                   kff_from_ops)
+    from gpr_calculator_tpu.ops.packing import pack_energy
+    pts = make_points(2, 3, 6)
+    f = pack_force(pts, m_pad=2, b_pad=4)
+    e = pack_energy([(x, el) for x, _, el in pts], m_pad=2, a_pad=4)
+    params = _params32()
+    f_lhs, f_rhs, f_re = force_operand(f, "highest", TPC)
+    e_lhs, _, e_w = energy_operand(e, "highest")
+    for kw in [dict(deriv=True, dual=True, kind="rbf"),
+               dict(deriv=True, dual=False, kind="dot"),
+               dict(deriv=False, dual=True, kind="dot")]:
+        with pytest.raises(AssertionError):
+            kff_from_ops(params, f_lhs, f_re, f_rhs, f_re, B1=4, B2=4,
+                         zeta=2, interpret=True, symmetric=False,
+                         mode="highest", **kw)
+        with pytest.raises(AssertionError):
+            kef_from_ops(params, e_lhs, e_w, f_rhs, f_re, A1=4, B2=4,
+                         zeta=2, interpret=True, mode="highest", **kw)
