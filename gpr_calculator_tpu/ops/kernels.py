@@ -612,26 +612,23 @@ def _pallas_self_blocks(e: EnergyData, f: ForceData, params,
     return tuple(asm(a, b, c) for a, b, c in zip(ee, ef, ff))
 
 
-def _pallas_tiles_fit(e: EnergyData | None, f: ForceData,
-                      budget_bytes: int = 10 * 2 ** 20) -> bool:
+def _pallas_tiles_fit(e: EnergyData | None, f: ForceData) -> bool:
     """Would the fused kernels' per-cell G buffers fit scoped VMEM?
 
-    The grid cell holds G = (4 t1, 4 t2) f32 where t1 = TP1 * envs_lhs
-    and t2 = tp2 * envs_rhs; workloads with many envs per point (e.g.
-    the 220-atom pd4 structures: A=220+, B=72) push G to 36-42 MB
-    against the 16 MB scoped-VMEM limit and fail to compile.  Those
-    shapes fall back to the XLA build."""
-    from .kff_pallas import TP1, _rhs_tile_points
+    Row tiles shrink adaptively (_lhs_tile_points) down to one point per
+    cell, so the check is feasibility at tp1 = 1: the G buffer
+    ((4 B, 4 t2) f32 for kff, (A, 4 t2) for kef) must fit G_BUDGET.
+    Shapes beyond that (B >~ 300 envs/point at d<=128) fall back to the
+    XLA build."""
+    from .kff_pallas import _lhs_tile_points, _rhs_tile_points
     B = f.x.shape[1]
     tp2 = _rhs_tile_points(B)
     t2 = tp2 * B
-    g_ff = (4 * TP1 * B) * (4 * t2) * 4
-    if g_ff > budget_bytes:
+    if not _lhs_tile_points(B, t2, four_rows=True):
         return False
     if e is not None:
         A = e.x.shape[1]
-        g_ef = (TP1 * A) * (4 * t2) * 4
-        if g_ef > budget_bytes:
+        if not _lhs_tile_points(A, t2, four_rows=False):
             return False
     return True
 

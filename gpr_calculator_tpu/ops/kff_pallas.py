@@ -81,10 +81,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .packing import ForceData
 
-TP1 = 8      # lhs points per grid cell
+TP1 = 8      # max lhs points per grid cell (shrunk adaptively, _lhs_tile)
 TPC = 128    # rhs points per output column block
 D_LANES = 128
 T2_MAX = 512  # rhs env-tile budget (VMEM)
+G_BUDGET = 8 * 2 ** 20  # per-cell G buffer budget (scoped VMEM is 16 MB)
 
 _DN = (((1,), (1,)), ((), ()))   # contract lane dims, no batch
 
@@ -102,6 +103,25 @@ def _lanes(mode: str) -> int:
     """Operand lane width: bf16x4 quadruples the k dimension (see
     _split_operand)."""
     return 4 * D_LANES if mode == "bf16x4" else D_LANES
+
+
+def _lhs_tile_points(b1: int, t2: int, four_rows: bool) -> int:
+    """Points per grid-cell row tile: the largest power of two <= TP1
+    whose G buffer ((4 t1, 4 t2) for kff, (t1, 4 t2) for kef) fits
+    G_BUDGET -- big-neighbourhood workloads (pd4-class: 72 envs/force
+    point, 224/energy point) need 1-2 points per row tile where the
+    bench shapes (32 envs) take 8."""
+    rows_factor = 4 if four_rows else 1
+    tp1 = TP1
+    while tp1 >= 1:
+        fits = rows_factor * tp1 * b1 * 4 * t2 * 4 <= G_BUDGET
+        # operand/metadata blocks have t1 = tp1*b1 sublanes; Mosaic needs
+        # them divisible by 8 (outputs are reshaped to (m/tp1, tp1, m2)
+        # blocks which are exempt)
+        if fits and (tp1 * b1) % 8 == 0:
+            return tp1
+        tp1 //= 2
+    return 0
 
 
 def _rhs_tile_points(B2: int) -> int:
@@ -221,7 +241,7 @@ def _kff_body(sigma2, p2c, s, first,
     ncopy = TPC // tp2
     for uv in range(9 * nsets):
         blk = red[uv * tp1:(uv + 1) * tp1, :]
-        tiled = jnp.concatenate([blk] * ncopy, axis=1) * mask
+        tiled = (jnp.concatenate([blk] * ncopy, axis=1) * mask)[None]
         ref = out_refs[uv]
 
         @pl.when(first)
@@ -264,14 +284,14 @@ def _kff_kernel_tri(cell_i, cell_j, cell_s, cell_first,
               deriv, dual, mode, kind)
 
 
-def _tri_cells(n_row_tiles, n_col_blocks, nsub, tp2):
-    """Upper-triangle cell enumeration: row tile i (TP1 pts) x column
+def _tri_cells(n_row_tiles, n_col_blocks, nsub, tp2, tp1):
+    """Upper-triangle cell enumeration: row tile i (tp1 pts) x column
     sub-tile (j, s) (tp2 pts), kept when the sub-tile's last column
     reaches the row tile's first row; s ascending within each (i, j) so
     output-block revisits are consecutive."""
     I, J, S, F = [], [], [], []
     for i in range(n_row_tiles):
-        row_start = i * TP1
+        row_start = i * tp1
         for j in range(n_col_blocks):
             first = True
             for s in range(nsub):
@@ -447,7 +467,9 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
     N1, N2 = lhs1.shape[1], rhs2.shape[1]
     m1, m2 = N1 // B1, N2 // B2
     tp2 = _rhs_tile_points(B2)
-    t1, t2 = TP1 * B1, tp2 * B2
+    t2 = tp2 * B2
+    tp1 = _lhs_tile_points(B1, t2, four_rows=True)
+    t1 = tp1 * B1
     nsub = TPC // tp2
     n_planes = 18 if dual else 9
     X1, X2 = lhs1, rhs2
@@ -457,10 +479,10 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
     S2 = np.kron(np.eye(tp2, dtype=np.float32),
                  np.ones((1, B2), np.float32)).T         # (t2, tp2)
 
-    grid = (m1 // TP1, m2 // TPC, nsub)
+    grid = (m1 // tp1, m2 // TPC, nsub)
     N1, N2 = m1 * B1, m2 * B2
     if symmetric:
-        cells = _tri_cells(m1 // TP1, m2 // TPC, nsub, tp2)
+        cells = _tri_cells(m1 // tp1, m2 // TPC, nsub, tp2, tp1)
 
     tensor_args = (
         jnp.asarray(params["sigma"], f32).reshape(1, 1) ** 2,
@@ -471,9 +493,12 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
         re2,
         jnp.asarray(S2),
     )
-    out_shape = tuple(jax.ShapeDtypeStruct((m1, m2), f32)
+    # outputs are (rows-of-tiles, tp1, m2) so the per-cell block
+    # (1, tp1, TPC) stays Mosaic-legal for any tp1 (a 2D (tp1, TPC)
+    # block needs tp1 % 8 == 0, which adaptive tiles break)
+    out_shape = tuple(jax.ShapeDtypeStruct((m1 // tp1, tp1, m2), f32)
                       for _ in range(n_planes))
-    scratch = [pltpu.VMEM((n_planes * TP1, t2), jnp.float32)]
+    scratch = [pltpu.VMEM((n_planes * tp1, t2), jnp.float32)]
     kern_kw = dict(zeta=zeta, t1=t1, t2=t2, b1=B1, tp2=tp2, deriv=deriv,
                    dual=dual, mode=mode, kind=kind)
 
@@ -498,7 +523,8 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
                     pl.BlockSpec((t2, tp2), lambda i, j, s: (0, 0)),
                 ],
                 out_specs=tuple(
-                    pl.BlockSpec((TP1, TPC), lambda i, j, s: (i, j))
+                    pl.BlockSpec((1, tp1, TPC),
+                                 lambda i, j, s: (i, 0, j))
                     for _ in range(n_planes)),
                 out_shape=out_shape,
                 scratch_shapes=scratch,
@@ -526,8 +552,8 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
                                  lambda c, I, J, S, F: (0, 0)),
                 ],
                 out_specs=tuple(
-                    pl.BlockSpec((TP1, TPC),
-                                 lambda c, I, J, S, F: (I[c], J[c]))
+                    pl.BlockSpec((1, tp1, TPC),
+                                 lambda c, I, J, S, F: (I[c], 0, J[c]))
                     for _ in range(n_planes)),
                 scratch_shapes=scratch,
             )
@@ -539,6 +565,8 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
             )(jnp.asarray(I), jnp.asarray(J), jnp.asarray(S),
               jnp.asarray(F), *tensor_args)
 
+    outs = tuple(o.reshape(m1, m2) for o in outs)
+
     def assemble(planes):
         if symmetric:
             # mirror the never-visited lower cells: plane (u,v) at (p, q)
@@ -548,7 +576,7 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
             # OOM).
             p_idx = jnp.arange(m1)[:, None]
             q_idx = jnp.arange(m2)[None, :]
-            kept = (TP1 * (p_idx // TP1)
+            kept = (tp1 * (p_idx // tp1)
                     < tp2 * (q_idx // tp2) + tp2)     # (m1, m2)
             out = jnp.stack(
                 [jnp.where(kept, planes[u * 3 + v], planes[v * 3 + u].T)
@@ -629,7 +657,7 @@ def _kef_kernel(sig2_ref, inv2l2_ref,
     first = s == 0
     for v in range(3 * nsets):
         blk = red[v * tp1:(v + 1) * tp1, :]
-        tiled = jnp.concatenate([blk] * ncopy, axis=1) * mask
+        tiled = (jnp.concatenate([blk] * ncopy, axis=1) * mask)[None]
         ref = out_refs[v]
 
         @pl.when(first)
@@ -691,13 +719,15 @@ def kef_from_ops(params, U1, w1, rhs2, re2, *, A1: int, B2: int,
     N1, N2 = U1.shape[0], rhs2.shape[1]
     m1, m2 = N1 // A1, N2 // B2
     tp2 = _rhs_tile_points(B2)
-    t1, t2 = TP1 * A1, tp2 * B2
+    t2 = tp2 * B2
+    tp1 = _lhs_tile_points(A1, t2, four_rows=False)
+    t1 = tp1 * A1
     nsub = TPC // tp2
     X2 = rhs2
     S2 = np.kron(np.eye(tp2, dtype=np.float32),
                  np.ones((1, B2), np.float32)).T
 
-    grid = (m1 // TP1, m2 // TPC, nsub)
+    grid = (m1 // tp1, m2 // TPC, nsub)
     n_planes = 6 if dual else 3
 
     with jax.enable_x64(False):
@@ -718,11 +748,12 @@ def kef_from_ops(params, U1, w1, rhs2, re2, *, A1: int, B2: int,
                 pl.BlockSpec((t2, tp2), lambda i, j, s: (0, 0)),
             ],
             out_specs=tuple(
-                pl.BlockSpec((TP1, TPC), lambda i, j, s: (i, j))
+                pl.BlockSpec((1, tp1, TPC), lambda i, j, s: (i, 0, j))
                 for _ in range(n_planes)),
-            out_shape=tuple(jax.ShapeDtypeStruct((m1, m2), f32)
+            out_shape=tuple(jax.ShapeDtypeStruct((m1 // tp1, tp1, m2),
+                                                 f32)
                             for _ in range(n_planes)),
-            scratch_shapes=[pltpu.VMEM((n_planes * TP1, t2),
+            scratch_shapes=[pltpu.VMEM((n_planes * tp1, t2),
                                        jnp.float32)],
             interpret=interpret,
         )(
@@ -734,6 +765,7 @@ def kef_from_ops(params, U1, w1, rhs2, re2, *, A1: int, B2: int,
             re2,
             jnp.asarray(S2),
         )
+    outs = tuple(o.reshape(m1, m2) for o in outs)
     if dual:
         return (jnp.stack(outs[:3], axis=2).reshape(m1, m2 * 3),
                 jnp.stack(outs[3:], axis=2).reshape(m1, m2 * 3))

@@ -280,9 +280,10 @@ def test_k_self_dual_fallback_matches():
 
 
 def test_pallas_gate_rejects_vmem_oversized_tiles():
-    """Workloads with many envs per point (pd4-class: A=220+, B=72) blow
-    the 16 MB scoped-VMEM limit inside the fused kernels; the gate must
-    route them to the XLA build instead of failing to compile."""
+    """The adaptive row tiles (_lhs_tile_points) take pd4-class shapes
+    (A=224, B=72) down to one point per cell, so those now PASS the
+    gate; only shapes whose G buffer exceeds the budget even at tp1=1
+    (B >~ 300 envs) fall back to the XLA build."""
     import jax.numpy as jnp
     from gpr_calculator_tpu.ops.kernels import _pallas_tiles_fit
     from gpr_calculator_tpu.ops.packing import EnergyData, ForceData
@@ -298,13 +299,17 @@ def test_pallas_gate_rejects_vmem_oversized_tiles():
                       nreal=jnp.asarray(m, jnp.int32))
         return e, f
 
-    e, f = fake(8, 32)            # bench-class: fits
+    e, f = fake(8, 32)            # bench-class: fits at tp1=8
     assert _pallas_tiles_fit(e, f)
-    e_big, f_big = fake(8, 72)    # pd4 force envs: G_ff 42 MB
-    assert not _pallas_tiles_fit(e_big, f_big)
-    e220, _ = fake(8, 224)        # pd4 energy envs: G_ef 36 MB
+    e_big, f_big = fake(8, 72)    # pd4-class: fits at tp1=1
+    assert _pallas_tiles_fit(e_big, f_big)
+    e220, _ = fake(8, 224)
     _, f_ok = fake(8, 32)
-    assert not _pallas_tiles_fit(e220, f_ok)
+    assert _pallas_tiles_fit(e220, f_ok)
+    _, f_huge = fake(8, 320)      # G_ff 13 MB even at tp1=1
+    assert not _pallas_tiles_fit(e, f_huge)
+    e_huge, _ = fake(8, 1152)     # G_ef over budget at tp1=1
+    assert not _pallas_tiles_fit(e_huge, f_ok)
 
 
 def test_pallas_dot_kernel_matches_xla():

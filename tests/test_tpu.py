@@ -261,3 +261,24 @@ def test_k_self_dot_pallas_compiled(monkeypatch):
                               symmetric=True))
     scale = np.abs(ref).max()
     assert np.abs(out - ref).max() < 5e-5 * scale
+
+
+@skip_off_tpu
+def test_k_self_pallas_big_neighbourhood_compiled(monkeypatch):
+    """pd4-class env counts (A=224, B=72) through the fused kernels with
+    adaptive one-point row tiles, compiled: parity vs the XLA build."""
+    import jax.numpy as jnp
+    from gpr_calculator_tpu.ops import kernels as K_ops
+    e, _ = _bench_like_data(m_e=8, a=224, b=32, m_f=8)
+    _, f = _bench_like_data(m_e=8, a=32, b=72, m_f=16, seed=3)
+    params = {"sigma": jnp.asarray(2.0, jnp.float32),
+              "l": jnp.asarray(1.0, jnp.float32)}
+    monkeypatch.setenv("GPR_CALC_TPU_KFF", "xla")
+    ref = _fetch(K_ops.k_self(e, f, params, "rbf", 2, row_chunk=8,
+                              symmetric=True))
+    monkeypatch.setenv("GPR_CALC_TPU_KFF", "pallas")
+    assert K_ops._use_pallas_kff(f, "rbf", e)
+    out = _fetch(K_ops.k_self(e, f, params, "rbf", 2, row_chunk=8,
+                              symmetric=True))
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() < 5e-5 * scale
