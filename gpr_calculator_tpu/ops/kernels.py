@@ -514,12 +514,28 @@ def diag_force(f: ForceData, params, kind: str = "rbf",
 
 def k_block(e1: EnergyData, f1: ForceData, e2: EnergyData, f2: ForceData,
             params, kind: str = "rbf", zeta: int = 2,
-            row_chunk: int = 0) -> jnp.ndarray:
-    """[[K_EE, K_EF], [K_FE, K_FF]] for (rows: data1, cols: data2)."""
-    K_ee = kee(e1, e2, params, kind, zeta, row_chunk=row_chunk)
-    K_ef = kef(e1, f2, params, kind, zeta, row_chunk=row_chunk)
-    K_fe = kef(e2, f1, params, kind, zeta, row_chunk=row_chunk).T
-    K_ff = kff(f1, f2, params, kind, zeta, row_chunk=row_chunk)
+            row_chunk: int = 0, allow_pallas: bool = True) -> jnp.ndarray:
+    """[[K_EE, K_EF], [K_FE, K_FF]] for (rows: data1, cols: data2).
+
+    The serving hot path (_predict_packed cross-covariance).  On TPU the
+    force blocks route through the fused Pallas rect kernels when both
+    orientations' tiles fit (no PSD constraint here -- this block is
+    only contracted against alpha/K_inv, so consistency of rounding with
+    the training build is not required)."""
+    if (allow_pallas and _use_pallas_kff(f2, kind, e1)
+            and _use_pallas_kff(f1, kind, e2)):
+        from .kff_pallas import kef_pallas, kff_pallas
+        pk = "dot" if kind == "dot" else "rbf"
+        dg = kind == "rbf_dgamma"
+        K_ee = kee(e1, e2, params, kind, zeta, row_chunk=row_chunk)
+        K_ef = kef_pallas(e1, f2, params, zeta=zeta, deriv=dg, kind=pk)
+        K_fe = kef_pallas(e2, f1, params, zeta=zeta, deriv=dg, kind=pk).T
+        K_ff = kff_pallas(f1, f2, params, zeta=zeta, deriv=dg, kind=pk)
+    else:
+        K_ee = kee(e1, e2, params, kind, zeta, row_chunk=row_chunk)
+        K_ef = kef(e1, f2, params, kind, zeta, row_chunk=row_chunk)
+        K_fe = kef(e2, f1, params, kind, zeta, row_chunk=row_chunk).T
+        K_ff = kff(f1, f2, params, kind, zeta, row_chunk=row_chunk)
     top = jnp.concatenate([K_ee, K_ef], axis=1)
     bot = jnp.concatenate([K_fe, K_ff], axis=1)
     return jnp.concatenate([top, bot], axis=0)

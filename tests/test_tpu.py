@@ -282,3 +282,23 @@ def test_k_self_pallas_big_neighbourhood_compiled(monkeypatch):
                               symmetric=True))
     scale = np.abs(ref).max()
     assert np.abs(out - ref).max() < 5e-5 * scale
+
+
+@skip_off_tpu
+def test_k_block_serving_pallas_compiled(monkeypatch):
+    """The serving cross-covariance (k_block) through the fused rect
+    kernels == the XLA build, compiled, at mixed pred/train shapes."""
+    import jax.numpy as jnp
+    from gpr_calculator_tpu.ops import kernels as K_ops
+    e1, f1 = _bench_like_data(m_e=8, a=24, b=16, m_f=24, seed=4)
+    e2, f2 = _bench_like_data(m_e=16, a=24, b=16, m_f=40, seed=5)
+    params = {"sigma": jnp.asarray(1.5, jnp.float32),
+              "l": jnp.asarray(0.9, jnp.float32)}
+    monkeypatch.setenv("GPR_CALC_TPU_KFF", "xla")
+    ref = _fetch(K_ops.k_block(e1, f1, e2, f2, params, "rbf", 2,
+                               row_chunk=8))
+    monkeypatch.setenv("GPR_CALC_TPU_KFF", "pallas")
+    out = _fetch(K_ops.k_block(e1, f1, e2, f2, params, "rbf", 2,
+                               row_chunk=8))
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() < 5e-5 * scale
