@@ -157,6 +157,31 @@ def bench_tpu():
     if not results:
         # fall back to the plain XLA path
         results["xla"] = timed("xla")
+
+    # informational: the full training-step cost (NLL + analytic grad via
+    # the fused dual K/dK build) -- the per-iteration cost of
+    # GP.fit(opt=True)
+    try:
+        from gpr_calculator_tpu.models.gp import _nll_rbf_analytic
+        os.environ["GPR_CALC_TPU_KFF"] = "pallas"
+        os.environ["GPR_CALC_TPU_KFF_PRECISION"] = "bf16x4"
+        theta = jnp.asarray([2.0, 1.0], dtype)
+        nf = jnp.asarray([0.01, 0.1], dtype)
+        float(_nll_rbf_analytic(theta, e, f, y, nf, 10.0, 2, False,
+                                ROW_CHUNK)[0])
+        ts = []
+        for i in range(2):
+            th = theta * (1 + 1e-4 * i)
+            t0 = time.time()
+            float(_nll_rbf_analytic(th, e, f, y, nf, 10.0, 2, False,
+                                    ROW_CHUNK)[0])
+            ts.append(time.time() - t0)
+        print(f"# nll+grad (fused dual pass): {min(ts)*1e3:.0f} ms "
+              f"per L-BFGS iteration", file=sys.stderr)
+    except Exception as exc:
+        print(f"# nll+grad measurement skipped: {type(exc).__name__}",
+              file=sys.stderr)
+
     eligible = {k: v for k, v in results.items()
                 if k != "pallas_bf16"
                 or os.environ.get("GPR_BENCH_ALLOW_BF16") == "1"}
