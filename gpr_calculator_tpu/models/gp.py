@@ -418,6 +418,30 @@ class GP:
         self.N_forces_queue += N_F
         self.N_queue += N_E + N_F
 
+    def get_train_x(self):
+        """Current training inputs excluding queued points
+        (gaussianprocess.py:553-577), in this framework's point-list
+        layout: {"energy": [(x, ele), ...], "force": [(x, dxdr, ele),
+        ...]}."""
+        n_e = self.N_energy - self.N_energy_queue
+        n_f = self.N_forces - self.N_forces_queue
+        if self.N_queue <= 0 or n_e <= 0:
+            n_e = self.N_energy
+        if self.N_queue <= 0 or n_f <= 0:
+            n_f = self.N_forces
+        return {"energy": list(self._energy_pts[:n_e]),
+                "force": list(self._force_pts[:n_f])}
+
+    def add_train_pts_energy(self, energy_data):
+        """Append energy training points (gaussianprocess.py:579-601):
+        a list of (x, energy_per_atom, ele) tuples."""
+        self.set_train_pts({"energy": list(energy_data)}, mode="a+")
+
+    def add_train_pts_force(self, force_data):
+        """Append force training points (gaussianprocess.py:602-629):
+        a list of (x, dxdr, force_vec, ele) tuples."""
+        self.set_train_pts({"force": list(force_data)}, mode="a+")
+
     def remove_train_pts(self, e_ids, f_ids):
         """Delete points and refit (gaussianprocess.py:427-464)."""
         data = {"energy": [], "force": [], "db": []}

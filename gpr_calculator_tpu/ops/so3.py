@@ -304,6 +304,16 @@ class SO3:
                 f"lmax: {self.lmax:d}, nmax: {self.nmax:d}, "
                 f"alpha: {self.alpha:.3f}\n")
 
+    def clear_memory(self):
+        """API parity with SO3.clear_memory (SO3.py:176-184).
+
+        The reference caches per-structure neighbour/coefficient arrays
+        on the instance and this call frees them; here per-structure
+        state never lives on the instance (calculate() is functional and
+        the jitted core owns its buffers), so only the precomputed
+        quadrature constants remain -- which the reference also keeps."""
+        return
+
     # -- main API (mirrors SO3.calculate, SO3.py:186-323) --
     def calculate(self, atoms, atom_ids=None, use_mpi: bool = False):
         from ..atoms.neighborlist import neighbor_pairs

@@ -236,3 +236,24 @@ def test_fit_chunk_bounds_big_neighbourhood_builds():
     assert gp._fit_chunk(e_s, f_s) == 32
     gp0 = GP(noise_e=0.01)
     assert gp0._fit_chunk(e_s, f_s) == 0
+
+
+def test_add_train_pts_and_get_train_x_api():
+    """Reference-parity accessors: add_train_pts_energy/force append to
+    the store (gaussianprocess.py:579-629) and get_train_x excludes the
+    queued tail (:553-577)."""
+    import numpy as np
+    from gpr_calculator_tpu.models.gp import GP
+    rng = np.random.RandomState(0)
+    gp = GP(noise_e=0.01)
+    e_pts = [(rng.uniform(0.2, 1.0, (3, 6)), -0.5,
+              np.array([13, 13, 79]))]
+    f_pts = [(rng.uniform(0.2, 1.0, (4, 6)),
+              rng.uniform(-1, 1, (4, 6, 3)),
+              rng.uniform(-1, 1, 3), np.array([13, 79, 13, 79]))]
+    gp.add_train_pts_energy(e_pts)
+    gp.add_train_pts_force(f_pts)
+    assert gp.N_energy == 1 and gp.N_forces == 1
+    tx = gp.get_train_x()
+    assert len(tx["energy"]) == 1 and len(tx["force"]) == 1
+    np.testing.assert_allclose(tx["energy"][0][0], e_pts[0][0])

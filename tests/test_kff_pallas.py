@@ -399,3 +399,25 @@ def test_from_ops_rejects_invalid_static_combos():
         with pytest.raises(AssertionError):
             kef_from_ops(params, e_lhs, e_w, f_rhs, f_re, A1=4, B2=4,
                          zeta=2, interpret=True, mode="highest", **kw)
+
+
+def test_pallas_parity_across_bucket_shapes():
+    """Parity sweep over awkward env-bucket widths (the adaptive tile
+    logic has per-shape branches: tp2 from lcm alignment, tp1 from the
+    VMEM budget + sublane rule).  Interpret mode, rect + symmetric."""
+    rng = np.random.RandomState(31)
+    for B, m in [(4, 6), (8, 4), (12, 3), (20, 2), (36, 2)]:
+        pts = [(rng.uniform(0.2, 1.0, (B, 6)),
+                rng.uniform(-1.0, 1.0, (B, 6, 3)),
+                rng.choice([13, 79], B)) for _ in range(m)]
+        f = pack_force(pts, m_pad=m, b_pad=B)
+        ref = np.asarray(kernels.kff(f, f, PARAMS["rbf"], "rbf", 2))
+        out = np.asarray(kff_pallas(f, f, _params32(), zeta=2,
+                                    interpret=True,
+                                    mm_precision="highest"))
+        scale = max(np.abs(ref).max(), 1e-8)
+        assert np.abs(out - ref).max() < 2e-5 * scale, (B, m)
+        out_sym = np.asarray(kff_pallas(f, f, _params32(), zeta=2,
+                                        interpret=True, symmetric=True,
+                                        mm_precision="highest"))
+        assert np.abs(out_sym - ref).max() < 2e-5 * scale, (B, m, "sym")
