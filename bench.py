@@ -26,14 +26,18 @@ import time
 
 import numpy as np
 
-SMALL = os.environ.get("GPR_BENCH_SCALE", "full") == "small"
+_SCALE = os.environ.get("GPR_BENCH_SCALE", "full")
+SMALL = _SCALE == "small"
 
 # workload shape: 1000 energy points (32 envs), 3000 force points (32 envs),
-# d=30 (SO3 nmax=3, lmax=4) -> covariance (1000 + 9000)^2
-M_E, A_E = (1000, 32) if not SMALL else (64, 16)
-M_F, B_F = (3000, 32) if not SMALL else (128, 16)
+# d=30 (SO3 nmax=3, lmax=4) -> covariance (1000 + 9000)^2.
+# GPR_BENCH_SCALE=large doubles the structure count (20k x 20k covariance,
+# 2x the BASELINE target scale) to demonstrate headroom.
+_SHAPES = {"small": ((64, 16), (128, 16), 16),
+           "full": ((1000, 32), (3000, 32), 8),
+           "large": ((2000, 32), (6000, 32), 8)}
+(M_E, A_E), (M_F, B_F), ROW_CHUNK = _SHAPES.get(_SCALE, _SHAPES["full"])
 D = 30
-ROW_CHUNK = 8 if not SMALL else 16
 N_RANKS_BASELINE = 64
 
 

@@ -266,19 +266,21 @@ def _kff_kernel(sig2_ref, inv2l2_ref,
               deriv, dual, mode, kind)
 
 
-def _kff_kernel_tri(cell_i, cell_j, cell_s, cell_first,
-                    sig2_ref, inv2l2_ref,
+def _kff_kernel_tri(cells, sig2_ref, inv2l2_ref,
                     x1_ref, re1_ref, x2_ref, re2_ref, s2_ref,
                     *refs, zeta: int, t1: int, t2: int, b1: int, tp2: int,
                     deriv: bool, dual: bool, mode: str, kind: str):
     """Triangular (self) schedule: the 1D grid enumerates only the cells
     whose column sub-tile reaches the upper triangle; (i, j, s) and the
-    new-output-block flag come in as prefetched scalars."""
+    new-output-block flag come in as ONE bit-packed prefetched scalar
+    per cell (_pack_cells) -- four separate arrays blow the 1 MB SMEM
+    at the 20k-row scale."""
     n_out = 18 if dual else 9
     out_refs, (acc_ref,) = refs[:n_out], refs[n_out:]
     c = pl.program_id(0)
-    _kff_body(sig2_ref[0, 0], inv2l2_ref[0, 0], cell_s[c],
-              cell_first[c] == 1,
+    code = cells[c]
+    _kff_body(sig2_ref[0, 0], inv2l2_ref[0, 0],
+              (code >> 1) & 15, (code & 1) == 1,
               x1_ref, re1_ref, x2_ref, re2_ref,
               s2_ref, out_refs, acc_ref, zeta, t1, t2, b1, tp2,
               deriv, dual, mode, kind)
@@ -288,8 +290,14 @@ def _tri_cells(n_row_tiles, n_col_blocks, nsub, tp2, tp1):
     """Upper-triangle cell enumeration: row tile i (tp1 pts) x column
     sub-tile (j, s) (tp2 pts), kept when the sub-tile's last column
     reaches the row tile's first row; s ascending within each (i, j) so
-    output-block revisits are consecutive."""
-    I, J, S, F = [], [], [], []
+    output-block revisits are consecutive.
+
+    Returns ONE bit-packed int32 per cell (i<<15 | j<<5 | s<<1 | first):
+    SMEM is 1 MB and four per-cell arrays overflow it at the 20k-row
+    scale (~150k triangular cells)."""
+    assert n_row_tiles < (1 << 16) and n_col_blocks < (1 << 10) \
+        and nsub <= 16
+    codes = []
     for i in range(n_row_tiles):
         row_start = i * tp1
         for j in range(n_col_blocks):
@@ -297,13 +305,10 @@ def _tri_cells(n_row_tiles, n_col_blocks, nsub, tp2, tp1):
             for s in range(nsub):
                 col_end = j * TPC + (s + 1) * tp2
                 if row_start < col_end:
-                    I.append(i)
-                    J.append(j)
-                    S.append(s)
-                    F.append(1 if first else 0)
+                    codes.append((i << 15) | (j << 5) | (s << 1)
+                                 | (1 if first else 0))
                     first = False
-    return (np.asarray(I, np.int32), np.asarray(J, np.int32),
-            np.asarray(S, np.int32), np.asarray(F, np.int32))
+    return np.asarray(codes, np.int32)
 
 
 def _pad_points(f: ForceData, multiple: int) -> ForceData:
@@ -531,29 +536,37 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
                 interpret=interpret,
             )(*tensor_args)
         else:
-            I, J, S, F = cells
+            def _i(C, c):
+                return C[c] >> 15
+
+            def _js(C, c, n=nsub):
+                return (C[c] >> 5) & 1023, (C[c] >> 1) & 15
+
             grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=4,
-                grid=(len(I),),
+                num_scalar_prefetch=1,
+                grid=(len(cells),),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec((4, 1, t1, kl),
-                                 lambda c, I, J, S, F: (0, I[c], 0, 0)),
+                                 lambda c, C: (0, C[c] >> 15, 0, 0)),
                     pl.BlockSpec((t1, 2),
-                                 lambda c, I, J, S, F: (I[c], 0)),
+                                 lambda c, C: (C[c] >> 15, 0)),
                     pl.BlockSpec((4, 1, t2, kl),
-                                 lambda c, I, J, S, F, n=nsub:
-                                 (0, J[c] * n + S[c], 0, 0)),
+                                 lambda c, C, n=nsub:
+                                 (0, ((C[c] >> 5) & 1023) * n
+                                  + ((C[c] >> 1) & 15), 0, 0)),
                     pl.BlockSpec((2, t2),
-                                 lambda c, I, J, S, F, n=nsub:
-                                 (0, J[c] * n + S[c])),
+                                 lambda c, C, n=nsub:
+                                 (0, ((C[c] >> 5) & 1023) * n
+                                  + ((C[c] >> 1) & 15))),
                     pl.BlockSpec((t2, tp2),
-                                 lambda c, I, J, S, F: (0, 0)),
+                                 lambda c, C: (0, 0)),
                 ],
                 out_specs=tuple(
                     pl.BlockSpec((1, tp1, TPC),
-                                 lambda c, I, J, S, F: (I[c], 0, J[c]))
+                                 lambda c, C: (C[c] >> 15, 0,
+                                               (C[c] >> 5) & 1023))
                     for _ in range(n_planes)),
                 scratch_shapes=scratch,
             )
@@ -562,8 +575,7 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
                 grid_spec=grid_spec,
                 out_shape=out_shape,
                 interpret=interpret,
-            )(jnp.asarray(I), jnp.asarray(J), jnp.asarray(S),
-              jnp.asarray(F), *tensor_args)
+            )(jnp.asarray(cells), *tensor_args)
 
     outs = tuple(o.reshape(m1, m2) for o in outs)
 
@@ -571,20 +583,25 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
         if symmetric:
             # mirror the never-visited lower cells: plane (u,v) at (p, q)
             # equals plane (v,u) at (q, p); "kept" reproduces _tri_cells.
-            # Per-plane 2D transposes only -- a 4D transpose of the
-            # stacked planes picks a tiling-hostile layout (42x padding,
-            # OOM).
             p_idx = jnp.arange(m1)[:, None]
             q_idx = jnp.arange(m2)[None, :]
             kept = (tp1 * (p_idx // tp1)
                     < tp2 * (q_idx // tp2) + tp2)     # (m1, m2)
-            out = jnp.stack(
-                [jnp.where(kept, planes[u * 3 + v], planes[v * 3 + u].T)
-                 for u in range(3) for v in range(3)], axis=0)
-        else:
-            out = jnp.stack(planes, axis=0)           # (9, m1, m2)
-        out = out.reshape(3, 3, m1, m2)
-        return out.transpose(2, 0, 3, 1).reshape(m1 * 3, m2 * 3)
+            planes = [jnp.where(kept, planes[u * 3 + v],
+                                planes[v * 3 + u].T)
+                      for u in range(3) for v in range(3)]
+        # interleave to rows (p,u) x cols (q,v) WITHOUT any tensor whose
+        # trailing dim is 3: a (.., m, 3) layout lane-pads 3 -> 128 (42x
+        # HBM; 55 GB at the 20k scale).  Stacks put the 3 on the SUBLANE
+        # axis (3 -> 8 pad only) and the final step is a plain 2D
+        # transpose.
+        cols = []
+        for v in range(3):
+            cv = jnp.stack([planes[u * 3 + v] for u in range(3)],
+                           axis=1)                    # (m1, 3, m2)
+            cols.append(cv.reshape(3 * m1, m2).T)     # (m2, 3 m1)
+        KT = jnp.stack(cols, axis=1).reshape(3 * m2, 3 * m1)
+        return KT.T
 
     if dual:
         return assemble(outs[:9]), assemble(outs[9:])
@@ -766,10 +783,17 @@ def kef_from_ops(params, U1, w1, rhs2, re2, *, A1: int, B2: int,
             jnp.asarray(S2),
         )
     outs = tuple(o.reshape(m1, m2) for o in outs)
+
+    def interleave(planes):
+        # (m1, 3 m2) with cols (q,v) -- via the transpose so the 3 stays
+        # on sublanes (see kff_from_ops.assemble)
+        KT = jnp.stack([pl_.T for pl_ in planes],
+                       axis=1).reshape(3 * m2, m1)    # (m2, 3, m1)
+        return KT.T
+
     if dual:
-        return (jnp.stack(outs[:3], axis=2).reshape(m1, m2 * 3),
-                jnp.stack(outs[3:], axis=2).reshape(m1, m2 * 3))
-    return jnp.stack(outs, axis=2).reshape(m1, m2 * 3)
+        return interleave(outs[:3]), interleave(outs[3:])
+    return interleave(outs)
 
 
 # ---------------------------------------------------------------------------
