@@ -105,8 +105,10 @@ def bench_tpu():
             top = jnp.concatenate([K_ee, K_ef], axis=1)
             bot = jnp.concatenate([K_ef.T, K_ff], axis=1)
             K = jnp.concatenate([top, bot], axis=0)
-        K = K + jnp.diag(_noise_diag(e, f, jnp.asarray(0.01, dtype),
-                                     jnp.asarray(0.1, dtype)))
+        idx = jnp.arange(K.shape[0])
+        K = K.at[idx, idx].add(_noise_diag(e, f,
+                                           jnp.asarray(0.01, dtype),
+                                           jnp.asarray(0.1, dtype)))
         L = jnp.linalg.cholesky(K)
         alpha = jax.scipy.linalg.cho_solve((L, True), y)
         return jnp.sum(alpha), jnp.sum(jnp.log(jnp.diagonal(L)))

@@ -85,7 +85,11 @@ def _nll_value_and_grad(theta, e: EnergyData, f: ForceData, y,
         # path is how Pallas serves the LML)
         K = K_ops.k_self(e, f, params, kind, zeta, row_chunk=row_chunk,
                          allow_pallas=False)
-        K = K + jnp.diag(_noise_diag(e, f, noise_e, noise_f))
+        # indexed diagonal add: jnp.diag materialises a dense (n, n)
+        # (1.6 GB at the 20k scale)
+        nzd = _noise_diag(e, f, noise_e, noise_f)
+        idx = jnp.arange(K.shape[0])
+        K = K.at[idx, idx].add(nzd)
         L = jnp.linalg.cholesky(K)
         alpha = jax.scipy.linalg.cho_solve((L, True), y)
         n_real = e.nreal + 3 * f.nreal
@@ -125,7 +129,8 @@ def _nll_rbf_analytic(theta, e: EnergyData, f: ForceData, y,
     # G contraction and the exp (k_self_dual)
     Kk, Kd = K_ops.k_self_dual(e, f, params, zeta, row_chunk=row_chunk)
     nz = _noise_diag(e, f, noise_e, noise_f)
-    K = Kk + jnp.diag(nz)
+    idx = jnp.arange(Kk.shape[0])
+    K = Kk.at[idx, idx].add(nz)   # no dense diag (1.6 GB at 20k)
     L = jnp.linalg.cholesky(K)
     alpha = jax.scipy.linalg.cho_solve((L, True), y)
     n_real = e.nreal + 3 * f.nreal
@@ -180,7 +185,9 @@ def _factorize(e: EnergyData, f: ForceData, y, params, noise_e, noise_f,
     symmetric triangular schedule when chunked."""
     K = K_ops.k_self(e, f, params, kind, zeta, row_chunk=row_chunk,
                      symmetric=True)
-    K = K + jnp.diag(_noise_diag(e, f, noise_e, noise_f))
+    nzd = _noise_diag(e, f, noise_e, noise_f)
+    idx = jnp.arange(K.shape[0])
+    K = K.at[idx, idx].add(nzd)
     L = jnp.linalg.cholesky(K)
     alpha = jax.scipy.linalg.cho_solve((L, True), y)
     K_inv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(K.shape[0],
