@@ -103,10 +103,12 @@ def _nll_value_and_grad(theta, e: EnergyData, f: ForceData, y,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("zeta", "noise_opt", "row_chunk"))
+                   static_argnames=("zeta", "noise_opt", "row_chunk",
+                                    "mesh"))
 def _nll_rbf_analytic(theta, e: EnergyData, f: ForceData, y,
                       noise_fixed, f_coef,
-                      zeta: int, noise_opt: bool, row_chunk: int = 0):
+                      zeta: int, noise_opt: bool, row_chunk: int = 0,
+                      mesh=None):
     """(-LML, grad) with ANALYTIC hyperparameter derivatives.
 
     0.5 tr((K^-1 - aa^T) dK/dtheta) with dK/dsigma = 2 K_kernel / sigma
@@ -126,8 +128,10 @@ def _nll_rbf_analytic(theta, e: EnergyData, f: ForceData, y,
     sigma, l = kp[0], kp[1]
     params = {"sigma": sigma, "l": l}
     # one fused dual pass on the Pallas path: K and dK/dgamma share the
-    # G contraction and the exp (k_self_dual)
-    Kk, Kd = K_ops.k_self_dual(e, f, params, zeta, row_chunk=row_chunk)
+    # G contraction and the exp (k_self_dual); with a mesh the pass is
+    # partitioned over the devices (parallel.sharded_kernels)
+    Kk, Kd = K_ops.k_self_dual(e, f, params, zeta, row_chunk=row_chunk,
+                               mesh=mesh)
     nz = _noise_diag(e, f, noise_e, noise_f)
     idx = jnp.arange(Kk.shape[0])
     K = Kk.at[idx, idx].add(nz)   # no dense diag (1.6 GB at 20k)
@@ -177,14 +181,17 @@ def _nll_rbf_analytic(theta, e: EnergyData, f: ForceData, y,
     return nll, grad
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "zeta", "row_chunk"))
+@functools.partial(jax.jit, static_argnames=("kind", "zeta", "row_chunk",
+                                             "mesh"))
 def _factorize(e: EnergyData, f: ForceData, y, params, noise_e, noise_f,
-               kind: str, zeta: int, row_chunk: int = 0):
+               kind: str, zeta: int, row_chunk: int = 0, mesh=None):
     """K -> (L, alpha, K_inv); replaces the rank-0 Cholesky + bcast pattern
     (gaussianprocess.py:288-310).  Gradient-free, so K_FF uses the
-    symmetric triangular schedule when chunked."""
+    symmetric triangular schedule when chunked; with a mesh the fused
+    build is partitioned over the devices and the solve is replicated
+    (reference P10)."""
     K = K_ops.k_self(e, f, params, kind, zeta, row_chunk=row_chunk,
-                     symmetric=True)
+                     symmetric=True, mesh=mesh)
     nzd = _noise_diag(e, f, noise_e, noise_f)
     idx = jnp.arange(K.shape[0])
     K = K.at[idx, idx].add(nzd)
@@ -203,11 +210,12 @@ def _cast_floats(tree, dt):
 
 @functools.partial(jax.jit,
                    static_argnames=("kind", "zeta", "return_std",
-                                    "row_chunk", "mixed"))
+                                    "row_chunk", "mixed", "allow_pallas"))
 def _predict_packed(pe: EnergyData, pf: ForceData, te: EnergyData,
                     tf: ForceData, params, alpha, K_inv,
                     kind: str, zeta: int, return_std: bool,
-                    row_chunk: int = 0, mixed: bool = False):
+                    row_chunk: int = 0, mixed: bool = False,
+                    allow_pallas: bool = True):
     """Cross covariance + GEMV (+ variance) in one device program
     (replaces predict_structure's kernel/GEMV/variance chain,
     gaussianprocess.py:873-911).
@@ -224,7 +232,8 @@ def _predict_packed(pe: EnergyData, pf: ForceData, te: EnergyData,
     else:
         pe32, pf32, te32, tf32, params32 = pe, pf, te, tf, params
     Kt = K_ops.k_block(pe32, pf32, te32, tf32, params32, kind, zeta,
-                       row_chunk=row_chunk).astype(alpha.dtype)
+                       row_chunk=row_chunk,
+                       allow_pallas=allow_pallas).astype(alpha.dtype)
     mean = Kt @ alpha
     if not return_std:
         return mean, None
@@ -475,6 +484,13 @@ class GP:
         self.set_train_pts(data, mode="w")
         self.fit()
 
+    def _mesh_arg(self):
+        """The mesh handle passed into the jitted programs (static arg):
+        None for single-device meshes so the cache key stays stable."""
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            return self.mesh
+        return None
+
     def _nll_fn(self):
         """Analytic-gradient NLL for the RBF kernel (one extra dK/dgamma
         build per step), autodiff fallback otherwise or when
@@ -484,7 +500,8 @@ class GP:
             def call(theta, e, f, y, noise_fixed, f_coef, noise_opt):
                 return _nll_rbf_analytic(theta, e, f, y, noise_fixed,
                                          f_coef, self.kernel.zeta,
-                                         noise_opt, self._fit_chunk(e, f))
+                                         noise_opt, self._fit_chunk(e, f),
+                                         mesh=self._mesh_arg())
         else:
             def call(theta, e, f, y, noise_fixed, f_coef, noise_opt):
                 return _nll_value_and_grad(theta, e, f, y, noise_fixed,
@@ -577,7 +594,8 @@ class GP:
             L, alpha, K_inv = _factorize(
                 e, f, y, self.kernel.jax_params(),
                 jnp.asarray(self.noise_e, dt), jnp.asarray(self.noise_f, dt),
-                self.kernel.kind, self.kernel.zeta, self._fit_chunk(e, f))
+                self.kernel.kind, self.kernel.zeta, self._fit_chunk(e, f),
+                mesh=self._mesh_arg())
             alpha_host = np.asarray(alpha)
             if not np.all(np.isfinite(alpha_host)):
                 msg = ("Cholesky factorisation failed (non-finite alpha). "
@@ -817,7 +835,11 @@ class GP:
 
     def _serving_args(self, pf: ForceData, tf: ForceData):
         mixed = self._serve_mixed()
-        return self._serving_chunk(pf, tf, mixed), mixed
+        # with a mesh the training side is row-sharded: bare pallas_call
+        # is opaque to GSPMD, so serving takes the XLA build (which GSPMD
+        # partitions properly over the mesh)
+        allow_pallas = self._mesh_arg() is None
+        return self._serving_chunk(pf, tf, mixed), mixed, allow_pallas
 
     def _predict_points(self, energy_pts, force_pts, return_std=False,
                         total_E=False):

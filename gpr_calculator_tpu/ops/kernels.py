@@ -169,10 +169,8 @@ def _effective_chunk(m: int, want: int) -> int:
     """Largest divisor of m that is <= want (0/None -> no chunking)."""
     if not want or want >= m:
         return 0
-    for c in range(min(want, m), 0, -1):
-        if m % c == 0:
-            return c
-    return 0
+    from .kff_pallas import _largest_divisor_leq
+    return _largest_divisor_leq(m, min(want, m))
 
 
 def kee(e1: EnergyData, e2: EnergyData, params, kind: str = "rbf",
@@ -522,15 +520,18 @@ def k_block(e1: EnergyData, f1: ForceData, e2: EnergyData, f2: ForceData,
     orientations' tiles fit (no PSD constraint here -- this block is
     only contracted against alpha/K_inv, so consistency of rounding with
     the training build is not required)."""
-    if (allow_pallas and _use_pallas_kff(f2, kind, e1)
-            and _use_pallas_kff(f1, kind, e2)):
+    if allow_pallas and _use_pallas_rect(e1, f1, e2, f2, kind):
         from .kff_pallas import kef_pallas, kff_pallas
         pk = "dot" if kind == "dot" else "rbf"
         dg = kind == "rbf_dgamma"
+        interp = _pallas_interpret()
         K_ee = kee(e1, e2, params, kind, zeta, row_chunk=row_chunk)
-        K_ef = kef_pallas(e1, f2, params, zeta=zeta, deriv=dg, kind=pk)
-        K_fe = kef_pallas(e2, f1, params, zeta=zeta, deriv=dg, kind=pk).T
-        K_ff = kff_pallas(f1, f2, params, zeta=zeta, deriv=dg, kind=pk)
+        K_ef = kef_pallas(e1, f2, params, zeta=zeta, deriv=dg, kind=pk,
+                          interpret=interp)
+        K_fe = kef_pallas(e2, f1, params, zeta=zeta, deriv=dg, kind=pk,
+                          interpret=interp).T
+        K_ff = kff_pallas(f1, f2, params, zeta=zeta, deriv=dg, kind=pk,
+                          interpret=interp)
     else:
         K_ee = kee(e1, e2, params, kind, zeta, row_chunk=row_chunk)
         K_ef = kef(e1, f2, params, kind, zeta, row_chunk=row_chunk)
@@ -544,7 +545,7 @@ def k_block(e1: EnergyData, f1: ForceData, e2: EnergyData, f2: ForceData,
 def k_self(e: EnergyData, f: ForceData, params, kind: str = "rbf",
            zeta: int = 2, row_chunk: int = 0,
            symmetric: bool = False,
-           allow_pallas: bool = True) -> jnp.ndarray:
+           allow_pallas: bool = True, mesh=None) -> jnp.ndarray:
     """Symmetric training covariance (reuses K_EF^T for K_FE, like
     RBF_mb.k_total RBF_mb.py:161-165).
 
@@ -552,8 +553,18 @@ def k_self(e: EnergyData, f: ForceData, params, kind: str = "rbf",
     (kff_self, ~2x fewer env-pair evaluations).  Only for gradient-free
     use: the scan/dynamic-update structure is hostile to reverse-mode
     autodiff memory, so the LML objective keeps the plain path.
+
+    mesh: multi-chip build -- the fused Pallas path partitions the
+    triangular schedule over the mesh (parallel.sharded_kernels); the
+    XLA path relies on GSPMD row sharding of the operands.
     """
-    if allow_pallas and _use_pallas_kff(f, kind, e):
+    if allow_pallas and _use_pallas_kff(f, kind, e) \
+            and not _foreign_sharded(f, mesh):
+        if mesh is not None and mesh.devices.size > 1:
+            from ..parallel.sharded_kernels import pallas_self_blocks_sharded
+            (K,) = pallas_self_blocks_sharded(e, f, params, kind, zeta,
+                                              dual=False, mesh=mesh)
+            return K
         (K,) = _pallas_self_blocks(e, f, params, kind, zeta, dual=False)
         return K
     if symmetric and row_chunk:
@@ -570,19 +581,26 @@ def k_self(e: EnergyData, f: ForceData, params, kind: str = "rbf",
 
 
 def k_self_dual(e: EnergyData, f: ForceData, params, zeta: int = 2,
-                row_chunk: int = 0, allow_pallas: bool = True):
+                row_chunk: int = 0, allow_pallas: bool = True,
+                mesh=None):
     """(K, dK/dgamma) of the symmetric training covariance.
 
     On the fused Pallas path the two builds come from ONE kernel pass per
     block (shared G contraction and exp; dual=True plane pairs), which is
     what the analytic-LML gradient (models/gp._nll_rbf_analytic) runs
-    every L-BFGS iteration.  Fallback: two k_self builds."""
-    if allow_pallas and _use_pallas_kff(f, "rbf", e):
+    every L-BFGS iteration.  Fallback: two k_self builds.  mesh: the
+    dual pass partitions the triangular schedule over the mesh."""
+    if allow_pallas and _use_pallas_kff(f, "rbf", e) \
+            and not _foreign_sharded(f, mesh):
+        if mesh is not None and mesh.devices.size > 1:
+            from ..parallel.sharded_kernels import pallas_self_blocks_sharded
+            return pallas_self_blocks_sharded(e, f, params, "rbf", zeta,
+                                              dual=True, mesh=mesh)
         return _pallas_self_blocks(e, f, params, "rbf", zeta, dual=True)
     return (k_self(e, f, params, "rbf", zeta, row_chunk=row_chunk,
-                   symmetric=True, allow_pallas=allow_pallas),
+                   symmetric=True, allow_pallas=allow_pallas, mesh=mesh),
             k_self(e, f, params, "rbf_dgamma", zeta, row_chunk=row_chunk,
-                   symmetric=True, allow_pallas=allow_pallas))
+                   symmetric=True, allow_pallas=allow_pallas, mesh=mesh))
 
 
 def _pallas_self_blocks(e: EnergyData, f: ForceData, params,
@@ -601,6 +619,7 @@ def _pallas_self_blocks(e: EnergyData, f: ForceData, params,
     dg = kind == "rbf_dgamma"
     pk = "dot" if kind == "dot" else "rbf"
     mode = _resolve_precision(None)
+    interp = _pallas_interpret()
     m_e, A = e.x.shape[0], e.x.shape[1]
     m_f, B = f.x.shape[0], f.x.shape[1]
     e_lhs, e_rhs, e_w = energy_operand(e, mode)
@@ -609,10 +628,10 @@ def _pallas_self_blocks(e: EnergyData, f: ForceData, params,
     ee = kee_from_ops(params, e_lhs, e_rhs, e_w, A1=A, zeta=zeta,
                       deriv=dg, mode=mode, kind=pk, dual=dual)
     ef = kef_from_ops(params, e_lhs, e_w, f_rhs, f_re, A1=A, B2=B,
-                      zeta=zeta, interpret=False, deriv=dg, mode=mode,
+                      zeta=zeta, interpret=interp, deriv=dg, mode=mode,
                       kind=pk, dual=dual)
     ff = kff_from_ops(params, f_lhs, f_re, f_rhs, f_re, B1=B, B2=B,
-                      zeta=zeta, interpret=False, symmetric=True,
+                      zeta=zeta, interpret=interp, symmetric=True,
                       deriv=dg, mode=mode, kind=pk, dual=dual)
     if not dual:
         ee, ef, ff = (ee,), (ef,), (ff,)
@@ -629,18 +648,25 @@ def _pallas_self_blocks(e: EnergyData, f: ForceData, params,
 
 
 def _pallas_tiles_fit(e: EnergyData | None, f: ForceData) -> bool:
-    """Would the fused kernels' per-cell G buffers fit scoped VMEM?
+    """Would the fused kernels' per-cell G buffers fit scoped VMEM, and
+    does the triangular cell code fit 31 bits?
 
     Row tiles shrink adaptively (_lhs_tile_points) down to one point per
     cell, so the check is feasibility at tp1 = 1: the G buffer
     ((4 B, 4 t2) f32 for kff, (A, 4 t2) for kef) must fit G_BUDGET.
     Shapes beyond that (B >~ 300 envs/point at d<=128) fall back to the
     XLA build."""
-    from .kff_pallas import _lhs_tile_points, _rhs_tile_points
+    from .kff_pallas import (TPC, _cell_bits, _lhs_tile_points,
+                             _rhs_tile_points)
     B = f.x.shape[1]
     tp2 = _rhs_tile_points(B)
     t2 = tp2 * B
-    if not _lhs_tile_points(B, t2, four_rows=True):
+    tp1 = _lhs_tile_points(B, t2, four_rows=True)
+    if not tp1:
+        return False
+    # bit-packed triangular schedule feasibility (self build)
+    m_pad = -(-f.x.shape[0] // TPC) * TPC
+    if _cell_bits(m_pad // tp1, m_pad // TPC, TPC // tp2) is None:
         return False
     if e is not None:
         A = e.x.shape[1]
@@ -649,19 +675,69 @@ def _pallas_tiles_fit(e: EnergyData | None, f: ForceData) -> bool:
     return True
 
 
-def _use_pallas_kff(f: ForceData, kind: str,
-                    e: EnergyData | None = None) -> bool:
-    """The fused Pallas training build is the DEFAULT on TPU for f32 RBF
-    with 3 cart columns, d <= 128, and tile shapes that fit scoped VMEM
-    (_pallas_tiles_fit); otherwise the XLA build (also for the f64
-    tight-noise path -- the Pallas kernel computes in f32).
-    GPR_CALC_TPU_KFF=xla opts out; =pallas forces the previous opt-in
-    spelling."""
+def _pallas_interpret() -> bool:
+    """GPR_CALC_TPU_KFF_INTERPRET=1 runs the fused kernels in interpret
+    mode on any backend (CPU testing / the virtual-mesh dryrun)."""
+    import os
+    return os.environ.get("GPR_CALC_TPU_KFF_INTERPRET", "0") == "1"
+
+
+def _pallas_env_ok(kind: str, *fs: ForceData) -> bool:
+    """Common preconditions for any fused-Pallas route: env toggle, TPU
+    backend (or the interpret override), f32 data, 3 cart columns,
+    descriptor width <= one lane tile.  GPR_CALC_TPU_KFF=xla opts out."""
     import os
     if os.environ.get("GPR_CALC_TPU_KFF", "pallas") != "pallas":
         return False
-    return (kind in ("rbf", "rbf_dgamma", "dot")
-            and f.x.dtype == jnp.float32
-            and f.dxdr.shape[3] == 3 and f.x.shape[2] <= 128
-            and _pallas_tiles_fit(e, f)
-            and jax.default_backend() in ("tpu", "axon"))
+    if kind not in ("rbf", "rbf_dgamma", "dot"):
+        return False
+    if jax.default_backend() not in ("tpu", "axon") \
+            and not _pallas_interpret():
+        return False
+    return all(f.x.dtype == jnp.float32
+               and f.dxdr.shape[3] == 3 and f.x.shape[2] <= 128
+               for f in fs)
+
+
+def _foreign_sharded(f: ForceData, mesh) -> bool:
+    """True when the operands live sharded on multiple devices but no
+    mesh handle was given: a bare pallas_call is opaque to GSPMD and
+    would at best silently replicate -- route to the XLA build instead.
+    (Concrete arrays only; inside someone else's jit the operands are
+    tracers and callers must pass ``mesh`` explicitly.)"""
+    if mesh is not None:
+        return False
+    try:
+        sh = f.x.sharding
+        return len(sh.device_set) > 1
+    except Exception:
+        return False
+
+
+def _use_pallas_kff(f: ForceData, kind: str,
+                    e: EnergyData | None = None) -> bool:
+    """The fused Pallas training (self) build is the DEFAULT on TPU for
+    f32 RBF with 3 cart columns, d <= 128, and tile shapes that fit
+    scoped VMEM (_pallas_tiles_fit); otherwise the XLA build (also for
+    the f64 tight-noise path -- the Pallas kernel computes in f32)."""
+    return _pallas_env_ok(kind, f) and _pallas_tiles_fit(e, f)
+
+
+def _use_pallas_rect(e1: EnergyData, f1: ForceData,
+                     e2: EnergyData, f2: ForceData, kind: str) -> bool:
+    """Gate for the RECTANGULAR k_block route, checked in the actual
+    orientations the kernels run: K_FF(lhs f1, rhs f2), K_EF(e1, f2)
+    and K_FE via kef(e2, f1).  Gating each side with its own tile
+    geometry is wrong for mismatched pred/train bucket widths (e.g.
+    B1=160 vs B2=72: both self gates pass but the crossed lhs tile is
+    infeasible and kff_from_ops would die)."""
+    if not _pallas_env_ok(kind, f1, f2):
+        return False
+    from .kff_pallas import _lhs_tile_points, _rhs_tile_points
+    B1, B2 = f1.x.shape[1], f2.x.shape[1]
+    t2_f2 = _rhs_tile_points(B2) * B2
+    t2_f1 = _rhs_tile_points(B1) * B1
+    return bool(
+        _lhs_tile_points(B1, t2_f2, four_rows=True)
+        and _lhs_tile_points(e1.x.shape[1], t2_f2, four_rows=False)
+        and _lhs_tile_points(e2.x.shape[1], t2_f1, four_rows=False))

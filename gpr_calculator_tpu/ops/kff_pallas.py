@@ -99,10 +99,14 @@ def _resolve_precision(mm_precision):
     return mm_precision
 
 
-def _lanes(mode: str) -> int:
-    """Operand lane width: bf16x4 quadruples the k dimension (see
-    _split_operand)."""
-    return 4 * D_LANES if mode == "bf16x4" else D_LANES
+def _lanes(mode: str, d: int) -> int:
+    """Operand lane width for descriptor width d, padded to a lane-tile
+    multiple.  bf16x4 packs the four hi/lo product terms CONTIGUOUSLY
+    (4 d lanes, see _lhs_rhs) instead of four separately-padded 128-lane
+    tiles -- at the production d=30 that is ONE k=128 contraction where
+    the round-2 kernel issued four (4.3x MXU waste on lane padding)."""
+    width = 4 * d if mode == "bf16x4" else d
+    return -(-width // D_LANES) * D_LANES
 
 
 def _lhs_tile_points(b1: int, t2: int, four_rows: bool) -> int:
@@ -139,7 +143,7 @@ def _pair_blocks(x1_ref, x2_ref, rows1, rows2, mode: str):
     """G = X1 X2^T over all stacked components, computed at the requested
     matmul precision; f32 accumulate."""
     f32 = jnp.float32
-    kl = _lanes(mode)
+    kl = x1_ref.shape[-1]
     a1 = x1_ref[:].reshape(rows1, kl)
     a2 = x2_ref[:].reshape(rows2, kl)
     prec = (jax.lax.Precision.HIGHEST if mode == "highest"
@@ -269,21 +273,38 @@ def _kff_kernel(sig2_ref, inv2l2_ref,
 def _kff_kernel_tri(cells, sig2_ref, inv2l2_ref,
                     x1_ref, re1_ref, x2_ref, re2_ref, s2_ref,
                     *refs, zeta: int, t1: int, t2: int, b1: int, tp2: int,
-                    deriv: bool, dual: bool, mode: str, kind: str):
+                    deriv: bool, dual: bool, mode: str, kind: str,
+                    smask: int):
     """Triangular (self) schedule: the 1D grid enumerates only the cells
     whose column sub-tile reaches the upper triangle; (i, j, s) and the
     new-output-block flag come in as ONE bit-packed prefetched scalar
-    per cell (_pack_cells) -- four separate arrays blow the 1 MB SMEM
+    per cell (_tri_cells) -- four separate arrays blow the 1 MB SMEM
     at the 20k-row scale."""
     n_out = 18 if dual else 9
     out_refs, (acc_ref,) = refs[:n_out], refs[n_out:]
     c = pl.program_id(0)
     code = cells[c]
     _kff_body(sig2_ref[0, 0], inv2l2_ref[0, 0],
-              (code >> 1) & 15, (code & 1) == 1,
+              (code >> 1) & smask, (code & 1) == 1,
               x1_ref, re1_ref, x2_ref, re2_ref,
               s2_ref, out_refs, acc_ref, zeta, t1, t2, b1, tp2,
               deriv, dual, mode, kind)
+
+
+def _cell_bits(n_row_tiles: int, n_col_blocks: int, nsub: int):
+    """Bit widths for the packed triangular cell code
+    (i << (1+sbits+jbits) | j << (1+sbits) | s << 1 | first).
+
+    Widths are computed per shape -- a fixed 4-bit s field crashed on
+    bucket widths with nsub > 16 (B=96 -> tp2=4 -> nsub=32).  Returns
+    None when the code does not fit 31 bits (the gate then falls back
+    to the XLA build)."""
+    sbits = max(1, (nsub - 1).bit_length())
+    jbits = max(1, (n_col_blocks - 1).bit_length())
+    ibits = max(1, (n_row_tiles - 1).bit_length())
+    if 1 + sbits + jbits + ibits > 31:
+        return None
+    return sbits, jbits
 
 
 def _tri_cells(n_row_tiles, n_col_blocks, nsub, tp2, tp1):
@@ -292,11 +313,16 @@ def _tri_cells(n_row_tiles, n_col_blocks, nsub, tp2, tp1):
     reaches the row tile's first row; s ascending within each (i, j) so
     output-block revisits are consecutive.
 
-    Returns ONE bit-packed int32 per cell (i<<15 | j<<5 | s<<1 | first):
-    SMEM is 1 MB and four per-cell arrays overflow it at the 20k-row
-    scale (~150k triangular cells)."""
-    assert n_row_tiles < (1 << 16) and n_col_blocks < (1 << 10) \
-        and nsub <= 16
+    Returns (codes, sbits, jbits): ONE bit-packed int32 per cell
+    (_cell_bits layout) -- SMEM is 1 MB and four per-cell arrays
+    overflow it at the 20k-row scale (~150k triangular cells)."""
+    bits = _cell_bits(n_row_tiles, n_col_blocks, nsub)
+    assert bits is not None, (
+        f"triangular cell code needs >31 bits "
+        f"({n_row_tiles=}, {n_col_blocks=}, {nsub=}); "
+        "the gate should have routed this shape to the XLA build")
+    sbits, jbits = bits
+    sh_j, sh_i = 1 + sbits, 1 + sbits + jbits
     codes = []
     for i in range(n_row_tiles):
         row_start = i * tp1
@@ -305,10 +331,10 @@ def _tri_cells(n_row_tiles, n_col_blocks, nsub, tp2, tp1):
             for s in range(nsub):
                 col_end = j * TPC + (s + 1) * tp2
                 if row_start < col_end:
-                    codes.append((i << 15) | (j << 5) | (s << 1)
+                    codes.append((i << sh_i) | (j << sh_j) | (s << 1)
                                  | (1 if first else 0))
                     first = False
-    return np.asarray(codes, np.int32)
+    return np.asarray(codes, np.int32), sbits, jbits
 
 
 def _pad_points(f: ForceData, multiple: int) -> ForceData:
@@ -325,12 +351,19 @@ def _pad_points(f: ForceData, multiple: int) -> ForceData:
 
 
 def _lhs_rhs(X, mode: str):
-    """f32 X -> (lhs, rhs) matmul operands at the requested precision.
-    The hi/lo split happens ONCE; both operand forms are concats of the
-    same arrays, so the lhs.rhs contraction is an exact Gram of the
-    rounded values wherever the pair appears.
+    """f32 X (last dim = TRUE descriptor width d, unpadded) -> (lhs, rhs)
+    matmul operands at the requested precision, lane-padded to
+    _lanes(mode, d).  The hi/lo split happens ONCE; both operand forms
+    are concats of the same arrays, so the lhs.rhs contraction is an
+    exact Gram of the rounded values wherever the pair appears.
 
-    The bf16x4 split uses integer mantissa masking, NOT dtype converts:
+    bf16x4 packs [hi|hi|lo|lo] . [hi|lo|hi|lo] CONTIGUOUSLY (4 d lanes,
+    one shared zero-pad tail): the dot accumulates hi.hi + hi.lo +
+    lo.hi + lo.lo = the exact product of the (hi+lo) pairs in a single
+    contraction -- for d <= 32 that is ONE 128-lane MXU tile where
+    per-term 128-lane padding cost four.
+
+    The split uses integer mantissa masking, NOT dtype converts:
     ``lo = (X - bf16(X).astype(f32)).astype(bf16)`` looks right but the
     f32->bf16->f32 round trip folds away under XLA's
     --xla_allow_excess_precision (set by TPU runtimes), making lo
@@ -340,18 +373,25 @@ def _lhs_rhs(X, mode: str):
     rewrite; hi keeps the top 16 IEEE bits (exactly bf16-representable,
     truncation split) and lo = X - hi is exact in f32, rounded once to
     bf16."""
+    d = X.shape[-1]
+    kl = _lanes(mode, d)
+
+    def lane_pad(a, w):
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, kl - w)])
+
     if mode == "highest":
-        return X, X
+        Xp = lane_pad(X, d)
+        return Xp, Xp
     if mode == "bf16":
-        hi = X.astype(jnp.bfloat16)
+        hi = lane_pad(X.astype(jnp.bfloat16), d)
         return hi, hi
     xu = jax.lax.bitcast_convert_type(X, jnp.uint32)
     hi_f = jax.lax.bitcast_convert_type(
         xu & np.uint32(0xFFFF0000), jnp.float32)
     hi = hi_f.astype(jnp.bfloat16)              # exact (low bits zero)
     lo = (X - hi_f).astype(jnp.bfloat16)
-    lhs = jnp.concatenate((hi, hi, lo, lo), axis=-1)
-    rhs = jnp.concatenate((hi, lo, hi, lo), axis=-1)
+    lhs = lane_pad(jnp.concatenate((hi, hi, lo, lo), axis=-1), 4 * d)
+    rhs = lane_pad(jnp.concatenate((hi, lo, hi, lo), axis=-1), 4 * d)
     return lhs, rhs
 
 
@@ -388,25 +428,26 @@ def force_operand(f: ForceData, mode: str, multiple: int = TPC):
     J = f.dxdr.reshape(m * B, d, 3).astype(f32)
     q = jnp.einsum("ndu,nd->nu", J, u)             # (N, 3)
     Jt = J - u[:, :, None] * q[:, None, :]         # project out u
-    X = jnp.concatenate([u[None], jnp.transpose(Jt, (2, 0, 1))], axis=0)
-    X = jnp.pad(X, ((0, 0), (0, 0), (0, D_LANES - d)))   # (4, N, 128)
+    X = jnp.concatenate([u[None], jnp.transpose(Jt, (2, 0, 1))],
+                        axis=0)                         # (4, N, d) true d
     re = jnp.stack([rinv, f.ele.reshape(-1).astype(f32)], axis=0)  # (2, N)
-    lhs, rhs = _lhs_rhs(X, mode)
+    lhs, rhs = _lhs_rhs(X, mode)       # lane-pads to _lanes(mode, d)
     return lhs, rhs, re
 
 
-def energy_operand(e, mode: str):
+def energy_operand(e, mode: str, multiple: int = TP1):
     """(lhs, rhs, w) operands for an energy side: lhs/rhs (N1, kl) unit
     descriptors at the requested precision, w (N1, 2) = [valid/count,
-    element id].  Same build-once contract as force_operand."""
+    element id].  Same build-once contract as force_operand.  multiple:
+    point-padding granularity (lcm(TP1, n_devices) for the row-sharded
+    multi-chip build)."""
     f32 = jnp.float32
-    e = _pad_energy(e, TP1)
+    e = _pad_energy(e, multiple)
     m, A, d = e.x.shape
     x = e.x.reshape(m * A, d).astype(f32)
     n1 = jnp.sqrt(jnp.sum(x * x, axis=1))
     v1 = (n1 > 1e-8) & (e.ele.reshape(-1) > 0)
-    u1 = jnp.pad(x / jnp.where(v1, n1, 1.0)[:, None],
-                 ((0, 0), (0, D_LANES - d)))
+    u1 = x / jnp.where(v1, n1, 1.0)[:, None]            # true d
     inv_count = jnp.repeat(1.0 / e.counts.astype(f32), A)
     w = jnp.stack([jnp.where(v1, inv_count, 0.0),
                    e.ele.reshape(-1).astype(f32)], axis=1)  # (N1, 2)
@@ -453,27 +494,40 @@ def kff_pallas(f1: ForceData, f2: ForceData, params, zeta: int = 2,
 @functools.partial(jax.jit,
                    static_argnames=("B1", "B2", "zeta", "interpret",
                                     "symmetric", "deriv", "dual", "mode",
-                                    "kind"))
+                                    "kind", "axis_name"))
 def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
                  zeta: int, interpret: bool, symmetric: bool, deriv: bool,
                  mode: str, dual: bool = False,
-                 kind: str = "rbf") -> jnp.ndarray:
+                 kind: str = "rbf", cells=None, owned=None,
+                 axis_name: str | None = None) -> jnp.ndarray:
     """Force-force block from prebuilt operands (force_operand), returning
     the PADDED (3 m1p, 3 m2p) f32 block.  k_self passes the SAME operand
     arrays here and to kef/kee so the training covariance is one
     consistent Gram (see force_operand).  dual=True returns the
     (K, dK/dgamma) PAIR from one fused pass (shared G contraction and
-    exp -- the analytic-LML training gradient's hot path)."""
+    exp -- the analytic-LML training gradient's hot path).
+
+    Multi-chip (inside shard_map; parallel/sharded_kernels.py): pass an
+    explicit per-device ``cells`` slice of the triangular schedule, the
+    (n_row_tiles, n_col_blocks) ``owned`` 0/1 block-ownership mask, and
+    the mesh ``axis_name`` -- unvisited output blocks are garbage, so
+    they are masked by ``owned`` before the cross-device psum, after
+    which every device holds the full (replicated) symmetric block."""
     assert not (dual and deriv), "dual already includes the deriv set"
     assert not (kind == "dot" and (deriv or dual)), (
         "dot kernel has no fused deriv build")
     f32 = jnp.float32
-    kl = _lanes(mode)
+    kl = lhs1.shape[-1]
     N1, N2 = lhs1.shape[1], rhs2.shape[1]
     m1, m2 = N1 // B1, N2 // B2
     tp2 = _rhs_tile_points(B2)
     t2 = tp2 * B2
     tp1 = _lhs_tile_points(B1, t2, four_rows=True)
+    if tp1 == 0:
+        raise ValueError(
+            f"fused kff tile does not fit scoped VMEM for lhs bucket "
+            f"B1={B1} against rhs tile t2={t2} (B2={B2}); route this "
+            "shape to the XLA build (k_block/_use_pallas gates)")
     t1 = tp1 * B1
     nsub = TPC // tp2
     n_planes = 18 if dual else 9
@@ -487,7 +541,14 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
     grid = (m1 // tp1, m2 // TPC, nsub)
     N1, N2 = m1 * B1, m2 * B2
     if symmetric:
-        cells = _tri_cells(m1 // tp1, m2 // TPC, nsub, tp2, tp1)
+        if cells is None:
+            cells, sbits, jbits = _tri_cells(m1 // tp1, m2 // TPC, nsub,
+                                             tp2, tp1)
+            cells = jnp.asarray(cells)
+        else:
+            sbits, jbits = _cell_bits(m1 // tp1, m2 // TPC, nsub)
+        sh_j, sh_i = 1 + sbits, 1 + sbits + jbits
+        jmask, smask = (1 << jbits) - 1, (1 << sbits) - 1
 
     tensor_args = (
         jnp.asarray(params["sigma"], f32).reshape(1, 1) ** 2,
@@ -536,12 +597,6 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
                 interpret=interpret,
             )(*tensor_args)
         else:
-            def _i(C, c):
-                return C[c] >> 15
-
-            def _js(C, c, n=nsub):
-                return (C[c] >> 5) & 1023, (C[c] >> 1) & 15
-
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(len(cells),),
@@ -549,33 +604,46 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec((4, 1, t1, kl),
-                                 lambda c, C: (0, C[c] >> 15, 0, 0)),
+                                 lambda c, C, si=sh_i: (0, C[c] >> si,
+                                                        0, 0)),
                     pl.BlockSpec((t1, 2),
-                                 lambda c, C: (C[c] >> 15, 0)),
+                                 lambda c, C, si=sh_i: (C[c] >> si, 0)),
                     pl.BlockSpec((4, 1, t2, kl),
-                                 lambda c, C, n=nsub:
-                                 (0, ((C[c] >> 5) & 1023) * n
-                                  + ((C[c] >> 1) & 15), 0, 0)),
+                                 lambda c, C, n=nsub, sj=sh_j, jm=jmask,
+                                 sm=smask:
+                                 (0, (((C[c] >> sj) & jm)) * n
+                                  + ((C[c] >> 1) & sm), 0, 0)),
                     pl.BlockSpec((2, t2),
-                                 lambda c, C, n=nsub:
-                                 (0, ((C[c] >> 5) & 1023) * n
-                                  + ((C[c] >> 1) & 15))),
+                                 lambda c, C, n=nsub, sj=sh_j, jm=jmask,
+                                 sm=smask:
+                                 (0, (((C[c] >> sj) & jm)) * n
+                                  + ((C[c] >> 1) & sm))),
                     pl.BlockSpec((t2, tp2),
                                  lambda c, C: (0, 0)),
                 ],
                 out_specs=tuple(
                     pl.BlockSpec((1, tp1, TPC),
-                                 lambda c, C: (C[c] >> 15, 0,
-                                               (C[c] >> 5) & 1023))
+                                 lambda c, C, si=sh_i, sj=sh_j, jm=jmask:
+                                 (C[c] >> si, 0, (C[c] >> sj) & jm))
                     for _ in range(n_planes)),
                 scratch_shapes=scratch,
             )
             outs = pl.pallas_call(
-                functools.partial(_kff_kernel_tri, **kern_kw),
+                functools.partial(_kff_kernel_tri, smask=smask,
+                                  **kern_kw),
                 grid_spec=grid_spec,
                 out_shape=out_shape,
                 interpret=interpret,
-            )(jnp.asarray(cells), *tensor_args)
+            )(cells, *tensor_args)
+            if owned is not None:
+                # multi-chip: zero the blocks this device does not own
+                # (their memory is uninitialised -- use where, a
+                # multiply would propagate NaN bit patterns) and psum
+                # so every device holds the full upper-triangle planes
+                om = jnp.repeat(owned, TPC, axis=1)[:, None, :]
+                outs = tuple(jnp.where(om, o, 0.0) for o in outs)
+                if axis_name is not None:
+                    outs = jax.lax.psum(outs, axis_name)
 
     outs = tuple(o.reshape(m1, m2) for o in outs)
 
@@ -732,7 +800,7 @@ def kef_from_ops(params, U1, w1, rhs2, re2, *, A1: int, B2: int,
     assert not (kind == "dot" and (deriv or dual)), (
         "dot kernel has no fused deriv build")
     f32 = jnp.float32
-    kl = _lanes(mode)
+    kl = U1.shape[-1]
     N1, N2 = U1.shape[0], rhs2.shape[1]
     m1, m2 = N1 // A1, N2 // B2
     tp2 = _rhs_tile_points(B2)
@@ -800,28 +868,54 @@ def kef_from_ops(params, U1, w1, rhs2, re2, *, A1: int, B2: int,
 # energy-energy block from the same operands (consistency companion)
 # ---------------------------------------------------------------------------
 
+def _largest_divisor_leq(m: int, cap: int) -> int:
+    """Largest divisor of m that is <= cap, via sqrt(m) factor pairs --
+    the previous linear scan was O(m) Python at trace time per shape."""
+    if cap >= m:
+        return m
+    best = 1
+    i = 1
+    while i * i <= m:
+        if m % i == 0:
+            if i <= cap and i > best:
+                best = i
+            q = m // i
+            if q <= cap and q > best:
+                best = q
+        i += 1
+    return best
+
+
 @functools.partial(jax.jit,
                    static_argnames=("A1", "zeta", "deriv", "dual", "mode",
                                     "kind"))
 def kee_from_ops(params, lhs, rhs, w, *, A1: int, zeta: int,
                  deriv: bool, mode: str, dual: bool = False,
-                 kind: str = "rbf") -> jnp.ndarray:
-    """Energy-energy self block from prebuilt operands (energy_operand),
-    (m1p, m1p) f32, padded.
+                 kind: str = "rbf", w_lhs=None) -> jnp.ndarray:
+    """Energy-energy block from prebuilt operands (energy_operand),
+    (m1p, m2p) f32, padded.
 
     Plain XLA (the block is tiny next to K_FF), but c is the SAME exact
     Gram of the SAME rounded operand arrays the Pallas K_EF/K_FF consume
     -- an exact-f32 K_EE next to rounded force blocks breaks the
     whole-covariance Gram property and NaNs the Cholesky (see module
-    docstring).  Chunked over lhs points to bound the (N1, N1) pair
-    matrix."""
+    docstring).  Chunked over lhs points to bound the (N1, N2) pair
+    matrix.
+
+    w_lhs: per-row weights when ``lhs`` is a ROW STRIPE of the full
+    operand (the multi-chip row-sharded build); defaults to ``w`` (the
+    square self block)."""
     f32 = jnp.float32
-    N1 = lhs.shape[0]
-    m = N1 // A1
+    N1, N2 = lhs.shape[0], rhs.shape[0]
+    m_rows, m_cols = N1 // A1, N2 // A1
     if kind == "dot":
         assert not (deriv or dual), "dot kernel has no fused deriv build"
     sigma2 = jnp.asarray(params["sigma"], f32) ** 2
     p2c = _second_scalar(params, kind)[0, 0]
+    if w_lhs is None:
+        w_lhs = w
+    wgt1 = w_lhs[:, 0].astype(f32)
+    ele1 = w_lhs[:, 1].astype(f32)
     wgt = w[:, 0].astype(f32)
     ele = w[:, 1].astype(f32)
     prec = (jax.lax.Precision.HIGHEST if mode == "highest"
@@ -843,26 +937,26 @@ def kee_from_ops(params, lhs, rhs, w, *, A1: int, zeta: int,
         pc = lb.shape[0] // A1
         vals = []
         if not deriv:
-            vals.append((k * msk).reshape(pc, A1, m, A1).sum(axis=(1, 3)))
+            vals.append((k * msk)
+                        .reshape(pc, A1, m_cols, A1).sum(axis=(1, 3)))
         if deriv or dual:
             vals.append((k * (D - 1.0) * msk)
-                        .reshape(pc, A1, m, A1).sum(axis=(1, 3)))
+                        .reshape(pc, A1, m_cols, A1).sum(axis=(1, 3)))
         return tuple(vals) if len(vals) > 1 else vals[0]
 
-    # bound the (pc*A1, N1) pair matrix (plus ~4 elementwise temps) by a
+    # bound the (pc*A1, N2) pair matrix (plus ~4 elementwise temps) by a
     # memory budget -- the fixed gcd(m, 64) chunk can transiently
     # allocate GBs at many-env shapes the VMEM gate accepts
-    budget_rows = max(1, int(2.5e8) // max(4 * N1, 1))   # ~1 GB of f32
+    budget_rows = max(1, int(2.5e8) // max(4 * N2, 1))   # ~1 GB of f32
     pc_cap = max(1, budget_rows // A1)
-    pc = math.gcd(m, 64)
-    while pc > pc_cap and pc > 1:
-        # shrink to a divisor of m under the cap
-        pc = next(d for d in range(min(pc_cap, pc - 1), 0, -1)
-                  if m % d == 0)
-    nch = m // pc
+    pc = math.gcd(m_rows, 64)
+    if pc > pc_cap:
+        pc = _largest_divisor_leq(m_rows, pc_cap)
+    nch = m_rows // pc
     out = jax.lax.map(block, (lhs.reshape(nch, pc * A1, lhs.shape[1]),
-                              wgt.reshape(nch, pc * A1),
-                              ele.reshape(nch, pc * A1)))
+                              wgt1.reshape(nch, pc * A1),
+                              ele1.reshape(nch, pc * A1)))
     if dual:
-        return out[0].reshape(m, m), out[1].reshape(m, m)
-    return out.reshape(m, m)
+        return (out[0].reshape(m_rows, m_cols),
+                out[1].reshape(m_rows, m_cols))
+    return out.reshape(m_rows, m_cols)

@@ -5,11 +5,25 @@ parallel/mesh.py): XLA partitions the matmuls and inserts the ICI
 collectives itself, replacing the reference's MPI row splits P1-P5
 (gpr_calc/kernels/RBF_mb.py:257-524).  Pallas kernels are opaque to the
 GSPMD partitioner, so their multi-chip form is explicit data parallelism
-via shard_map: each device runs the rectangular kernel on its stripe of
-lhs points against the full (replicated) rhs, and the row-sharded output
-needs no collective at all -- exactly the reference's P3 decomposition,
-minus the gather/bcast (the result STAYS sharded for the downstream
-sharded Cholesky/solve).
+via shard_map.
+
+Two decompositions live here:
+
+* ``kff_pallas_sharded`` / ``kef_pallas_sharded`` -- rectangular row
+  stripes (the reference's P3: each device computes its stripe of lhs
+  points against the replicated rhs; no collective, output stays
+  row-sharded).  Serving-style blocks.
+* ``pallas_self_blocks_sharded`` -- the PRODUCTION training build
+  (GP(mesh=...) -> k_self/k_self_dual): the bit-packed TRIANGULAR cell
+  schedule of the symmetric K_FF is partitioned across devices at
+  output-block granularity (no 2x full-rectangle waste), each device
+  masks the blocks it owns and one psum replicates the upper-triangle
+  planes; K_EE is row-striped and K_EF column-striped over the SAME
+  rounded operand arrays (the Gram-consistency requirement, see
+  ops/kff_pallas.force_operand) with all-gathers riding ICI.  The
+  replicated result feeds the replicated Cholesky -- the reference's
+  P1-P5 + P10 in one program
+  (gpr_calc/kernels/RBF_mb.py:257-524, gaussianprocess.py:288-310).
 
 Validated on the 8-way virtual CPU mesh in interpret mode
 (tests/test_sharded_pallas.py); on hardware the same code runs the
@@ -17,7 +31,11 @@ compiled kernels per chip.
 """
 from __future__ import annotations
 
+import math
+
+import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.packing import ForceData
@@ -99,3 +117,155 @@ def kef_pallas_sharded(e, f: ForceData, params, mesh, zeta: int = 2,
         nreal=e.nreal)
     f_rep = jax.device_put(f, NamedSharding(mesh, P()))
     return fn(e_row, f_rep)
+
+
+# ---------------------------------------------------------------------------
+# production training build: triangular cell schedule partitioned on the mesh
+# ---------------------------------------------------------------------------
+
+def _partition_tri_cells(codes: np.ndarray, sbits: int, jbits: int,
+                         n_dev: int, nrt: int, ncb: int):
+    """Partition the bit-packed triangular cell list into n_dev balanced
+    chunks at output-block (group) granularity.
+
+    All sub-tiles (s) of one (i, j) output block accumulate into the same
+    output ref, so a group must stay on one device.  Devices with fewer
+    cells are padded with cyclic repeats of a group they do NOT own: the
+    recomputation lands in blocks their ownership mask zeroes, so any
+    partial/overwritten state there is discarded before the psum.
+
+    Returns (cells (n_dev, L) int32, owned (n_dev, nrt, ncb) bool).
+    """
+    sh_j, sh_i = 1 + sbits, 1 + sbits + jbits
+    jmask = (1 << jbits) - 1
+    starts = np.flatnonzero(codes & 1)
+    bounds = np.r_[starts, len(codes)]
+    n_groups = len(starts)
+    # contiguous group partition balanced by cell count
+    targets = np.linspace(0, len(codes), n_dev + 1)[1:-1]
+    cuts = np.searchsorted(bounds[1:-1] if n_groups > 1 else [], targets)
+    cuts = np.clip(cuts, 0, n_groups)
+    g_bounds = np.r_[0, cuts, n_groups]          # group index boundaries
+    chunks, owned = [], np.zeros((n_dev, nrt, ncb), bool)
+    for k in range(n_dev):
+        g0, g1 = g_bounds[k], g_bounds[k + 1]
+        chunk = codes[bounds[g0]:bounds[g1]] if g1 > g0 else codes[:0]
+        for g in range(g0, g1):
+            c = int(codes[bounds[g]])
+            owned[k, c >> sh_i, (c >> sh_j) & jmask] = True
+        chunks.append(chunk)
+    L = max(len(c) for c in chunks)
+    out = np.empty((n_dev, L), np.int32)
+    for k in range(n_dev):
+        chunk = chunks[k]
+        pad = L - len(chunk)
+        if pad:
+            # filler from a group this device does not own
+            for g in range(n_groups):
+                c = int(codes[bounds[g]])
+                if not owned[k, c >> sh_i, (c >> sh_j) & jmask]:
+                    filler = codes[bounds[g]:bounds[g + 1]]
+                    break
+            else:                      # single device owns everything
+                filler = codes[bounds[0]:bounds[1]]
+            reps = np.tile(filler, -(-pad // len(filler)))[:pad]
+            chunk = np.concatenate([chunk, reps])
+        out[k] = chunk
+    return out, owned
+
+
+def pallas_self_blocks_sharded(e, f, params, kind: str, zeta: int,
+                               dual: bool, mesh,
+                               interpret: bool | None = None,
+                               mm_precision: str | None = None):
+    """Symmetric training covariance (and, when dual, its
+    gamma-derivative) from the fused Pallas blocks, partitioned over
+    ``mesh``; the result is REPLICATED (it feeds the replicated
+    Cholesky, reference P10).  Mirrors ops/kernels._pallas_self_blocks
+    block-for-block; same build-once operand contract."""
+    from ..ops.kff_pallas import (TP1, TPC, _lhs_tile_points,
+                                  _resolve_precision, _rhs_tile_points,
+                                  _tri_cells, energy_operand,
+                                  force_operand, kee_from_ops,
+                                  kef_from_ops, kff_from_ops)
+    n_dev = mesh.devices.size
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    mode = _resolve_precision(mm_precision)
+    dg = kind == "rbf_dgamma"
+    pk = "dot" if kind == "dot" else "rbf"
+    m_e, A = e.x.shape[0], e.x.shape[1]
+    m_f, B = f.x.shape[0], f.x.shape[1]
+    dt = e.x.dtype
+
+    # operand padding: energy rows split n_dev ways (lcm with the row
+    # tile), force points split into n_dev column stripes of whole TPC
+    # blocks (the kef stripe grid needs m2 % TPC == 0 per device)
+    e_mult = TP1 * n_dev // math.gcd(TP1, n_dev)
+    f_mult = TPC * n_dev
+    e_lhs, e_rhs, e_w = energy_operand(e, mode, multiple=e_mult)
+    f_lhs, f_rhs, f_re = force_operand(f, mode, f_mult)
+
+    # triangular schedule over the padded force geometry
+    tp2 = _rhs_tile_points(B)
+    t2 = tp2 * B
+    tp1 = _lhs_tile_points(B, t2, four_rows=True)
+    m2p = f_lhs.shape[1] // B
+    nrt, ncb, nsub = m2p // tp1, m2p // TPC, TPC // tp2
+    codes, sbits, jbits = _tri_cells(nrt, ncb, nsub, tp2, tp1)
+    cells_st, owned_st = _partition_tri_cells(codes, sbits, jbits,
+                                              n_dev, nrt, ncb)
+
+    kff_kw = dict(B1=B, B2=B, zeta=zeta, interpret=interpret,
+                  symmetric=True, deriv=dg, mode=mode, kind=pk,
+                  dual=dual, axis_name=ROW_AXIS)
+    kef_kw = dict(A1=A, B2=B, zeta=zeta, interpret=interpret, deriv=dg,
+                  mode=mode, kind=pk, dual=dual)
+    kee_kw = dict(A1=A, zeta=zeta, deriv=dg, mode=mode, kind=pk,
+                  dual=dual)
+
+    def tup(x):
+        return x if dual else (x,)
+
+    def build(cells_d, owned_d, elhs_s, ew_s, frhs_s,
+              e_lhs, e_rhs, e_w, f_lhs, f_rhs, f_re):
+        # K_FF: this device's slice of the triangular cell schedule;
+        # psum inside kff_from_ops replicates the planes
+        ff = tup(kff_from_ops(params, f_lhs, f_re, f_rhs, f_re,
+                              cells=cells_d[0], owned=owned_d[0],
+                              **kff_kw))
+        # K_EF: column stripe of the force axis (rhs sharded)
+        n_loc = frhs_s.shape[1]
+        re_s = jax.lax.dynamic_slice_in_dim(
+            f_re, jax.lax.axis_index(ROW_AXIS) * n_loc, n_loc, axis=1)
+        ef_loc = tup(kef_from_ops(params, e_lhs, e_w, frhs_s, re_s,
+                                  **kef_kw))
+        ef = tuple(jax.lax.all_gather(x, ROW_AXIS, axis=1, tiled=True)
+                   for x in ef_loc)
+        # K_EE: row stripe of the energy axis (lhs sharded)
+        ee_loc = tup(kee_from_ops(params, elhs_s, e_rhs, e_w,
+                                  w_lhs=ew_s, **kee_kw))
+        ee = tuple(jax.lax.all_gather(x, ROW_AXIS, axis=0, tiled=True)
+                   for x in ee_loc)
+        return ee, ef, ff
+
+    fn = _shard_map(
+        build, mesh,
+        in_specs=(P(ROW_AXIS), P(ROW_AXIS),          # cells, owned
+                  P(ROW_AXIS), P(ROW_AXIS),          # e_lhs, e_w stripes
+                  P(None, ROW_AXIS),                 # f_rhs column stripe
+                  P(), P(), P(), P(), P(), P()),     # replicated operands
+        out_specs=(P(), P(), P()))
+    ee, ef, ff = fn(jnp.asarray(cells_st), jnp.asarray(owned_st),
+                    e_lhs, e_w, f_rhs,
+                    e_lhs, e_rhs, e_w, f_lhs, f_rhs, f_re)
+
+    def asm(K_ee, K_ef, K_ff):
+        K_ee = K_ee[:m_e, :m_e].astype(dt)
+        K_ef = K_ef[:m_e, :3 * m_f].astype(dt)
+        K_ff = K_ff[:3 * m_f, :3 * m_f].astype(dt)
+        top = jnp.concatenate([K_ee, K_ef], axis=1)
+        bot = jnp.concatenate([K_ef.T, K_ff], axis=1)
+        return jnp.concatenate([top, bot], axis=0)
+
+    return tuple(asm(a, b, c) for a, b, c in zip(ee, ef, ff))

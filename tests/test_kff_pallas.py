@@ -421,3 +421,104 @@ def test_pallas_parity_across_bucket_shapes():
                                         interpret=True, symmetric=True,
                                         mm_precision="highest"))
         assert np.abs(out_sym - ref).max() < 2e-5 * scale, (B, m, "sym")
+
+
+def test_tri_cells_wide_nsub_packing():
+    """nsub > 16 (e.g. B=96 -> tp2=4 -> nsub=32) must pack losslessly:
+    a fixed 4-bit s field crashed GP.fit on such bucket widths (advisor
+    round-2 high finding).  Decode every code and compare against a
+    plain re-enumeration."""
+    from gpr_calculator_tpu.ops.kff_pallas import TPC, _tri_cells
+    n_row_tiles, n_col_blocks, nsub, tp2, tp1 = 64, 1, 32, 4, 2
+    codes, sbits, jbits = _tri_cells(n_row_tiles, n_col_blocks, nsub,
+                                     tp2, tp1)
+    sh_j, sh_i = 1 + sbits, 1 + sbits + jbits
+    jmask, smask = (1 << jbits) - 1, (1 << sbits) - 1
+    want = []
+    for i in range(n_row_tiles):
+        for j in range(n_col_blocks):
+            first = True
+            for s in range(nsub):
+                if i * tp1 < j * TPC + (s + 1) * tp2:
+                    want.append((i, j, s, first))
+                    first = False
+    got = [(int(c) >> sh_i, (int(c) >> sh_j) & jmask,
+            (int(c) >> 1) & smask, bool(int(c) & 1)) for c in codes]
+    assert got == want
+
+
+def test_pallas_gates_reject_infeasible_orientations(monkeypatch):
+    """B1=160 pred vs B2=72 train: each side's own self gate passes but
+    the crossed lhs tile (160 envs vs t2=1152) is VMEM-infeasible --
+    the rect gate must reject it (advisor round-2 medium finding), and
+    kff_from_ops must raise an informative error instead of
+    ZeroDivisionError if reached anyway."""
+    import jax
+    import pytest
+    from gpr_calculator_tpu.ops import kernels as K
+    from gpr_calculator_tpu.ops.kff_pallas import (_lhs_tile_points,
+                                                   _rhs_tile_points)
+    from gpr_calculator_tpu.ops.packing import pack_energy
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    rng = np.random.RandomState(11)
+
+    def mk(n_pts, B):
+        pts = [(rng.uniform(0.2, 1.0, (B, 6)),
+                rng.uniform(-1.0, 1.0, (B, 6, 3)),
+                rng.choice([13, 79], B)) for _ in range(n_pts)]
+        f = pack_force(pts, m_pad=n_pts, b_pad=B)
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, f)
+
+    f1, f2 = mk(2, 160), mk(2, 72)
+    e1 = pack_energy([(rng.uniform(0.2, 1.0, (4, 6)),
+                       rng.choice([13, 79], 4))], m_pad=1, a_pad=4)
+    e1 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, e1)
+    # each self gate passes ...
+    assert K._use_pallas_kff(f1, "rbf") and K._use_pallas_kff(f2, "rbf")
+    # ... but the crossed rect orientation must be rejected
+    assert not K._use_pallas_rect(e1, f1, e1, f2, "rbf")
+    # and the kernel itself now refuses loudly
+    t2 = _rhs_tile_points(72) * 72
+    assert _lhs_tile_points(160, t2, four_rows=True) == 0
+    from gpr_calculator_tpu.ops.kff_pallas import kff_pallas as kp
+    with pytest.raises(ValueError, match="VMEM"):
+        kp(f1, f2, _params32(), zeta=2, interpret=True)
+
+
+def test_pallas_gate_accepts_wide_nsub_bucket(monkeypatch):
+    """B=96 (nsub=32) passes the self gate and traces without the old
+    4-bit assertion."""
+    import jax
+    from gpr_calculator_tpu.ops import kernels as K
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    rng = np.random.RandomState(12)
+    pts = [(rng.uniform(0.2, 1.0, (96, 6)),
+            rng.uniform(-1.0, 1.0, (96, 6, 3)),
+            rng.choice([13, 79], 96)) for _ in range(2)]
+    f = pack_force(pts, m_pad=2, b_pad=96)
+    f = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, f)
+    assert K._use_pallas_kff(f, "rbf")
+
+
+def test_kff_pallas_symmetric_wide_nsub(monkeypatch):
+    """Execute the triangular schedule at nsub=32 in interpret mode.
+    T2_MAX is shrunk so a small bucket (B=32) hits tp2=4 without the
+    B=96 x 128-point interpret cost of the natural repro."""
+    from gpr_calculator_tpu.ops import kff_pallas as kpm
+    monkeypatch.setattr(kpm, "T2_MAX", 32)
+    assert kpm._rhs_tile_points(32) == 4          # nsub = 32
+    pts = make_points(4, 32, 6)
+    f = pack_force(pts, m_pad=4, b_pad=32)
+    ref = np.asarray(kernels.kff(f, f, PARAMS["rbf"], "rbf", 2))
+    out = np.asarray(kpm.kff_pallas(f, f, _params32(), zeta=2,
+                                    interpret=True, symmetric=True,
+                                    mm_precision="highest"))
+    scale = max(np.abs(ref).max(), 1e-8)
+    assert np.abs(out - ref).max() < 2e-5 * scale

@@ -47,7 +47,7 @@ def test_kef_sharded_matches_single():
 
 
 def test_kff_sharded_production_precision():
-    """Default (bf16x3) matmul mode through the shard_map wrapper."""
+    """Default (bf16x4) matmul mode through the shard_map wrapper."""
     rng = np.random.RandomState(7)
     f = pack_force(_pts(rng, 8, 4, 6), m_pad=8, b_pad=4)
     mesh = make_mesh(8)
@@ -56,3 +56,106 @@ def test_kff_sharded_production_precision():
     ref = np.asarray(kernels.kff(f, f, PARAMS["rbf"], "rbf", 2))
     scale = np.abs(ref).max()
     assert np.abs(out - ref).max() < 5e-4 * scale
+
+
+def _f32tree(t):
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+
+
+def test_partition_tri_cells_ownership():
+    """Every output block has exactly one owner; padding cells only
+    reference blocks the padding device does NOT own."""
+    from gpr_calculator_tpu.ops.kff_pallas import _tri_cells
+    from gpr_calculator_tpu.parallel.sharded_kernels import \
+        _partition_tri_cells
+    nrt, ncb, nsub, tp2, tp1 = 16, 2, 4, 32, 16
+    codes, sbits, jbits = _tri_cells(nrt, ncb, nsub, tp2, tp1)
+    n_dev = 8
+    cells, owned = _partition_tri_cells(codes, sbits, jbits, n_dev,
+                                        nrt, ncb)
+    assert cells.shape[0] == n_dev
+    # each (i, j) block visited by the global schedule: exactly 1 owner
+    sh_j, sh_i = 1 + sbits, 1 + sbits + jbits
+    jmask = (1 << jbits) - 1
+    visited = set((int(c) >> sh_i, (int(c) >> sh_j) & jmask)
+                  for c in codes)
+    for (i, j) in visited:
+        assert owned[:, i, j].sum() == 1, (i, j)
+    assert owned.sum() == len(visited)
+    # real cells of each device lie in owned blocks; cell multiset over
+    # owned blocks reproduces the global schedule exactly
+    per_block = {}
+    for k in range(n_dev):
+        for c in cells[k]:
+            i, j = int(c) >> sh_i, (int(c) >> sh_j) & jmask
+            if owned[k, i, j]:
+                per_block.setdefault((i, j), []).append(int(c))
+    got = sorted(sum(per_block.values(), []))
+    assert got == sorted(int(c) for c in codes)
+
+
+def test_pallas_self_blocks_sharded_matches_xla():
+    """The production sharded training build (triangular cell partition
+    + psum, striped K_EE/K_EF) == the XLA k_self, incl. the dual pass
+    (K, dK/dgamma) -- the multi-chip form of GP.fit's hot program."""
+    from gpr_calculator_tpu.ops.packing import pack_energy
+    from gpr_calculator_tpu.parallel.sharded_kernels import \
+        pallas_self_blocks_sharded
+
+    rng = np.random.RandomState(21)
+    fpts = [(rng.uniform(0.2, 1.0, (4, 6)),
+             rng.uniform(-1.0, 1.0, (4, 6, 3)),
+             rng.choice([13, 79], 4)) for _ in range(10)]
+    epts = [(x, el) for x, _, el in fpts[:6]]
+    f = _f32tree(pack_force(fpts, m_pad=10, b_pad=4))
+    e = _f32tree(pack_energy(epts, m_pad=6, a_pad=4))
+    mesh = make_mesh(8)
+    params = _params32()
+
+    K_ref = np.asarray(kernels.k_self(e, f, params, "rbf", 2,
+                                      allow_pallas=False))
+    Kd_ref = np.asarray(kernels.k_self(e, f, params, "rbf_dgamma", 2,
+                                       allow_pallas=False))
+    (K,) = pallas_self_blocks_sharded(e, f, params, "rbf", 2,
+                                      dual=False, mesh=mesh,
+                                      interpret=True,
+                                      mm_precision="highest")
+    K = np.asarray(K)
+    scale = np.abs(K_ref).max()
+    assert np.abs(K - K_ref).max() < 3e-5 * scale
+    np.testing.assert_allclose(K, K.T, rtol=0, atol=1e-5)
+
+    Kk, Kd = pallas_self_blocks_sharded(e, f, params, "rbf", 2,
+                                        dual=True, mesh=mesh,
+                                        interpret=True,
+                                        mm_precision="highest")
+    assert np.abs(np.asarray(Kk) - K_ref).max() < 3e-5 * scale
+    dscale = max(np.abs(Kd_ref).max(), 1e-8)
+    assert np.abs(np.asarray(Kd) - Kd_ref).max() < 3e-5 * dscale
+
+
+def test_k_self_mesh_dispatch(monkeypatch):
+    """k_self(mesh=...) routes to the sharded builder (via the interpret
+    override on CPU) and matches the XLA build."""
+    from gpr_calculator_tpu.ops.packing import pack_energy
+
+    monkeypatch.setenv("GPR_CALC_TPU_KFF_INTERPRET", "1")
+    rng = np.random.RandomState(22)
+    fpts = [(rng.uniform(0.2, 1.0, (4, 6)),
+             rng.uniform(-1.0, 1.0, (4, 6, 3)),
+             rng.choice([13, 79], 4)) for _ in range(8)]
+    epts = [(x, el) for x, _, el in fpts[:4]]
+    f = _f32tree(pack_force(fpts, m_pad=8, b_pad=4))
+    e = _f32tree(pack_energy(epts, m_pad=4, a_pad=4))
+    mesh = make_mesh(8)
+    params = _params32()
+    K_ref = np.asarray(kernels.k_self(e, f, params, "rbf", 2,
+                                      allow_pallas=False))
+    K = np.asarray(kernels.k_self(e, f, params, "rbf", 2, mesh=mesh))
+    scale = np.abs(K_ref).max()
+    # default bf16x4 Gram rounding
+    assert np.abs(K - K_ref).max() < 5e-4 * scale

@@ -74,3 +74,51 @@ def test_gp_with_mesh_matches_unsharded():
     E2, F2, _ = gp_mesh.predict_structure(structs[0])
     np.testing.assert_allclose(E1, E2, rtol=1e-9)
     np.testing.assert_allclose(F1, F2, rtol=1e-7, atol=1e-11)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_gp_with_mesh_matches_unsharded_pallas_forced(monkeypatch):
+    """GP(mesh=...) with the fused-Pallas path FORCED (f32 + interpret
+    override on the virtual mesh): the production training build must
+    route through the sharded triangular kernel and match the unsharded
+    Pallas fit -- round-2 VERDICT item 1's done criterion."""
+    from gpr_calculator_tpu import config
+    from gpr_calculator_tpu.calculators import EMT
+    from gpr_calculator_tpu.models import GP, RBF
+    from gpr_calculator_tpu.ops import kernels as K_ops
+    from gpr_calculator_tpu.ops.so3 import SO3
+    from test_gp import make_structs
+
+    monkeypatch.setenv("GPR_CALC_TPU_KFF_INTERPRET", "1")
+    old_dt = config.dtype()
+    config.set_dtype(jnp.float32)
+    try:
+        structs = make_structs(n=3, natoms=5, seed=33)
+        calc = EMT()
+        labels = [(s, calc.get_potential_energy(s), calc.get_forces(s))
+                  for s in structs]
+
+        def build(mesh):
+            gp = GP(kernel=RBF(para=[1.2, 1.0]),
+                    descriptor=SO3(nmax=2, lmax=2, rcut=4.0),
+                    noise_e=0.02, noise_f=0.15, mesh=mesh,
+                    log_file="/tmp/shard_gp_pl.log")
+            for s, e, f in labels:
+                gp.add_structure((s, e, f))
+            gp.fit(show=False, opt=False)
+            return gp
+
+        # the mesh fit must actually take the pallas route
+        e, f = None, None
+        gp_mesh = build(make_mesh(8))
+        te, tf, _, _ = gp_mesh._train_view()
+        assert K_ops._use_pallas_kff(tf, "rbf", te), \
+            "pallas gate did not pass -- test is not forcing the path"
+
+        gp_ref = build(None)
+        E1, F1, _ = gp_ref.predict_structure(structs[0])
+        E2, F2, _ = gp_mesh.predict_structure(structs[0])
+        np.testing.assert_allclose(E1, E2, rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(F1, F2, rtol=2e-3, atol=2e-4)
+    finally:
+        config.set_dtype(old_dt)

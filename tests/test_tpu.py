@@ -302,3 +302,21 @@ def test_k_block_serving_pallas_compiled(monkeypatch):
                                row_chunk=8))
     scale = np.abs(ref).max()
     assert np.abs(out - ref).max() < 5e-5 * scale
+
+
+@skip_off_tpu
+def test_kff_pallas_wide_nsub_bucket_compiled():
+    """B=96 (tp2=4, nsub=32) symmetric triangular build COMPILED on the
+    chip: the shape that crashed the old 4-bit cell packing (advisor
+    round-2 high finding)."""
+    import jax.numpy as jnp
+    from gpr_calculator_tpu.ops import kernels
+    from gpr_calculator_tpu.ops.kff_pallas import kff_pallas
+    _, f = _bench_like_data(m_f=8, b=96, seed=7)
+    params = {"sigma": jnp.asarray(1.4, jnp.float32),
+              "l": jnp.asarray(0.9, jnp.float32)}
+    ref = _fetch(kernels.kff(f, f, params, "rbf", 2,
+                             row_chunk=4))
+    out = _fetch(kff_pallas(f, f, params, zeta=2, symmetric=True))
+    scale = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(out - ref).max() < 5e-4 * scale
