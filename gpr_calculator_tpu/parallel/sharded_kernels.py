@@ -18,7 +18,7 @@ Two decompositions live here:
   schedule of the symmetric K_FF is partitioned across devices at
   output-block granularity (no 2x full-rectangle waste), each device
   masks the blocks it owns and one psum replicates the upper-triangle
-  planes; K_EE is row-striped and K_EF column-striped over the SAME
+  planes; K_EE and K_EF are striped over the energy rows of the SAME
   rounded operand arrays (the Gram-consistency requirement, see
   ops/kff_pallas.force_operand) with all-gathers riding ICI.  The
   replicated result feeds the replicated Cholesky -- the reference's
@@ -31,7 +31,6 @@ compiled kernels per chip.
 """
 from __future__ import annotations
 
-import math
 
 import numpy as np
 import jax
@@ -198,11 +197,14 @@ def pallas_self_blocks_sharded(e, f, params, kind: str, zeta: int,
     m_f, B = f.x.shape[0], f.x.shape[1]
     dt = e.x.dtype
 
-    # operand padding: energy rows split n_dev ways (lcm with the row
-    # tile), force points split into n_dev column stripes of whole TPC
-    # blocks (the kef stripe grid needs m2 % TPC == 0 per device)
-    e_mult = TP1 * n_dev // math.gcd(TP1, n_dev)
-    f_mult = TPC * n_dev
+    # operand padding: energy rows split n_dev ways in whole row tiles
+    # (both kee and kef are sharded over the ENERGY rows -- the kef grid
+    # then needs no extra force padding beyond the single-device TPC);
+    # splitting the energy axis mirrors the reference's "split the
+    # larger axis" K_EF rule in reverse (RBF_mb.py:350-354) but the
+    # work is m1 x m2-proportional either way.
+    e_mult = TP1 * n_dev
+    f_mult = TPC
     e_lhs, e_rhs, e_w = energy_operand(e, mode, multiple=e_mult)
     f_lhs, f_rhs, f_re = force_operand(f, mode, f_mult)
 
@@ -227,22 +229,19 @@ def pallas_self_blocks_sharded(e, f, params, kind: str, zeta: int,
     def tup(x):
         return x if dual else (x,)
 
-    def build(cells_d, owned_d, elhs_s, ew_s, frhs_s,
-              e_lhs, e_rhs, e_w, f_lhs, f_rhs, f_re):
+    def build(cells_d, owned_d, elhs_s, ew_s,
+              e_rhs, e_w, f_lhs, f_rhs, f_re):
         # K_FF: this device's slice of the triangular cell schedule;
         # psum inside kff_from_ops replicates the planes
         ff = tup(kff_from_ops(params, f_lhs, f_re, f_rhs, f_re,
                               cells=cells_d[0], owned=owned_d[0],
                               **kff_kw))
-        # K_EF: column stripe of the force axis (rhs sharded)
-        n_loc = frhs_s.shape[1]
-        re_s = jax.lax.dynamic_slice_in_dim(
-            f_re, jax.lax.axis_index(ROW_AXIS) * n_loc, n_loc, axis=1)
-        ef_loc = tup(kef_from_ops(params, e_lhs, e_w, frhs_s, re_s,
+        # K_EF: row stripe of the energy axis vs the full force rhs
+        ef_loc = tup(kef_from_ops(params, elhs_s, ew_s, f_rhs, f_re,
                                   **kef_kw))
-        ef = tuple(jax.lax.all_gather(x, ROW_AXIS, axis=1, tiled=True)
+        ef = tuple(jax.lax.all_gather(x, ROW_AXIS, axis=0, tiled=True)
                    for x in ef_loc)
-        # K_EE: row stripe of the energy axis (lhs sharded)
+        # K_EE: the same row stripe vs the full energy rhs
         ee_loc = tup(kee_from_ops(params, elhs_s, e_rhs, e_w,
                                   w_lhs=ew_s, **kee_kw))
         ee = tuple(jax.lax.all_gather(x, ROW_AXIS, axis=0, tiled=True)
@@ -253,12 +252,11 @@ def pallas_self_blocks_sharded(e, f, params, kind: str, zeta: int,
         build, mesh,
         in_specs=(P(ROW_AXIS), P(ROW_AXIS),          # cells, owned
                   P(ROW_AXIS), P(ROW_AXIS),          # e_lhs, e_w stripes
-                  P(None, ROW_AXIS),                 # f_rhs column stripe
-                  P(), P(), P(), P(), P(), P()),     # replicated operands
+                  P(), P(), P(), P(), P()),          # replicated operands
         out_specs=(P(), P(), P()))
     ee, ef, ff = fn(jnp.asarray(cells_st), jnp.asarray(owned_st),
-                    e_lhs, e_w, f_rhs,
-                    e_lhs, e_rhs, e_w, f_lhs, f_rhs, f_re)
+                    e_lhs, e_w,
+                    e_rhs, e_w, f_lhs, f_rhs, f_re)
 
     def asm(K_ee, K_ef, K_ff):
         K_ee = K_ee[:m_e, :m_e].astype(dt)
