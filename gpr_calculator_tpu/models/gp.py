@@ -181,6 +181,88 @@ def _nll_rbf_analytic(theta, e: EnergyData, f: ForceData, y,
     return nll, grad
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("zeta", "noise_opt", "row_chunk",
+                                    "mesh"))
+def _nll_dot_analytic(theta, e: EnergyData, f: ForceData, y,
+                      noise_fixed, f_coef,
+                      zeta: int, noise_opt: bool, row_chunk: int = 0,
+                      mesh=None):
+    """(-LML, grad) for the DOT kernel with ANALYTIC hyperparameter
+    derivatives (the reference ships these in Dot_mb.k_total_with_grad,
+    Dot_mb.py:121-148; round 2 left Dot on the ~10x-slower autodiff
+    NLL).
+
+    The Dot gradient is structurally free: dK/dsigma = 2 K_kernel /
+    sigma reuses the solve (as for RBF), and sigma0 enters k = s2
+    (c^zeta + s0^2) only through the additive constant, so dK/dsigma0 =
+    2 s2 s0 W with W the masked pair-count kernel on the ENERGY block
+    alone (ops/kernels.count_ee) -- K itself comes from ONE
+    gradient-free build per step, which (unlike the autodiff path) can
+    take the fused Pallas route."""
+    if noise_opt:
+        noise_e = theta[-1]
+        noise_f = f_coef * noise_e
+        kp = theta[:-1]
+    else:
+        noise_e, noise_f = noise_fixed[0], noise_fixed[1]
+        kp = theta
+    sigma, sigma0 = kp[0], kp[1]
+    params = {"sigma": sigma, "sigma0": sigma0}
+    Kk = K_ops.k_self(e, f, params, "dot", zeta, row_chunk=row_chunk,
+                      symmetric=True, mesh=mesh)
+    W = K_ops.count_ee(e)
+    nz = _noise_diag(e, f, noise_e, noise_f)
+    idx = jnp.arange(Kk.shape[0])
+    K = Kk.at[idx, idx].add(nz)
+    L = jnp.linalg.cholesky(K)
+    alpha = jax.scipy.linalg.cho_solve((L, True), y)
+    n_real = e.nreal + 3 * f.nreal
+    nll = (0.5 * jnp.sum(y * alpha)
+           + jnp.sum(jnp.log(jnp.diagonal(L)))
+           + 0.5 * n_real * jnp.log(2 * jnp.pi))
+
+    # diag(K^-1) (and the EE-block trace for d/dsigma0) via
+    # column-blocked solves, cf. _nll_rbf_analytic
+    n = K.shape[0]
+    m_ee = e.m
+    n_blk = max(1, (n + 2047) // 2048)
+    kinv_diag = jnp.zeros((n,), K.dtype)
+    tr_dee = jnp.zeros((), K.dtype)
+    col = jnp.arange(n)
+    for b in range(n_blk):
+        lo = b * n // n_blk
+        hi = (b + 1) * n // n_blk
+        E = (col[:, None] == col[None, lo:hi]).astype(K.dtype)
+        X = jax.scipy.linalg.cho_solve((L, True), E)     # (n, blk)
+        kinv_diag = kinv_diag.at[lo:hi].set(
+            jnp.diagonal(X[lo:hi, :]))
+        if lo < m_ee:
+            h2 = min(hi, m_ee)
+            tr_dee = tr_dee + jnp.vdot(X[:m_ee, :h2 - lo],
+                                       W[:, lo:h2])
+
+    tr_kk = n - jnp.sum(kinv_diag * nz)
+    aKka = jnp.sum(y * alpha) - jnp.sum(nz * alpha * alpha)
+    g_sigma = (tr_kk - aKka) / sigma
+
+    a_e = alpha[:m_ee]
+    c0 = 2.0 * sigma * sigma * sigma0
+    g_sigma0 = 0.5 * c0 * (tr_dee - a_e @ (W @ a_e))
+
+    if noise_opt:
+        valid_e = jnp.arange(e.m) < e.nreal
+        valid_f = jnp.repeat(jnp.arange(f.m) < f.nreal, 3)
+        dnz = jnp.concatenate([
+            jnp.where(valid_e, 2.0 * noise_e, 0.0),
+            jnp.where(valid_f, 2.0 * f_coef ** 2 * noise_e, 0.0)])
+        g_noise = 0.5 * jnp.sum((kinv_diag - alpha * alpha) * dnz)
+        grad = jnp.stack([g_sigma, g_sigma0, g_noise])
+    else:
+        grad = jnp.stack([g_sigma, g_sigma0])
+    return nll, grad
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "zeta", "row_chunk",
                                              "mesh"))
 def _factorize(e: EnergyData, f: ForceData, y, params, noise_e, noise_f,
@@ -492,13 +574,19 @@ class GP:
         return None
 
     def _nll_fn(self):
-        """Analytic-gradient NLL for the RBF kernel (one extra dK/dgamma
-        build per step), autodiff fallback otherwise or when
+        """Analytic-gradient NLL (one extra dK/dgamma build per step for
+        RBF; gradient-free builds only for Dot), autodiff fallback when
         GPR_CALC_TPU_NLL=autodiff."""
-        if (self.kernel.kind == "rbf"
-                and os.environ.get("GPR_CALC_TPU_NLL", "") != "autodiff"):
+        analytic = os.environ.get("GPR_CALC_TPU_NLL", "") != "autodiff"
+        if self.kernel.kind == "rbf" and analytic:
             def call(theta, e, f, y, noise_fixed, f_coef, noise_opt):
                 return _nll_rbf_analytic(theta, e, f, y, noise_fixed,
+                                         f_coef, self.kernel.zeta,
+                                         noise_opt, self._fit_chunk(e, f),
+                                         mesh=self._mesh_arg())
+        elif self.kernel.kind == "dot" and analytic:
+            def call(theta, e, f, y, noise_fixed, f_coef, noise_opt):
+                return _nll_dot_analytic(theta, e, f, y, noise_fixed,
                                          f_coef, self.kernel.zeta,
                                          noise_opt, self._fit_chunk(e, f),
                                          mesh=self._mesh_arg())

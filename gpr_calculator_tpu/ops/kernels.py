@@ -475,6 +475,22 @@ def kff_self(f: ForceData, params, kind: str = "rbf", zeta: int = 2,
 # diagonals (for predictive variance, cf. RBF_mb.diag RBF_mb.py:62-133)
 # ---------------------------------------------------------------------------
 
+def count_ee(e: EnergyData) -> jnp.ndarray:
+    """Masked pair-count kernel W[p, q] = sum_{a in p, b in q, valid,
+    same element} 1/(N_p N_q), (m, m).
+
+    This is dK_EE/d(sigma0^2) / sigma^2 for the Dot kernel
+    (k = s2 (c^zeta + s0^2), Dot_mb.py/dot_kernel.cpp): sigma0 enters
+    only through the additive constant, so the analytic LML gradient
+    needs this one cheap energy-block matrix and NO extra force-block
+    builds (models/gp._nll_dot_analytic)."""
+    u, _, ele, valid = _flatten_energy(e)
+    m, A = e.ele.shape
+    pm = _pair_mask(ele, valid, ele, valid)
+    W = pm.astype(e.x.dtype).reshape(m, A, m, A).sum(axis=(1, 3))
+    return W / (e.counts[:, None] * e.counts[None, :])
+
+
 def diag_energy(e: EnergyData, params, kind: str = "rbf",
                 zeta: int = 2) -> jnp.ndarray:
     """Per-point K_EE(p, p) diagonal, (m,)."""

@@ -89,3 +89,47 @@ def test_fit_uses_analytic_and_matches(monkeypatch):
     p_analytic = fitted("")
     p_autodiff = fitted("autodiff")
     np.testing.assert_allclose(p_analytic, p_autodiff, rtol=1e-5)
+
+
+@pytest.mark.parametrize("noise_opt", [False, True])
+@pytest.mark.parametrize("zeta", [1, 2, 3])
+def test_dot_analytic_matches_autodiff(zeta, noise_opt):
+    """Dot-kernel analytic gradient (count-kernel d/dsigma0 + reused
+    solve d/dsigma) vs autodiff -- reference parity:
+    Dot_mb.k_total_with_grad (Dot_mb.py:121-148)."""
+    from gpr_calculator_tpu.models.gp import _nll_dot_analytic
+    e, f, y = _data(seed=11)
+    dt = config.dtype()
+    theta = jnp.asarray([1.5, 1.2] + ([0.02] if noise_opt else []), dt)
+    noise_fixed = jnp.asarray([0.01, 0.1], dt)
+    f_coef = jnp.asarray(10.0, dt)
+
+    nll_a, g_a = _nll_dot_analytic(theta, e, f, y, noise_fixed, f_coef,
+                                   zeta, noise_opt, 0)
+    nll_d, g_d = _nll_value_and_grad(theta, e, f, y, noise_fixed, f_coef,
+                                     "dot", zeta, noise_opt, 0)
+    np.testing.assert_allclose(float(nll_a), float(nll_d), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_d),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_dot_fit_uses_analytic_and_converges():
+    """GP.fit with the Dot kernel goes through the analytic path by
+    default and still produces a usable model (full optimize cycle)."""
+    from gpr_calculator_tpu.models import GP, Dot
+    from gpr_calculator_tpu.ops.so3 import SO3
+    from gpr_calculator_tpu.calculators import EMT
+    from test_gp import make_structs
+
+    structs = make_structs(n=3, natoms=5, seed=41)
+    calc = EMT()
+    gp = GP(kernel=Dot(para=[2.0, 2.0]),
+            descriptor=SO3(nmax=2, lmax=2, rcut=4.0),
+            noise_e=0.02, noise_f=0.15, log_file="/tmp/dot_fit.log")
+    for s in structs:
+        gp.add_structure((s, calc.get_potential_energy(s),
+                          calc.get_forces(s)))
+    gp.fit(show=False, opt=True, maxiter=4)
+    E, E1, F, F1 = gp.validate_data()
+    assert np.all(np.isfinite(E1)) and np.all(np.isfinite(F1))
+    assert np.abs(np.asarray(E) - np.asarray(E1)).max() < 0.1
