@@ -94,7 +94,7 @@ def test_factorize_on_tpu():
     dt = config.dtype()
     y = jnp.asarray(np.random.RandomState(3).randn(e.m + 3 * f.m) * .1, dt)
     params = {"sigma": jnp.asarray(1.5, dt), "l": jnp.asarray(1.0, dt)}
-    L, alpha, K_inv = _factorize(e, f, y, params,
+    L, alpha = _factorize(e, f, y, params,
                                  jnp.asarray(0.01, dt),
                                  jnp.asarray(0.1, dt), "rbf", 2)
     a = _fetch(alpha)
@@ -112,10 +112,10 @@ def test_predict_packed_mixed_on_tpu():
     dt = config.dtype()
     y = jnp.asarray(np.random.RandomState(4).randn(e.m + 3 * f.m) * .1, dt)
     params = {"sigma": jnp.asarray(1.5, dt), "l": jnp.asarray(1.0, dt)}
-    _, alpha, K_inv = _factorize(e, f, y, params,
+    L, alpha = _factorize(e, f, y, params,
                                  jnp.asarray(0.01, dt),
                                  jnp.asarray(0.1, dt), "rbf", 2)
-    mean, std = _predict_packed(pe, pf, e, f, params, alpha, K_inv,
+    mean, std = _predict_packed(pe, pf, e, f, params, alpha, L,
                                 "rbf", 2, True, 0, True)
     m, s = _fetch(mean), _fetch(std)
     assert np.all(np.isfinite(m)) and np.all(s >= 0)
