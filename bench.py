@@ -5,7 +5,9 @@ at the BASELINE scale (1000 training structures, ~10k x 10k covariance;
 
 Prints ONE json line:
   {"metric": ..., "value": <ms per fit call>, "unit": "ms",
-   "vs_baseline": <speedup vs 64-rank MPI CPU reference>}
+   "vs_baseline": <speedup vs 64-rank MPI CPU reference>, ...}
+value = min over >=5 timed calls; the median and the 2x-scale point
+("large_scale") ride along as extra keys.
 
 Baseline methodology: the reference's own C++ force-force kernel
 (rbf_kff_many, the hot loop at >95% of the fit cost) is compiled with
@@ -31,35 +33,46 @@ SMALL = _SCALE == "small"
 
 # workload shape: 1000 energy points (32 envs), 3000 force points (32 envs),
 # d=30 (SO3 nmax=3, lmax=4) -> covariance (1000 + 9000)^2.
-# GPR_BENCH_SCALE=large doubles the structure count (20k x 20k covariance,
-# 2x the BASELINE target scale) to demonstrate headroom.
+# "large" doubles the structure count (20k x 20k covariance, 2x the
+# BASELINE target scale) to demonstrate headroom.
 _SHAPES = {"small": ((64, 16), (128, 16), 16),
            "full": ((1000, 32), (3000, 32), 8),
            "large": ((2000, 32), (6000, 32), 8)}
-(M_E, A_E), (M_F, B_F), ROW_CHUNK = _SHAPES.get(_SCALE, _SHAPES["full"])
 D = 30
 N_RANKS_BASELINE = 64
+N_SAMPLES = 5
 
 
-def make_data(dtype):
+def shape_of(scale):
+    return _SHAPES.get(scale, _SHAPES["full"])
+
+
+def make_data(dtype, scale):
     import jax.numpy as jnp
     from gpr_calculator_tpu.ops.packing import EnergyData, ForceData
 
+    (m_e, a_e), (m_f, b_f), _ = shape_of(scale)
     rng = np.random.RandomState(0)
     e = EnergyData(
-        x=jnp.asarray(rng.uniform(0.2, 1.0, (M_E, A_E, D)), dtype),
-        ele=jnp.asarray(rng.choice([13, 79], (M_E, A_E)), jnp.int32),
-        counts=jnp.full((M_E,), float(A_E), dtype),
-        nreal=jnp.asarray(M_E, jnp.int32))
+        x=jnp.asarray(rng.uniform(0.2, 1.0, (m_e, a_e, D)), dtype),
+        ele=jnp.asarray(rng.choice([13, 79], (m_e, a_e)), jnp.int32),
+        counts=jnp.full((m_e,), float(a_e), dtype),
+        nreal=jnp.asarray(m_e, jnp.int32))
     f = ForceData(
-        x=jnp.asarray(rng.uniform(0.2, 1.0, (M_F, B_F, D)), dtype),
-        dxdr=jnp.asarray(rng.uniform(-1, 1, (M_F, B_F, D, 3)), dtype),
-        ele=jnp.asarray(rng.choice([13, 79], (M_F, B_F)), jnp.int32),
-        nreal=jnp.asarray(M_F, jnp.int32))
+        x=jnp.asarray(rng.uniform(0.2, 1.0, (m_f, b_f, D)), dtype),
+        dxdr=jnp.asarray(rng.uniform(-1, 1, (m_f, b_f, D, 3)), dtype),
+        ele=jnp.asarray(rng.choice([13, 79], (m_f, b_f)), jnp.int32),
+        nreal=jnp.asarray(m_f, jnp.int32))
     return e, f
 
 
-def bench_tpu():
+def _stats(samples):
+    s = sorted(samples)
+    return {"min_ms": s[0] * 1e3, "median_ms": s[len(s) // 2] * 1e3,
+            "n": len(s)}
+
+
+def bench_tpu(scale):
     import jax
     # 'highest' (6-pass f32) for the XLA paths: at plain bf16 matmul
     # precision the covariance error exceeds the noise floor and the
@@ -72,15 +85,16 @@ def bench_tpu():
     from gpr_calculator_tpu.ops import kernels as K_ops
     from gpr_calculator_tpu.models.gp import _noise_diag
 
+    (m_e, a_e), (m_f, b_f), row_chunk = shape_of(scale)
     dtype = jnp.float32
-    e, f = make_data(dtype)
+    e, f = make_data(dtype, scale)
     params = {"sigma": jnp.asarray(2.0, dtype), "l": jnp.asarray(1.0, dtype)}
     y = jnp.asarray(np.random.RandomState(1).randn(e.m + 3 * f.m) * 0.1,
                     dtype)
 
     import functools
 
-    sym_chunk = 150 if not SMALL else 32
+    sym_chunk = 150 if scale != "small" else 32
 
     @functools.partial(jax.jit, static_argnames=("impl",))
     def fit_call(e, f, y, params, impl="xla"):
@@ -88,20 +102,20 @@ def bench_tpu():
             # fused Pallas blocks via the shared-operand assembly (the
             # production k_self path): one consistent Gram, PSD by
             # construction at any matmul-precision mode
-            K = K_ops.k_self(e, f, params, "rbf", 2, row_chunk=ROW_CHUNK,
+            K = K_ops.k_self(e, f, params, "rbf", 2, row_chunk=row_chunk,
                              symmetric=True)
         else:
-            K_ee = K_ops.kee(e, e, params, "rbf", 2, row_chunk=ROW_CHUNK)
+            K_ee = K_ops.kee(e, e, params, "rbf", 2, row_chunk=row_chunk)
             if impl == "sym":
                 K_ef = K_ops.kef(e, f, params, "rbf", 2,
-                                 row_chunk=ROW_CHUNK)
+                                 row_chunk=row_chunk)
                 K_ff = K_ops.kff_self(f, params, "rbf", 2,
                                       point_chunk=sym_chunk)
             else:
                 K_ef = K_ops.kef(e, f, params, "rbf", 2,
-                                 row_chunk=ROW_CHUNK)
+                                 row_chunk=row_chunk)
                 K_ff = K_ops.kff(f, f, params, "rbf", 2,
-                                 row_chunk=ROW_CHUNK)
+                                 row_chunk=row_chunk)
             top = jnp.concatenate([K_ee, K_ef], axis=1)
             bot = jnp.concatenate([K_ef.T, K_ff], axis=1)
             K = jnp.concatenate([top, bot], axis=0)
@@ -130,17 +144,17 @@ def bench_tpu():
         compile_and_first = time.time() - t0
         if not (np.isfinite(s) and np.isfinite(float(logdet))):
             raise FloatingPointError(f"non-finite output: {s}")
-        # min of two timed calls -- the same statistic the baseline
-        # measurement uses (least-noise sample)
         samples = []
-        for i in range(2):
+        for i in range(N_SAMPLES):
             p = {"sigma": params["sigma"] * (1 + 1e-4 * i),
                  "l": params["l"]}
             t0 = time.time()
             s2, _ = fit_call(e, f, y, p, impl=impl)
             float(s2)
             samples.append(time.time() - t0)
-        return min(samples) * 1e3, compile_and_first
+        st = _stats(samples)
+        st["compile_s"] = compile_and_first
+        return st
 
     # 'sym' computes only the upper triangle of chunk pairs (~2x) in
     # plain XLA; 'pallas' is the fused production build at the default
@@ -155,8 +169,10 @@ def bench_tpu():
     for impl in impls:
         try:
             results[impl] = timed(impl)
-            print(f"# {impl}: {results[impl][0]:.0f} ms "
-                  f"(compile {results[impl][1]:.0f}s)", file=sys.stderr)
+            print(f"# [{scale}] {impl}: {results[impl]['min_ms']:.0f} ms "
+                  f"(median {results[impl]['median_ms']:.0f}, "
+                  f"compile {results[impl]['compile_s']:.0f}s)",
+                  file=sys.stderr)
         except Exception as exc:
             print(f"# {impl} path failed: {type(exc).__name__}: "
                   f"{str(exc)[:200]}", file=sys.stderr)
@@ -164,43 +180,51 @@ def bench_tpu():
         # fall back to the plain XLA path
         results["xla"] = timed("xla")
 
-    # informational: the full training-step cost (NLL + analytic grad via
-    # the fused dual K/dK build) -- the per-iteration cost of
-    # GP.fit(opt=True)
+    # the full training-step cost per L-BFGS iteration: RBF through the
+    # fused dual (K, dK/dgamma) pass, Dot through the gradient-free
+    # analytic build (round-2 VERDICT item 4: Dot must be within 2x of
+    # RBF) -- both are the programs GP.fit actually runs
+    nll_ms = {}
     try:
-        from gpr_calculator_tpu.models.gp import _nll_rbf_analytic
+        from gpr_calculator_tpu.models.gp import (_nll_dot_analytic,
+                                                  _nll_rbf_analytic)
         os.environ["GPR_CALC_TPU_KFF"] = "pallas"
         os.environ["GPR_CALC_TPU_KFF_PRECISION"] = "bf16x4"
-        theta = jnp.asarray([2.0, 1.0], dtype)
         nf = jnp.asarray([0.01, 0.1], dtype)
-        float(_nll_rbf_analytic(theta, e, f, y, nf, 10.0, 2, False,
-                                ROW_CHUNK)[0])
-        ts = []
-        for i in range(2):
-            th = theta * (1 + 1e-4 * i)
-            t0 = time.time()
-            float(_nll_rbf_analytic(th, e, f, y, nf, 10.0, 2, False,
-                                    ROW_CHUNK)[0])
-            ts.append(time.time() - t0)
-        print(f"# nll+grad (fused dual pass): {min(ts)*1e3:.0f} ms "
-              f"per L-BFGS iteration", file=sys.stderr)
+        for name, fn, th0 in (
+                ("rbf", _nll_rbf_analytic, [2.0, 1.0]),
+                ("dot", _nll_dot_analytic, [2.0, 1.5])):
+            theta = jnp.asarray(th0, dtype)
+            float(fn(theta, e, f, y, nf, 10.0, 2, False, row_chunk)[0])
+            ts = []
+            for i in range(N_SAMPLES):
+                th = theta * (1 + 1e-4 * i)
+                t0 = time.time()
+                float(fn(th, e, f, y, nf, 10.0, 2, False, row_chunk)[0])
+                ts.append(time.time() - t0)
+            nll_ms[name] = _stats(ts)
+            print(f"# [{scale}] nll+grad {name}: "
+                  f"{nll_ms[name]['min_ms']:.0f} ms per L-BFGS iteration "
+                  f"(median {nll_ms[name]['median_ms']:.0f})",
+                  file=sys.stderr)
     except Exception as exc:
-        print(f"# nll+grad measurement skipped: {type(exc).__name__}",
-              file=sys.stderr)
+        print(f"# nll+grad measurement skipped: {type(exc).__name__}: "
+              f"{str(exc)[:160]}", file=sys.stderr)
 
     eligible = {k: v for k, v in results.items()
                 if k != "pallas_bf16"
                 or os.environ.get("GPR_BENCH_ALLOW_BF16") == "1"}
     best_impl = min(eligible or results,
-                    key=lambda k: (eligible or results)[k][0])
-    return results[best_impl] + (best_impl,)
+                    key=lambda k: (eligible or results)[k]["min_ms"])
+    return results, best_impl, nll_ms
 
 
-def workload_flops():
+def workload_flops(scale):
     """Algorithmic FLOPs of one fit call (implementation-independent:
     rectangular low-rank-Hessian K_FF build + Cholesky), for the MFU line."""
-    n_env_f = M_F * B_F
-    n_env_e = M_E * A_E
+    (m_e, a_e), (m_f, b_f), _ = shape_of(scale)
+    n_env_f = m_f * b_f
+    n_env_e = m_e * a_e
     d = D
     # K_FF: per env pair, 4 d-contractions over {u,J} blocks (2*16*d) plus
     # ~8 assembly ops on the 3x3 block
@@ -208,7 +232,7 @@ def workload_flops():
     # K_EF: env-pair kernel + d-contraction for the gradient row
     f_ef = 2 * n_env_e * n_env_f * (8 * d + 10)
     f_ee = n_env_e ** 2 * (2 * d + 10)
-    n_rows = M_E + 3 * M_F
+    n_rows = m_e + 3 * m_f
     f_chol = n_rows ** 3 / 3
     return f_ff + f_ef + f_ee + f_chol
 
@@ -217,13 +241,14 @@ def workload_flops():
 # baseline: the reference's C++ kff kernel, single core, scaled
 # ---------------------------------------------------------------------------
 
-def bench_reference_cpp():
+def bench_reference_cpp(scale):
     """Measure rbf_kff_many (the reference hot loop) on a slice of the same
     workload; returns the extrapolated full-workload single-core ms, or
     None when the reference sources are unavailable."""
     src = "/root/reference/gpr_calc/kernels/rbf_kernel.cpp"
     if not os.path.exists(src):
         return None
+    (m_e, a_e), (m_f, b_f), _ = shape_of(scale)
     try:
         with tempfile.TemporaryDirectory() as td:
             lib_path = os.path.join(td, "librbf.so")
@@ -236,8 +261,8 @@ def bench_reference_cpp():
             lib.rbf_kff_many.restype = None
 
             rng = np.random.RandomState(0)
-            n2 = M_F * B_F                     # full rhs env count
-            n1 = 64 if not SMALL else 32       # lhs slice
+            n2 = m_f * b_f                     # full rhs env count
+            n1 = 64 if scale != "small" else 32    # lhs slice
             d = D
             x1 = np.ascontiguousarray(rng.uniform(0.2, 1, (n1, d)))
             x2 = np.ascontiguousarray(rng.uniform(0.2, 1, (n2, d)))
@@ -248,11 +273,11 @@ def bench_reference_cpp():
             ele2 = np.ascontiguousarray(
                 rng.choice([13, 79], n2).astype(np.int32))
             inds1 = np.ascontiguousarray(
-                (np.arange(n1) // B_F).astype(np.int32))
+                (np.arange(n1) // b_f).astype(np.int32))
             inds2 = np.ascontiguousarray(
-                (np.arange(n2) // B_F).astype(np.int32))
-            m1 = n1 // B_F + 1
-            m2 = M_F
+                (np.arange(n2) // b_f).astype(np.int32))
+            m1 = n1 // b_f + 1
+            m2 = m_f
             out = np.zeros((m1 * 3, m2 * 3))
 
             def cptr(a):
@@ -276,8 +301,8 @@ def bench_reference_cpp():
             # min of two runs: the fastest sample has the least scheduler
             # noise (and is the conservative choice for the speedup ratio)
             slice_s = min(run_once(), run_once())
-            # extrapolate: full lhs env count is M_F * B_F
-            full_single_core_ms = slice_s * (M_F * B_F / n1) * 1e3
+            # extrapolate: full lhs env count is m_f * b_f
+            full_single_core_ms = slice_s * (m_f * b_f / n1) * 1e3
             return full_single_core_ms
     except Exception as exc:  # pragma: no cover
         print(f"# baseline measurement unavailable: {exc}", file=sys.stderr)
@@ -287,35 +312,68 @@ def bench_reference_cpp():
 PEAK_F32_TFLOPS = 49.2   # v5e MXU, fp32 passes (bf16 peak 197 / 4)
 
 
-def main():
-    our_ms, compile_s, impl = bench_tpu()
-    baseline_single_ms = bench_reference_cpp()
+def run_scale(scale):
+    """One scale's full measurement: returns the JSON-able record."""
+    results, best_impl, nll_ms = bench_tpu(scale)
+    best = results[best_impl]
+    baseline_single_ms = bench_reference_cpp(scale)
     if baseline_single_ms is not None:
         baseline_ms = baseline_single_ms / N_RANKS_BASELINE
-        vs = baseline_ms / our_ms
+        vs = baseline_ms / best["min_ms"]
     else:
         baseline_ms = None
         vs = None
-    flops = workload_flops()
-    tflops = flops / (our_ms * 1e-3) / 1e12
+    flops = workload_flops(scale)
+    tflops = flops / (best["min_ms"] * 1e-3) / 1e12
     mfu = tflops / PEAK_F32_TFLOPS
-    print(f"# workload: K=({M_E}+3*{M_F})^2, d={D}, envs/pt={A_E}/{B_F}; "
-          f"compile+first={compile_s:.1f}s; "
-          f"ref-C++ single-core={baseline_single_ms and round(baseline_single_ms)} ms, "
+    (m_e, a_e), (m_f, b_f), _ = shape_of(scale)
+    print(f"# [{scale}] workload: K=({m_e}+3*{m_f})^2, d={D}, "
+          f"envs/pt={a_e}/{b_f}; compile+first={best['compile_s']:.1f}s; "
+          f"ref-C++ single-core="
+          f"{baseline_single_ms and round(baseline_single_ms)} ms, "
           f"64-rank-ideal={baseline_ms and round(baseline_ms)} ms",
           file=sys.stderr)
-    print(f"# impl={impl}: {flops/1e12:.2f} TFLOP/fit, "
+    print(f"# [{scale}] impl={best_impl}: {flops/1e12:.2f} TFLOP/fit, "
           f"{tflops:.2f} TFLOP/s achieved, MFU={100*mfu:.1f}% of f32 peak "
           f"({PEAK_F32_TFLOPS} TF)", file=sys.stderr)
-    print(json.dumps({
-        "metric": "kernel_build_plus_cholesky_ms_per_fit_10k",
-        "value": round(our_ms, 1),
-        "unit": "ms",
+    rec = {
+        "value": round(best["min_ms"], 1),
+        "median_ms": round(best["median_ms"], 1),
+        "n_samples": best["n"],
         "vs_baseline": round(vs, 1) if vs else None,
-        "impl": impl,
+        "impl": best_impl,
         "achieved_tflops": round(tflops, 2),
         "mfu_f32_pct": round(100 * mfu, 1),
-    }))
+    }
+    for name, st in nll_ms.items():
+        rec[f"nll_grad_{name}_ms"] = round(st["min_ms"], 1)
+    if "rbf" in nll_ms and "dot" in nll_ms:
+        rec["dot_vs_rbf_iter_ratio"] = round(
+            nll_ms["dot"]["min_ms"] / nll_ms["rbf"]["min_ms"], 2)
+    if "pallas_bf16" in results:
+        rec["bf16_fast_mode_ms"] = round(
+            results["pallas_bf16"]["min_ms"], 1)
+    return rec
+
+
+def main():
+    rec = run_scale(_SCALE)
+    out = {"metric": f"kernel_build_plus_cholesky_ms_per_fit_"
+                     f"{'10k' if _SCALE == 'full' else _SCALE}",
+           "value": rec["value"], "unit": "ms",
+           "vs_baseline": rec["vs_baseline"]}
+    out.update({k: v for k, v in rec.items()
+                if k not in ("value", "vs_baseline")})
+    if _SCALE == "full" and os.environ.get("GPR_BENCH_SKIP_LARGE") != "1":
+        # the 2x-scale point, in-process (same TPU client; a subprocess
+        # would deadlock the axon tunnel)
+        try:
+            os.environ["GPR_BENCH_IMPLS"] = out["impl"]
+            out["large_scale"] = run_scale("large")
+        except Exception as exc:
+            print(f"# large-scale point skipped: {type(exc).__name__}: "
+                  f"{str(exc)[:160]}", file=sys.stderr)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
