@@ -159,3 +159,30 @@ def test_k_self_mesh_dispatch(monkeypatch):
     scale = np.abs(K_ref).max()
     # default bf16x4 Gram rounding
     assert np.abs(K - K_ref).max() < 5e-4 * scale
+
+
+def test_pallas_self_blocks_sharded_dot_kernel():
+    """The mesh-partitioned build must serve the Dot kernel too (its
+    analytic-gradient fit path is one gradient-free build per step)."""
+    from gpr_calculator_tpu.ops.packing import pack_energy
+    from gpr_calculator_tpu.parallel.sharded_kernels import \
+        pallas_self_blocks_sharded
+
+    rng = np.random.RandomState(23)
+    fpts = [(rng.uniform(0.2, 1.0, (4, 6)),
+             rng.uniform(-1.0, 1.0, (4, 6, 3)),
+             rng.choice([13, 79], 4)) for _ in range(6)]
+    epts = [(x, el) for x, _, el in fpts[:4]]
+    f = _f32tree(pack_force(fpts, m_pad=6, b_pad=4))
+    e = _f32tree(pack_energy(epts, m_pad=4, a_pad=4))
+    mesh = make_mesh(8)
+    params = {"sigma": jnp.asarray(1.3, jnp.float32),
+              "sigma0": jnp.asarray(1.1, jnp.float32)}
+    K_ref = np.asarray(kernels.k_self(e, f, params, "dot", 2,
+                                      allow_pallas=False))
+    (K,) = pallas_self_blocks_sharded(e, f, params, "dot", 2,
+                                      dual=False, mesh=mesh,
+                                      interpret=True,
+                                      mm_precision="highest")
+    scale = max(np.abs(K_ref).max(), 1e-8)
+    assert np.abs(np.asarray(K) - K_ref).max() < 3e-5 * scale
