@@ -293,12 +293,13 @@ def _cast_floats(tree, dt):
 
 @functools.partial(jax.jit,
                    static_argnames=("kind", "zeta", "return_std",
-                                    "row_chunk", "mixed", "allow_pallas"))
+                                    "row_chunk", "mixed", "allow_pallas",
+                                    "mesh"))
 def _predict_packed(pe: EnergyData, pf: ForceData, te: EnergyData,
                     tf: ForceData, params, alpha, L_fac,
                     kind: str, zeta: int, return_std: bool,
                     row_chunk: int = 0, mixed: bool = False,
-                    allow_pallas: bool = True, rows=None):
+                    allow_pallas: bool = True, rows=None, mesh=None):
     """Cross covariance + GEMV (+ variance) in one device program
     (replaces predict_structure's kernel/GEMV/variance chain,
     gaussianprocess.py:873-911).
@@ -321,8 +322,8 @@ def _predict_packed(pe: EnergyData, pf: ForceData, te: EnergyData,
     else:
         pe32, pf32, te32, tf32, params32 = pe, pf, te, tf, params
     Kt = K_ops.k_block(pe32, pf32, te32, tf32, params32, kind, zeta,
-                       row_chunk=row_chunk,
-                       allow_pallas=allow_pallas).astype(alpha.dtype)
+                       row_chunk=row_chunk, allow_pallas=allow_pallas,
+                       mesh=mesh).astype(alpha.dtype)
     mean = Kt @ alpha
     if not return_std:
         return mean, None
@@ -967,15 +968,16 @@ class GP:
         b_max = max((p[0].shape[0] for p in force_pts), default=1)
         pf = pack_force(force_pts, d=d, b_pad=bucket_size(b_max, 4))
         params = self.kernel.jax_params()
-        ap = self._mesh_arg() is None
         kk = (self.kernel.kind, self.kernel.zeta, False)
         K_inv_arg, rows = self._serve_factor()
         m_mixed, _ = _predict_packed(
             pe, pf, te, tf, params, self.alpha_, K_inv_arg, *kk,
-            self._serving_chunk(pf, tf, True), True, ap, rows=rows)
+            self._serving_chunk(pf, tf, True), True, True, rows=rows,
+            mesh=self._mesh_arg())
         m_full, _ = _predict_packed(
             pe, pf, te, tf, params, self.alpha_, K_inv_arg, *kk,
-            self._serving_chunk(pf, tf, False), False, ap, rows=rows)
+            self._serving_chunk(pf, tf, False), False, True, rows=rows,
+            mesh=self._mesh_arg())
         delta = float(jnp.abs(m_mixed - m_full).max())
         self._mixed_measured = delta
         if delta >= 0.5 * self.noise_e:
@@ -1026,11 +1028,7 @@ class GP:
 
     def _serving_args(self, pf: ForceData, tf: ForceData):
         mixed = self._serve_mixed()
-        # with a mesh the training side is row-sharded: bare pallas_call
-        # is opaque to GSPMD, so serving takes the XLA build (which GSPMD
-        # partitions properly over the mesh)
-        allow_pallas = self._mesh_arg() is None
-        return self._serving_chunk(pf, tf, mixed), mixed, allow_pallas
+        return self._serving_chunk(pf, tf, mixed), mixed
 
     def _predict_points(self, energy_pts, force_pts, return_std=False,
                         total_E=False):
@@ -1054,7 +1052,8 @@ class GP:
         mean, std = _predict_packed(
             pe, pf, te, tf, self.kernel.jax_params(), self.alpha_,
             K_inv_arg, self.kernel.kind, self.kernel.zeta,
-            return_std, *self._serving_args(pf, tf), rows=rows)
+            return_std, *self._serving_args(pf, tf), rows=rows,
+            mesh=self._mesh_arg())
         mean = np.asarray(mean)
         nE, nF = len(energy_pts), len(force_pts)
         mean_e = mean[:nE]
@@ -1163,7 +1162,8 @@ class GP:
         mean, std = _predict_packed(
             pe, pf, te, tf, self.kernel.jax_params(), self.alpha_,
             K_inv_arg, self.kernel.kind, self.kernel.zeta, return_std,
-            *self._serving_args(pf, tf), rows=rows)
+            *self._serving_args(pf, tf), rows=rows,
+            mesh=self._mesh_arg())
         mean = np.asarray(mean)
         ncart = 9 if stress else 3
         E = mean[0] * n_atoms
@@ -1309,7 +1309,8 @@ class GP:
         mean, std = _predict_packed(
             pe, pf, te, tf, self.kernel.jax_params(), self.alpha_,
             K_inv_arg, self.kernel.kind, self.kernel.zeta, return_std,
-            *self._serving_args(pf, tf), rows=rows)
+            *self._serving_args(pf, tf), rows=rows,
+            mesh=self._mesh_arg())
         mean = np.asarray(mean)
         if return_std:
             std = np.asarray(std)

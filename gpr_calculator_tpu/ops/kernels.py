@@ -528,15 +528,25 @@ def diag_force(f: ForceData, params, kind: str = "rbf",
 
 def k_block(e1: EnergyData, f1: ForceData, e2: EnergyData, f2: ForceData,
             params, kind: str = "rbf", zeta: int = 2,
-            row_chunk: int = 0, allow_pallas: bool = True) -> jnp.ndarray:
+            row_chunk: int = 0, allow_pallas: bool = True,
+            mesh=None) -> jnp.ndarray:
     """[[K_EE, K_EF], [K_FE, K_FF]] for (rows: data1, cols: data2).
 
     The serving hot path (_predict_packed cross-covariance).  On TPU the
     force blocks route through the fused Pallas rect kernels when both
     orientations' tiles fit (no PSD constraint here -- this block is
-    only contracted against alpha/K_inv, so consistency of rounding with
-    the training build is not required)."""
-    if allow_pallas and _use_pallas_rect(e1, f1, e2, f2, kind):
+    only contracted against alpha/the factor, so consistency of rounding
+    with the training build is not required).  mesh: the training-side
+    (data2) force columns are striped over the devices
+    (parallel.sharded_kernels.k_block_pallas_sharded); without the
+    Pallas gate the XLA build runs and GSPMD partitions it."""
+    if allow_pallas and _use_pallas_rect(e1, f1, e2, f2, kind) \
+            and mesh is not None and mesh.devices.size > 1:
+        from ..parallel.sharded_kernels import k_block_pallas_sharded
+        return k_block_pallas_sharded(e1, f1, e2, f2, params, mesh,
+                                      kind, zeta)
+    if allow_pallas and _use_pallas_rect(e1, f1, e2, f2, kind) \
+            and mesh is None and not _foreign_sharded(f2, mesh):
         from .kff_pallas import kef_pallas, kff_pallas
         pk = "dot" if kind == "dot" else "rbf"
         dg = kind == "rbf_dgamma"

@@ -267,3 +267,73 @@ def pallas_self_blocks_sharded(e, f, params, kind: str, zeta: int,
         return jnp.concatenate([top, bot], axis=0)
 
     return tuple(asm(a, b, c) for a, b, c in zip(ee, ef, ff))
+
+
+def k_block_pallas_sharded(e1, f1, e2, f2, params, mesh, kind: str = "rbf",
+                           zeta: int = 2, interpret: bool | None = None,
+                           mm_precision: str | None = None):
+    """Serving cross-covariance [[K_EE, K_EF], [K_FE, K_FF]] (rows:
+    prediction data 1, cols: TRAINING data 2) with the training FORCE
+    axis column-striped over ``mesh``; the result is replicated (it
+    feeds the replicated GEMV/variance tail).
+
+    The work is n_pred x n_train-proportional and the training force
+    block dominates, so striping its columns divides the serving build
+    n_dev ways; K_EE and K_FE touch only the (small) training energy
+    axis and are computed replicated.  No PSD constraint here (the
+    block is only contracted against alpha / the factor), matching the
+    single-device k_block contract."""
+    import math as _math
+    import jax.numpy as _jnp
+    from ..ops.kff_pallas import (TP1, TPC, _resolve_precision,
+                                  energy_operand, force_operand,
+                                  kef_from_ops, kff_from_ops)
+    from ..ops import kernels as K_ops
+
+    n_dev = mesh.devices.size
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    mode = _resolve_precision(mm_precision)
+    pk = "dot" if kind == "dot" else "rbf"
+    dg = kind == "rbf_dgamma"
+    dt = e1.x.dtype
+    m1e, A1 = e1.x.shape[0], e1.x.shape[1]
+    m1f, B1 = f1.x.shape[0], f1.x.shape[1]
+    m2f, B2 = f2.x.shape[0], f2.x.shape[1]
+
+    # operands: training force padded so each column stripe is a whole
+    # number of TPC output blocks; prediction sides at their native pads
+    f2_ops = force_operand(f2, mode, TPC * n_dev)
+    _, f2_rhs, f2_re = f2_ops
+    f1_lhs, _, f1_re = force_operand(f1, mode, TP1)
+    e1_lhs, _, e1_w = energy_operand(e1, mode)
+
+    kff_kw = dict(B1=B1, B2=B2, zeta=zeta, interpret=interpret,
+                  symmetric=False, deriv=dg, mode=mode, kind=pk)
+    kef_kw = dict(A1=A1, B2=B2, zeta=zeta, interpret=interpret,
+                  deriv=dg, mode=mode, kind=pk)
+
+    def stripe(f2rhs_s, f2re_s, f1_lhs, f1_re, e1_lhs, e1_w):
+        kff_loc = kff_from_ops(params, f1_lhs, f1_re, f2rhs_s, f2re_s,
+                               **kff_kw)
+        kef_loc = kef_from_ops(params, e1_lhs, e1_w, f2rhs_s, f2re_s,
+                               **kef_kw)
+        kff = jax.lax.all_gather(kff_loc, ROW_AXIS, axis=1, tiled=True)
+        kef = jax.lax.all_gather(kef_loc, ROW_AXIS, axis=1, tiled=True)
+        return kef, kff
+
+    fn = _shard_map(stripe, mesh,
+                    in_specs=(P(None, ROW_AXIS), P(None, ROW_AXIS),
+                              P(), P(), P(), P()),
+                    out_specs=(P(), P()))
+    K_ef, K_ff = fn(f2_rhs, f2_re, f1_lhs, f1_re, e1_lhs, e1_w)
+    K_ef = K_ef[:m1e, :3 * m2f].astype(dt)
+    K_ff = K_ff[:3 * m1f, :3 * m2f].astype(dt)
+
+    # small blocks, replicated: energy-energy and train-energy x
+    # pred-force (the XLA builders partition/replicate these fine)
+    K_ee = K_ops.kee(e1, e2, params, kind, zeta)
+    K_fe = K_ops.kef(e2, f1, params, kind, zeta).T
+    top = _jnp.concatenate([K_ee, K_ef], axis=1)
+    bot = _jnp.concatenate([K_fe, K_ff], axis=1)
+    return _jnp.concatenate([top, bot], axis=0)

@@ -186,3 +186,41 @@ def test_pallas_self_blocks_sharded_dot_kernel():
                                       mm_precision="highest")
     scale = max(np.abs(K_ref).max(), 1e-8)
     assert np.abs(np.asarray(K) - K_ref).max() < 3e-5 * scale
+
+
+def test_k_block_serving_sharded_matches_xla(monkeypatch):
+    """Serving cross-covariance with the training force axis
+    column-striped over the mesh == the XLA k_block (pred/train bucket
+    widths differ, both orientations exercised)."""
+    from gpr_calculator_tpu.ops.packing import pack_energy
+    from gpr_calculator_tpu.parallel.sharded_kernels import \
+        k_block_pallas_sharded
+
+    monkeypatch.setenv("GPR_CALC_TPU_KFF_INTERPRET", "1")
+    rng = np.random.RandomState(29)
+
+    def mk(n_pts, B, n_e, A):
+        fpts = [(rng.uniform(0.2, 1.0, (B, 6)),
+                 rng.uniform(-1.0, 1.0, (B, 6, 3)),
+                 rng.choice([13, 79], B)) for _ in range(n_pts)]
+        epts = [(rng.uniform(0.2, 1.0, (A, 6)),
+                 rng.choice([13, 79], A)) for _ in range(n_e)]
+        return (_f32tree(pack_energy(epts, m_pad=n_e, a_pad=A)),
+                _f32tree(pack_force(fpts, m_pad=n_pts, b_pad=B)))
+
+    e1, f1 = mk(3, 4, 2, 8)       # prediction side
+    e2, f2 = mk(10, 8, 4, 8)      # training side
+    mesh = make_mesh(8)
+    params = _params32()
+    ref = np.asarray(kernels.k_block(e1, f1, e2, f2, params, "rbf", 2,
+                                     allow_pallas=False))
+    out = np.asarray(k_block_pallas_sharded(e1, f1, e2, f2, params,
+                                            mesh, "rbf", 2,
+                                            interpret=True,
+                                            mm_precision="highest"))
+    scale = max(np.abs(ref).max(), 1e-8)
+    assert np.abs(out - ref).max() < 3e-5 * scale
+    # and the k_block dispatcher routes there under a mesh
+    out2 = np.asarray(kernels.k_block(e1, f1, e2, f2, params, "rbf", 2,
+                                      mesh=mesh))
+    assert np.abs(out2 - ref).max() < 5e-4 * scale   # default bf16x4
