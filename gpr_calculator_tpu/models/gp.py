@@ -1026,6 +1026,17 @@ class GP:
             return self.row_chunk
         return mc
 
+    def _serve_descriptor_dtype(self):
+        """Descriptor dtype for SERVING calls: f32 when mixed serving is
+        active, so the per-step descriptor runs on-device instead of the
+        host-CPU f64 exile (~2.5 s/structure at pd4 scale -- the
+        dominant cost of mixed serving).  The f32 descriptor perturbs
+        the kernel inputs by ~1e-7 relative, the same order as the f32
+        kernel rounding the mixed error budget already covers.  Training
+        descriptors (add_structure/convert_train_data) always stay at
+        the model precision."""
+        return np.float32 if self._serve_mixed() else None
+
     def _serving_args(self, pf: ForceData, tf: ForceData):
         mixed = self._serve_mixed()
         return self._serving_chunk(pf, tf, mixed), mixed
@@ -1132,7 +1143,8 @@ class GP:
     def predict_structure(self, struc, stress: bool = False,
                           return_std: bool = False, f_tol: float = 1e-8):
         """Main per-structure API (gaussianprocess.py:834-918)."""
-        d = self.descriptor.calculate(struc)
+        d = self.descriptor.calculate(
+            struc, dtype=self._serve_descriptor_dtype())
         ele = np.asarray([ATOMIC_NUMBERS[s] for s in d["elements"]], int)
         n_atoms = len(struc)
         fix_ids = set(int(i) for i in struc.fixed_indices()) \
@@ -1286,8 +1298,9 @@ class GP:
         Returns a list of (E, F) or (E, F, E_std, F_std) per structure.
         """
         energy_pts, force_pts, meta = [], [], []
+        sdt = self._serve_descriptor_dtype()
         for struc in strucs:
-            d = self.descriptor.calculate(struc)
+            d = self.descriptor.calculate(struc, dtype=sdt)
             ele = np.asarray([ATOMIC_NUMBERS[s] for s in d["elements"]],
                              int)
             fix_ids = set(int(i) for i in struc.fixed_indices()) \

@@ -229,12 +229,12 @@ def _so3_core(rij, weights, pair_center, pair_seq, pair_Ri, pair_Rj,
     return x, dxdr, rdxdr
 
 
-def _descriptor_device():
+def _descriptor_device(dt):
     """Device context for the descriptor program: host CPU when running
     f64 on an accelerator (complex128 is unsupported there), default
-    placement otherwise."""
+    placement otherwise (f32 descriptors run on-device)."""
     import contextlib
-    if config.dtype() == jnp.float64 and jax.default_backend() != "cpu":
+    if dt == jnp.float64 and jax.default_backend() != "cpu":
         try:
             return jax.default_device(jax.devices("cpu")[0])
         except RuntimeError:
@@ -315,7 +315,8 @@ class SO3:
         return
 
     # -- main API (mirrors SO3.calculate, SO3.py:186-323) --
-    def calculate(self, atoms, atom_ids=None, use_mpi: bool = False):
+    def calculate(self, atoms, atom_ids=None, use_mpi: bool = False,
+                  dtype=None):
         from ..atoms.neighborlist import neighbor_pairs
 
         del use_mpi  # parallelism is handled by XLA sharding, not MPI
@@ -366,18 +367,20 @@ class SO3:
         Ri = positions[np.concatenate([pi, np.zeros(pad, int)])]
         Rj = Ri + rij_p
 
-        dt = config.dtype()
+        dt = jnp.dtype(dtype) if dtype is not None else config.dtype()
         # TPU's x64 rewriter cannot expand f64 -> complex128 conversions
         # (the Ylm math is complex): in f64 mode on an accelerator, run the
         # descriptor program on the host CPU backend (it is small relative
-        # to the kernel build); in f32 mode complex64 works on-device.
-        with _descriptor_device():
+        # to the kernel build); in f32 mode complex64 works on-device --
+        # mixed serving requests dtype=f32 explicitly so the per-step
+        # descriptor stays off the host (GP._serve_descriptor_dtype).
+        with _descriptor_device(dt):
             x, dxdr, pstress = _so3_core(
                 jnp.asarray(rij_p, dt), jnp.asarray(w_p, dt),
                 jnp.asarray(pc_p), jnp.asarray(ps_p),
                 jnp.asarray(Ri, dt), jnp.asarray(Rj, dt),
                 jnp.asarray(self_seq), jnp.asarray(seq_center),
-                self._q, self._G0,
+                self._q.astype(dt), self._G0.astype(dt),
                 nmax=self.nmax, lmax=self.lmax, natoms=natoms,
                 nseq=nseq_pad, rcut=self.rcut, alpha=self.alpha,
                 derivative=self.derivative, stress=self.stress,
