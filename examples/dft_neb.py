@@ -12,6 +12,8 @@ the bundled Au/Al(100) EMT hopping barrier runs anywhere:
     python dft_neb.py                 # EMT on the bundled trajectories
     python dft_neb.py POSCAR_initial POSCAR_final   # your own endpoints
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 import sys
 import time
 

@@ -1,6 +1,8 @@
 """Batched on-the-fly NEB: every interior image evaluated in ONE device
 program per optimizer step (TPU-native improvement over the reference's
 per-image loop, NEB.py:40-60)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 from gpr_calculator_tpu import EMT, GP, GPR, get_images, neb_calc
 
 init = "/root/reference/examples/database/initial.traj"

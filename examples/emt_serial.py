@@ -8,6 +8,8 @@ less often.
 
     python emt_serial.py            # writes NEB-test.png
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 from gpr_calculator_tpu import EMT, GP, GPR, get_images, neb_calc, plot_path
 
 INIT = "/root/reference/examples/database/initial.traj"

@@ -14,6 +14,8 @@ VASP supplies ground truth when configured (ASE_VASP_COMMAND /
 VASP_PP_PATH); otherwise the run falls back to EMT so the workload is
 exercisable anywhere (the reference's scripts hard-require a cluster).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 import os
 import sys
 

@@ -5,6 +5,8 @@ the ground truth; the GPR surrogate absorbs most force calls.  Requires ASE
 plus a VASP installation (set ASE_VASP_COMMAND / VASP_PP_PATH); the GPR
 side runs on TPU regardless of where VASP runs.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 import os
 
 from gpr_calculator_tpu import GP, GPR, get_images, neb_calc, plot_path

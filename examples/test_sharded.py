@@ -7,6 +7,8 @@ launches `mpirun -np 8`, this program shards the kernel rows over whatever
 jax.devices() exposes (a TPU mesh, or virtual CPU devices via
 XLA_FLAGS=--xla_force_host_platform_device_count=8).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
 from time import time
 
 import jax

@@ -353,6 +353,135 @@ def _predict_packed(pe: EnergyData, pf: ForceData, te: EnergyData,
 
 
 # ---------------------------------------------------------------------------
+# on-device serving pack: gather the padded prediction blocks directly from
+# device-resident descriptor outputs (SO3.calculate_device), so the per-step
+# serving path has NO device->host->device round trip of the big arrays
+# (SURVEY 7(e); the reference round-trips through list_to_tuple on every
+# call, utilities.py:340-390)
+# ---------------------------------------------------------------------------
+
+_STRESS_COLS = (0, 4, 8, 1, 2, 5)  # xx, yy, zz, xy, xz, yz (voigt-ish order
+# used by predict_structure, matching gaussianprocess.py:863-871)
+
+
+@functools.partial(jax.jit, static_argnames=("ncart",))
+def _pack_on_device(xs, dxs, rdxs, e_idx, ele_e, counts, nreal_e,
+                    centers, rows, ele_f, nreal_f, ncart: int = 3):
+    """Build (EnergyData, ForceData) prediction blocks on device.
+
+    xs/dxs/rdxs: per-structure descriptor buffers (x (natoms_s, d),
+    dxdr (nseq_pad_s, d, 3), rdxdr (nseq_pad_s, d, 3, 3) or ()); the
+    gather index arrays come from _serve_gather_meta and address the
+    CONCATENATED buffers, with pads pointing at zero rows (the appended
+    x zero row; each structure's seq bucket tail for dxdr).
+    """
+    dt = xs[0].dtype
+    x_cat = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
+    x_ext = jnp.concatenate(
+        [x_cat, jnp.zeros((1, x_cat.shape[1]), dt)], axis=0)
+    pe = EnergyData(x=x_ext[e_idx], ele=ele_e, counts=counts,
+                    nreal=nreal_e)
+    dx_cat = dxs[0] if len(dxs) == 1 else jnp.concatenate(dxs, axis=0)
+    pf_dx = dx_cat[rows]
+    if ncart == 9:
+        rd_cat = rdxs[0] if len(rdxs) == 1 \
+            else jnp.concatenate(rdxs, axis=0)
+        rd = rd_cat.reshape(rd_cat.shape[0], rd_cat.shape[1], 9)
+        rd = rd[:, :, jnp.asarray(_STRESS_COLS)]
+        pf_dx = jnp.concatenate([pf_dx, rd[rows]], axis=-1)
+    pf = ForceData(x=x_ext[centers], dxdr=pf_dx, ele=ele_f, nreal=nreal_f)
+    return pe, pf
+
+
+def _serve_gather_meta(descs, numbers_list, sel_lists, a_pad=None,
+                       b_pad=None):
+    """Host-side index maps for _pack_on_device (small int arrays only).
+
+    descs: list of SO3.calculate_device outputs; numbers_list: per
+    structure the atomic numbers (natoms_s,); sel_lists: per structure
+    the atom ids to build force points for (free atoms, or all when
+    stress rows are requested).  Returns a dict of numpy arrays.
+    """
+    n_struc = len(descs)
+    natoms_tot = sum(len(z) for z in numbers_list)
+    if a_pad is None:
+        a_pad = max(len(z) for z in numbers_list)
+    # per-structure env grouping: seq rows sorted by target atom j
+    groups = []          # (struc_idx, atom_i, seq_row_ids, center_ids)
+    for s, d in enumerate(descs):
+        seq, nseq = d["seq"], d["nseq"]
+        order = np.argsort(seq[:nseq, 1], kind="stable")
+        tgt_sorted = seq[order, 1]
+        starts = np.searchsorted(tgt_sorted, np.asarray(sel_lists[s]))
+        ends = np.searchsorted(tgt_sorted, np.asarray(sel_lists[s]),
+                               side="right")
+        for i, lo, hi in zip(sel_lists[s], starts, ends):
+            ids = order[lo:hi]          # ascending seq rows for atom i
+            groups.append((s, i, ids, seq[ids, 0]))
+    m_f = len(groups)
+    b_max = max((len(g[2]) for g in groups), default=1)
+    if b_pad is None:
+        b_pad = bucket_size(b_max, 4)
+    assert b_pad >= b_max
+
+    x_off = np.concatenate([[0], np.cumsum(
+        [len(z) for z in numbers_list])])[:-1]
+    dx_off = np.concatenate([[0], np.cumsum(
+        [int(d["dxdr"].shape[0]) for d in descs])])[:-1]
+    x_zero = natoms_tot                     # appended zero row of x_ext
+
+    e_idx = np.full((n_struc, a_pad), x_zero, np.int32)
+    ele_e = np.zeros((n_struc, a_pad), np.int32)
+    counts = np.ones((n_struc,), np.float64)
+    for s, z in enumerate(numbers_list):
+        n = len(z)
+        e_idx[s, :n] = x_off[s] + np.arange(n)
+        ele_e[s, :n] = z
+        counts[s] = n
+
+    centers = np.full((max(m_f, 1), b_pad), x_zero, np.int32)
+    rows = np.zeros((max(m_f, 1), b_pad), np.int32)
+    ele_f = np.zeros((max(m_f, 1), b_pad), np.int32)
+    for k, (s, i, ids, cen) in enumerate(groups):
+        n = len(ids)
+        # pad rows -> this structure's zeroed seq-bucket tail (row nseq;
+        # calculate_device guarantees nseq < nseq_pad and zero content)
+        rows[k] = dx_off[s] + descs[s]["nseq"]
+        rows[k, :n] = dx_off[s] + ids
+        centers[k, :n] = x_off[s] + cen
+        ele_f[k, :n] = numbers_list[s][cen]
+    return dict(e_idx=e_idx, ele_e=ele_e, counts=counts,
+                centers=centers, rows=rows, ele_f=ele_f, m_f=m_f)
+
+
+def _fetch_mean_std(mean, std):
+    """One batched device->host transfer for the prediction outputs (the
+    axon-tunneled device costs ~32 ms per fetch round trip; fetching
+    mean and std separately doubles it)."""
+    if std is None:
+        return np.asarray(mean), None
+    mean, std = jax.device_get((mean, std))
+    return np.asarray(mean), np.asarray(std)
+
+
+def _pack_from_device_descs(descs, numbers_list, sel_lists, dt,
+                            ncart: int = 3, a_pad=None, b_pad=None):
+    """calculate_device outputs -> (pe, pf) with device-resident gathers."""
+    meta = _serve_gather_meta(descs, numbers_list, sel_lists,
+                              a_pad=a_pad, b_pad=b_pad)
+    rdxs = tuple(d["rdxdr"] for d in descs) if ncart == 9 else ()
+    return _pack_on_device(
+        tuple(d["x"] for d in descs),
+        tuple(d["dxdr"] for d in descs), rdxs,
+        jnp.asarray(meta["e_idx"]), jnp.asarray(meta["ele_e"]),
+        jnp.asarray(meta["counts"], dt),
+        jnp.asarray(len(descs), jnp.int32),
+        jnp.asarray(meta["centers"]), jnp.asarray(meta["rows"]),
+        jnp.asarray(meta["ele_f"]),
+        jnp.asarray(meta["m_f"], jnp.int32), ncart=ncart)
+
+
+# ---------------------------------------------------------------------------
 # novelty filter (utilities.py:32-42)
 # ---------------------------------------------------------------------------
 
@@ -1037,6 +1166,21 @@ class GP:
         the model precision."""
         return np.float32 if self._serve_mixed() else None
 
+    def _device_pack_serving(self) -> bool:
+        """Serve through the device-resident descriptor + gather pack
+        (_pack_from_device_descs): active whenever the descriptor
+        program runs on the DEFAULT backend -- f32/mixed modes on an
+        accelerator, or any mode on CPU.  The f64-on-TPU exile case
+        (complex128 unsupported; so3._descriptor_device) keeps the host
+        path, where the arrays live host-side anyway.
+        GPR_CALC_TPU_DEVICE_PACK=0 forces the host path (debug/parity).
+        """
+        if os.environ.get("GPR_CALC_TPU_DEVICE_PACK", "1") == "0":
+            return False
+        dt = self._serve_descriptor_dtype()
+        eff = jnp.dtype(dt) if dt is not None else config.dtype()
+        return eff != jnp.float64 or jax.default_backend() == "cpu"
+
     def _serving_args(self, pf: ForceData, tf: ForceData):
         mixed = self._serve_mixed()
         return self._serving_chunk(pf, tf, mixed), mixed
@@ -1065,14 +1209,13 @@ class GP:
             K_inv_arg, self.kernel.kind, self.kernel.zeta,
             return_std, *self._serving_args(pf, tf), rows=rows,
             mesh=self._mesh_arg())
-        mean = np.asarray(mean)
+        mean, std = _fetch_mean_std(mean, std)
         nE, nF = len(energy_pts), len(force_pts)
         mean_e = mean[:nE]
         mean_f = mean[pe.m:pe.m + ncart * nF]
         if total_E:
             mean_e = mean_e * np.asarray([len(p[0]) for p in energy_pts])
         if return_std:
-            std = np.asarray(std)
             std_e = std[:nE]
             std_f = std[pe.m:pe.m + ncart * nF]
             if total_E:
@@ -1143,44 +1286,55 @@ class GP:
     def predict_structure(self, struc, stress: bool = False,
                           return_std: bool = False, f_tol: float = 1e-8):
         """Main per-structure API (gaussianprocess.py:834-918)."""
-        d = self.descriptor.calculate(
-            struc, dtype=self._serve_descriptor_dtype())
-        ele = np.asarray([ATOMIC_NUMBERS[s] for s in d["elements"]], int)
         n_atoms = len(struc)
         fix_ids = set(int(i) for i in struc.fixed_indices()) \
             if hasattr(struc, "fixed_indices") else set()
         free_ids = [i for i in range(n_atoms) if i not in fix_ids]
-
-        energy_pts = [(d["x"], ele)]
-        force_pts = []
-        seq = d["seq"]
-        for i in (range(n_atoms) if stress else free_ids):
-            ids = np.flatnonzero(seq[:, 1] == i)
-            _i = seq[ids, 0]
-            if stress:
-                rd = d["rdxdr"][ids].reshape(len(ids), -1, 9)
-                rd = rd[:, :, [0, 4, 8, 1, 2, 5]]
-                force_pts.append((d["x"][_i], np.concatenate(
-                    (d["dxdr"][ids], rd), axis=2), ele[_i]))
-            else:
-                force_pts.append((d["x"][_i], d["dxdr"][ids], ele[_i]))
-
+        sel = list(range(n_atoms)) if stress else free_ids
         te, tf, _, _ = self._train_view()
-        pe = pack_energy(energy_pts, d=te.d)
-        b_max = max((p[0].shape[0] for p in force_pts), default=1)
-        pf = pack_force(force_pts, d=te.d, ncart=9 if stress else 3,
-                        b_pad=bucket_size(b_max, 4))
+
+        if self._device_pack_serving() and sel:
+            dd = self.descriptor.calculate_device(
+                struc, dtype=self._serve_descriptor_dtype())
+            ele = np.asarray([ATOMIC_NUMBERS[s] for s in dd["elements"]],
+                             int)
+            pe, pf = _pack_from_device_descs(
+                [dd], [ele], [sel], te.x.dtype,
+                ncart=9 if stress else 3)
+        else:
+            d = self.descriptor.calculate(
+                struc, dtype=self._serve_descriptor_dtype())
+            ele = np.asarray([ATOMIC_NUMBERS[s] for s in d["elements"]],
+                             int)
+            energy_pts = [(d["x"], ele)]
+            force_pts = []
+            seq = d["seq"]
+            for i in sel:
+                ids = np.flatnonzero(seq[:, 1] == i)
+                _i = seq[ids, 0]
+                if stress:
+                    rd = d["rdxdr"][ids].reshape(len(ids), -1, 9)
+                    rd = rd[:, :, [0, 4, 8, 1, 2, 5]]
+                    force_pts.append((d["x"][_i], np.concatenate(
+                        (d["dxdr"][ids], rd), axis=2), ele[_i]))
+                else:
+                    force_pts.append((d["x"][_i], d["dxdr"][ids], ele[_i]))
+
+            pe = pack_energy(energy_pts, d=te.d)
+            b_max = max((p[0].shape[0] for p in force_pts), default=1)
+            pf = pack_force(force_pts, d=te.d, ncart=9 if stress else 3,
+                            b_pad=bucket_size(b_max, 4))
         K_inv_arg, rows = self._serve_factor()
         mean, std = _predict_packed(
             pe, pf, te, tf, self.kernel.jax_params(), self.alpha_,
             K_inv_arg, self.kernel.kind, self.kernel.zeta, return_std,
             *self._serving_args(pf, tf), rows=rows,
             mesh=self._mesh_arg())
-        mean = np.asarray(mean)
+        mean, std = _fetch_mean_std(mean, std)
         ncart = 9 if stress else 3
         E = mean[0] * n_atoms
-        rows = mean[pe.m:pe.m + ncart * len(force_pts)].reshape(
-            len(force_pts), ncart)
+        rows = mean[pe.m:pe.m + ncart * len(sel)].reshape(
+            len(sel), ncart)
         F = np.zeros((n_atoms, 3))
         if stress:
             F[:] = rows[:, :3]
@@ -1205,10 +1359,9 @@ class GP:
 
         if not return_std:
             return E, F, S
-        std = np.asarray(std)
         E_std = std[0]
-        rows_s = std[pe.m:pe.m + ncart * len(force_pts)].reshape(
-            len(force_pts), ncart)
+        rows_s = std[pe.m:pe.m + ncart * len(sel)].reshape(
+            len(sel), ncart)
         F_std = np.zeros((n_atoms, 3))
         if stress:
             F_std[:] = rows_s[:, :3]
@@ -1297,27 +1450,52 @@ class GP:
 
         Returns a list of (E, F) or (E, F, E_std, F_std) per structure.
         """
-        energy_pts, force_pts, meta = [], [], []
         sdt = self._serve_descriptor_dtype()
-        for struc in strucs:
-            d = self.descriptor.calculate(struc, dtype=sdt)
-            ele = np.asarray([ATOMIC_NUMBERS[s] for s in d["elements"]],
-                             int)
-            fix_ids = set(int(i) for i in struc.fixed_indices()) \
-                if hasattr(struc, "fixed_indices") else set()
-            free_ids = [i for i in range(len(struc)) if i not in fix_ids]
-            energy_pts.append((d["x"], ele))
-            seq = d["seq"]
-            for i in free_ids:
-                ids = np.flatnonzero(seq[:, 1] == i)
-                _i = seq[ids, 0]
-                force_pts.append((d["x"][_i], d["dxdr"][ids], ele[_i]))
-            meta.append((len(struc), free_ids))
-
         te, tf, _, _ = self._train_view()
-        pe = pack_energy(energy_pts, d=te.d)
-        b_max = max((p[0].shape[0] for p in force_pts), default=1)
-        pf = pack_force(force_pts, d=te.d, b_pad=bucket_size(b_max, 4))
+        meta = []
+        device_pack = self._device_pack_serving()
+        if device_pack:
+            descs, eles, sels = [], [], []
+            for struc in strucs:
+                dd = self.descriptor.calculate_device(struc, dtype=sdt)
+                ele = np.asarray(
+                    [ATOMIC_NUMBERS[s] for s in dd["elements"]], int)
+                fix_ids = set(int(i) for i in struc.fixed_indices()) \
+                    if hasattr(struc, "fixed_indices") else set()
+                free_ids = [i for i in range(len(struc))
+                            if i not in fix_ids]
+                descs.append(dd)
+                eles.append(ele)
+                sels.append(free_ids)
+                meta.append((len(struc), free_ids))
+            if not any(sels):
+                device_pack = False      # degenerate: no free atoms
+            else:
+                pe, pf = _pack_from_device_descs(descs, eles, sels,
+                                                 te.x.dtype)
+        if not device_pack:
+            energy_pts, force_pts, meta = [], [], []
+            for struc in strucs:
+                d = self.descriptor.calculate(struc, dtype=sdt)
+                ele = np.asarray(
+                    [ATOMIC_NUMBERS[s] for s in d["elements"]], int)
+                fix_ids = set(int(i) for i in struc.fixed_indices()) \
+                    if hasattr(struc, "fixed_indices") else set()
+                free_ids = [i for i in range(len(struc))
+                            if i not in fix_ids]
+                energy_pts.append((d["x"], ele))
+                seq = d["seq"]
+                for i in free_ids:
+                    ids = np.flatnonzero(seq[:, 1] == i)
+                    _i = seq[ids, 0]
+                    force_pts.append((d["x"][_i], d["dxdr"][ids],
+                                      ele[_i]))
+                meta.append((len(struc), free_ids))
+
+            pe = pack_energy(energy_pts, d=te.d)
+            b_max = max((p[0].shape[0] for p in force_pts), default=1)
+            pf = pack_force(force_pts, d=te.d,
+                            b_pad=bucket_size(b_max, 4))
         K_inv_arg, rows = self._serve_factor()
         mean, std = _predict_packed(
             pe, pf, te, tf, self.kernel.jax_params(), self.alpha_,

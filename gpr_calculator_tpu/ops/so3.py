@@ -317,6 +317,36 @@ class SO3:
     # -- main API (mirrors SO3.calculate, SO3.py:186-323) --
     def calculate(self, atoms, atom_ids=None, use_mpi: bool = False,
                   dtype=None):
+        out = self.calculate_device(atoms, atom_ids, dtype=dtype,
+                                    use_mpi=use_mpi)
+        nseq = out["nseq"]
+        return {
+            "x": np.asarray(out["x"]),
+            "dxdr": None if out["dxdr"] is None
+            else np.asarray(out["dxdr"])[:nseq],
+            "rdxdr": None if out["rdxdr"] is None
+            else np.asarray(out["rdxdr"])[:nseq],
+            "elements": out["elements"],
+            "seq": out["seq"],
+        }
+
+    def calculate_device(self, atoms, atom_ids=None, use_mpi: bool = False,
+                         dtype=None):
+        """Device-resident descriptor (the serving fast path).
+
+        Same math as :meth:`calculate`, but the output arrays stay jax
+        device buffers so a downstream jitted pack/predict program can
+        gather from them without a device->host->device round trip per
+        NEB/MD step (SURVEY 7(e)).  Contract:
+
+          x     (natoms, ncoef) jax
+          dxdr  (nseq_pad, ncoef, 3) jax -- rows >= nseq are ZERO (the
+                seq axis is bucket-padded), so nseq is a safe zero row
+                for gather padding
+          rdxdr (nseq_pad, ncoef, 3, 3) jax or None, already scaled by
+                -1/volume (the reference's convention, SO3.py:306)
+          seq   (nseq, 2) host numpy; 'elements' list; 'nseq' int
+        """
         from ..atoms.neighborlist import neighbor_pairs
 
         del use_mpi  # parallelism is handled by XLA sharding, not MPI
@@ -334,24 +364,41 @@ class SO3:
         if self.weight_on:
             w = np.where(numbers[pj] != numbers[pi], -w, w)
 
-        # seq construction (SO3.py:389-404)
-        seq = []
-        seq_index = {}
-        for i in atom_ids:
-            js = np.unique(np.concatenate(
-                [pj[pi == i], [i]]))
-            for j in np.sort(js):
-                seq_index[(i, int(j))] = len(seq)
-                seq.append((i, int(j)))
-        seq = np.asarray(seq, np.int64).reshape(-1, 2)
+        # seq construction (SO3.py:389-404), vectorised: seq rows are the
+        # unique (center i, neighbour-or-self j) pairs in (i, j)
+        # lexicographic order -- identical to the reference's
+        # per-atom-sorted loop for ascending atom_ids (the only order
+        # callers use); encoding pairs as i*(natoms+1)+j makes the
+        # row ids one np.unique + searchsorted (the python dict loop
+        # costs ~80 ms/call at 216-atom pd4 scale, on the serving path)
+        ids_arr = np.asarray(atom_ids, np.int64)
+        if len(ids_arr) > 1 and np.any(np.diff(ids_arr) <= 0):
+            raise ValueError(
+                "atom_ids must be strictly ascending (the seq rows are "
+                "ordered by center atom, SO3.py:389-404)")
+        stride = natoms + 1
+        key_pairs = pi.astype(np.int64) * stride + pj
+        key_self = ids_arr * stride + ids_arr
+        if len(ids_arr) == natoms:
+            in_sel = None
+            keys = np.concatenate([key_pairs, key_self])
+        else:
+            in_sel = np.isin(pi, ids_arr)
+            keys = np.concatenate([key_pairs[in_sel], key_self])
+        uniq = np.unique(keys)
+        seq = np.stack([uniq // stride, uniq % stride], axis=1)
         nseq = len(seq)
         # bucket the seq axis so the jitted core is reused as the neighbour
         # topology fluctuates along a trajectory
         from .packing import bucket_size
         nseq_pad = bucket_size(nseq, multiple=16)
-        pair_seq = np.asarray([seq_index[(int(a), int(b))]
-                               for a, b in zip(pi, pj)], np.int32)
-        self_seq = np.asarray([seq_index[(i, i)] for i in atom_ids], np.int32)
+        pair_seq = np.searchsorted(uniq, key_pairs).astype(np.int32)
+        if in_sel is not None:
+            # pairs whose center is outside atom_ids carry no seq row:
+            # route them to the dropped garbage segment (the reference's
+            # dict lookup would KeyError here; subset calls never hit it)
+            pair_seq = np.where(in_sel, pair_seq, nseq_pad).astype(np.int32)
+        self_seq = np.searchsorted(uniq, key_self).astype(np.int32)
         seq_center = np.concatenate([
             seq[:, 0], np.full(nseq_pad - nseq, natoms)]).astype(np.int32)
 
@@ -387,15 +434,16 @@ class SO3:
                 cutoff=self.cutoff_function)
 
         out = {
-            "x": np.asarray(x),
-            "dxdr": None if dxdr is None else np.asarray(dxdr)[:nseq],
+            "x": x,
+            "dxdr": dxdr,
             "elements": list(getattr(atoms, "symbols", [])) or [
                 _SYMBOLS.get(int(zz), str(zz)) for zz in numbers],
             "seq": seq if self.derivative else None,
+            "nseq": nseq,
         }
         if self.stress and pstress is not None:
             vol = atoms.get_volume()
-            out["rdxdr"] = -np.asarray(pstress)[:nseq] / vol
+            out["rdxdr"] = -pstress / vol
         else:
             out["rdxdr"] = None
         return out
