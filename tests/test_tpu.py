@@ -305,6 +305,45 @@ def test_k_block_serving_pallas_compiled(monkeypatch):
 
 
 @skip_off_tpu
+def test_device_pack_serving_on_tpu(monkeypatch):
+    """End-to-end predict_structure on the chip: the device-resident
+    descriptor+gather pack (GP._device_pack_serving) vs the host-pack
+    path -- the production per-NEB-step serving route."""
+    from gpr_calculator_tpu.atoms import Atoms
+    from gpr_calculator_tpu.calculators import EMT
+    from gpr_calculator_tpu.models import GP, RBF
+    from gpr_calculator_tpu.ops.so3 import SO3
+
+    rng = np.random.RandomState(2)
+    a0 = 2.55
+    grid = np.array([[0, 0, 0], [a0, 0, 0], [0.5 * a0, 0.5 * a0, 0],
+                     [0, a0, 0], [0.5 * a0, 0, 0.5 * a0],
+                     [0, 0.5 * a0, 0.5 * a0]])
+    strucs = [Atoms(numbers=[29] * 6,
+                    positions=grid + 0.1 * rng.randn(6, 3),
+                    cell=np.eye(3) * 11, pbc=False) for _ in range(3)]
+    calc = EMT()
+    gp = GP(kernel=RBF(para=[1.0, 1.0]),
+            descriptor=SO3(nmax=2, lmax=2, rcut=4.0),
+            noise_e=0.005, noise_f=0.1, log_file="/tmp/gpr_tpu_dp.log")
+    for s in strucs[:2]:
+        gp.add_structure((s, calc.get_potential_energy(s),
+                          calc.get_forces(s)))
+    gp.fit(show=False, opt=False)
+    monkeypatch.setenv("GPR_CALC_TPU_DEVICE_PACK", "0")
+    host = gp.predict_structure(strucs[2], return_std=True)
+    monkeypatch.setenv("GPR_CALC_TPU_DEVICE_PACK", "1")
+    assert gp._device_pack_serving()
+    dev = gp.predict_structure(strucs[2], return_std=True)
+    for h, d in zip(host, dev):
+        if h is None:
+            assert d is None
+            continue
+        np.testing.assert_allclose(np.asarray(d), np.asarray(h),
+                                   rtol=2e-5, atol=2e-6)
+
+
+@skip_off_tpu
 def test_kff_pallas_wide_nsub_bucket_compiled():
     """B=96 (tp2=4, nsub=32) symmetric triangular build COMPILED on the
     chip: the shape that crashed the old 4-bit cell packing (advisor
