@@ -30,6 +30,19 @@ def r2(true, predicted):
         np.sum((true - tbar) ** 2) + 1e-8)
 
 
+def metric_single(y_train, y_train_pred, header, show_max=False):
+    """One-line scoreboard for a single split (utilities.py:87-95)."""
+    r2_v, mae_v, rmse_v = metric_values(y_train, y_train_pred)
+    s = (f"{header} [{len(y_train):4d}]: R2 {r2_v:8.4f} "
+         f"MAE {mae_v:6.3f} RMSE {rmse_v:6.3f}")
+    if show_max:
+        diff = np.abs(np.asarray(y_train_pred, float)
+                      - np.asarray(y_train, float))
+        s += f"  Max {float(diff.max()):6.4f}"
+    print(s)
+    return s
+
+
 def metrics(y_train, y_test, y_train_pred, y_test_pred, header):
     r2_1, mae_1, rmse_1 = metric_values(y_train, y_train_pred)
     r2_2, mae_2, rmse_2 = metric_values(y_test, y_test_pred)
@@ -56,6 +69,22 @@ def get_train_data(db_file, include_stress=False):
     if include_stress:
         return strucs, energies, forces, stresses
     return strucs, energies, forces
+
+
+def get_strucs(db_file, N_max=None):
+    """(structures, [(E, F, S or None), ...]) from an ASE-format sqlite db
+    (utilities.py:225-242)."""
+    from .io.ase_db import read_db
+    structures, values = [], []
+    for row in read_db(db_file):
+        structures.append(row["atoms"])
+        data = row["data"]
+        S = data.get("stress")
+        values.append((data["energy"], np.asarray(data["force"]),
+                       None if S is None else np.asarray(S)))
+        if N_max is not None and len(values) == N_max:
+            break
+    return structures, values
 
 
 def convert_struc(db_file, des, ids=None, N=None, stress=False, ncpu=1):
@@ -96,6 +125,57 @@ def get_data(db_name, des, N_force=100000, lists=None, select=False,
                         Y["forces"][idx], True, f_ids))
     return {"energy": [] if no_energy else energy_data,
             "force": force_data, "db": db_data}
+
+
+# -- point-list <-> packed-tuple converters (utilities.py:340-405) -----------
+
+def list_to_tuple(data, stress=False, include_value=False, mode="force"):
+    """Concatenate a list of per-point tuples into one stacked tuple.
+
+    ``mode='force'`` points are ``(x, dxdr[, f], ele)`` with x (Ni, d),
+    dxdr (Ni, d, 3|9); ``mode='energy'`` points are ``(x[, e], ele)``.
+    Returns ``(X, [dXdR,] ELE, indices[, values])`` — the layout the
+    reference's MPI train-data broadcast used (utilities.py:340-390); here
+    it is a plain serialization/IPC convenience (packing for the TPU build
+    is ops/packing.py's job).
+    """
+    rows = sum(p[0].shape[0] for p in data)
+    d = data[0][0].shape[1]
+    X = np.zeros((rows, d))
+    ELE, indices, values = [], [], []
+    if mode == "force":
+        dXdR = np.zeros((rows, d, 9 if stress else 3))
+    count = 0
+    for p in data:
+        x = np.asarray(p[0], float)
+        n = x.shape[0]
+        X[count:count + n] = x
+        if mode == "force":
+            dXdR[count:count + n] = np.asarray(p[1], float)
+        if include_value:
+            values.append(p[-2])
+        ELE.extend(np.asarray(p[-1]).tolist())
+        indices.append(n)
+        count += n
+    ELE = np.ravel(ELE)
+    out = (X, dXdR, ELE, indices) if mode == "force" else (X, ELE, indices)
+    return out + (values,) if include_value else out
+
+
+def tuple_to_list(data, mode="force"):
+    """Inverse of :func:`list_to_tuple` (utilities.py:393-405)."""
+    out, c = [], 0
+    if mode == "force":
+        X, dXdR, ELE, indices = data
+        for n in indices:
+            out.append((X[c:c + n], dXdR[c:c + n], ELE[c:c + n]))
+            c += n
+    else:
+        X, ELE, indices = data
+        for n in indices:
+            out.append((X[c:c + n], ELE[c:c + n]))
+            c += n
+    return out
 
 
 # -- plotting (utilities.py:277-338) ------------------------------------------
