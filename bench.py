@@ -31,6 +31,23 @@ import numpy as np
 _SCALE = os.environ.get("GPR_BENCH_SCALE", "full")
 SMALL = _SCALE == "small"
 
+# Wall-clock guard: the driver runs this script with a bounded timeout at
+# round end, and a single cold-cache remote TPU compile can cost 400+ s
+# (measured: the XLA 'sym' comparison program, 464 s).  The headline
+# (fused Pallas build + C++ reference baseline) always runs; everything
+# else (extra impls, per-iteration NLL timings, the 2x-scale point) is
+# skipped once the budget is spent so the JSON line is always printed.
+_T0 = time.time()
+_BUDGET_S = float(os.environ.get("GPR_BENCH_BUDGET_S", "600"))
+
+
+def _over_budget(phase):
+    if time.time() - _T0 > _BUDGET_S:
+        print(f"# budget ({_BUDGET_S:.0f}s) spent -- skipping {phase}",
+              file=sys.stderr)
+        return True
+    return False
+
 # workload shape: 1000 energy points (32 envs), 3000 force points (32 envs),
 # d=30 (SO3 nmax=3, lmax=4) -> covariance (1000 + 9000)^2.
 # "large" doubles the structure count (20k x 20k covariance, 2x the
@@ -156,17 +173,21 @@ def bench_tpu(scale):
         st["compile_s"] = compile_and_first
         return st
 
-    # 'sym' computes only the upper triangle of chunk pairs (~2x) in
-    # plain XLA; 'pallas' is the fused production build at the default
-    # bf16x4 matmul mode (f32-equivalent: exact Gram of bf16-pair-rounded
-    # inputs); 'pallas_bf16' is the documented fast mode (exact Gram of
+    # 'pallas' is the fused production build at the default bf16x4 matmul
+    # mode (f32-equivalent: exact Gram of bf16-pair-rounded inputs);
+    # 'pallas_bf16' is the documented fast mode (exact Gram of
     # bf16-rounded inputs, ~2e-3 input perturbation -- inside the GPR
     # noise assumption but not f32-identical, so it is reported but NOT
-    # eligible for the headline unless GPR_BENCH_ALLOW_BF16=1).
+    # eligible for the headline unless GPR_BENCH_ALLOW_BF16=1).  The
+    # plain-XLA comparison point 'sym' (upper-triangle chunk pairs, ~6x
+    # slower; measured 1950 ms at the 10k scale) is opt-in via
+    # GPR_BENCH_IMPLS -- its cold-cache compile alone costs ~460 s.
     impls = os.environ.get("GPR_BENCH_IMPLS",
-                           "sym,pallas,pallas_bf16").split(",")
+                           "pallas,pallas_bf16").split(",")
     results = {}
     for impl in impls:
+        if results and _over_budget(f"impl {impl}"):
+            break
         try:
             results[impl] = timed(impl)
             print(f"# [{scale}] {impl}: {results[impl]['min_ms']:.0f} ms "
@@ -184,7 +205,16 @@ def bench_tpu(scale):
     # fused dual (K, dK/dgamma) pass, Dot through the gradient-free
     # analytic build (round-2 VERDICT item 4: Dot must be within 2x of
     # RBF) -- both are the programs GP.fit actually runs
+    def _best(results):
+        eligible = {k: v for k, v in results.items()
+                    if k != "pallas_bf16"
+                    or os.environ.get("GPR_BENCH_ALLOW_BF16") == "1"}
+        return min(eligible or results,
+                   key=lambda k: (eligible or results)[k]["min_ms"])
+
     nll_ms = {}
+    if scale == "large" or _over_budget("nll+grad timings"):
+        return results, _best(results), {}
     try:
         from gpr_calculator_tpu.models.gp import (_nll_dot_analytic,
                                                   _nll_rbf_analytic)
@@ -211,12 +241,7 @@ def bench_tpu(scale):
         print(f"# nll+grad measurement skipped: {type(exc).__name__}: "
               f"{str(exc)[:160]}", file=sys.stderr)
 
-    eligible = {k: v for k, v in results.items()
-                if k != "pallas_bf16"
-                or os.environ.get("GPR_BENCH_ALLOW_BF16") == "1"}
-    best_impl = min(eligible or results,
-                    key=lambda k: (eligible or results)[k]["min_ms"])
-    return results, best_impl, nll_ms
+    return results, _best(results), nll_ms
 
 
 def workload_flops(scale):
@@ -312,11 +337,18 @@ def bench_reference_cpp(scale):
 PEAK_F32_TFLOPS = 49.2   # v5e MXU, fp32 passes (bf16 peak 197 / 4)
 
 
-def run_scale(scale):
-    """One scale's full measurement: returns the JSON-able record."""
+def run_scale(scale, baseline_single_ms=None):
+    """One scale's full measurement: returns the JSON-able record.
+
+    baseline_single_ms: reuse an already-measured single-core reference
+    time from another scale, rescaled by the env-pair-count ratio (the
+    same linear-in-work extrapolation bench_reference_cpp itself uses) --
+    avoids a second g++ compile + multi-second C++ run inside the budget.
+    """
     results, best_impl, nll_ms = bench_tpu(scale)
     best = results[best_impl]
-    baseline_single_ms = bench_reference_cpp(scale)
+    if baseline_single_ms is None:
+        baseline_single_ms = bench_reference_cpp(scale)
     if baseline_single_ms is not None:
         baseline_ms = baseline_single_ms / N_RANKS_BASELINE
         vs = baseline_ms / best["min_ms"]
@@ -337,6 +369,7 @@ def run_scale(scale):
           f"{tflops:.2f} TFLOP/s achieved, MFU={100*mfu:.1f}% of f32 peak "
           f"({PEAK_F32_TFLOPS} TF)", file=sys.stderr)
     rec = {
+        "_baseline_single_ms": baseline_single_ms,
         "value": round(best["min_ms"], 1),
         "median_ms": round(best["median_ms"], 1),
         "n_samples": best["n"],
@@ -364,15 +397,26 @@ def main():
            "vs_baseline": rec["vs_baseline"]}
     out.update({k: v for k, v in rec.items()
                 if k not in ("value", "vs_baseline")})
-    if _SCALE == "full" and os.environ.get("GPR_BENCH_SKIP_LARGE") != "1":
+    if (_SCALE == "full" and os.environ.get("GPR_BENCH_SKIP_LARGE") != "1"
+            and not _over_budget("large-scale point")):
         # the 2x-scale point, in-process (same TPU client; a subprocess
         # would deadlock the axon tunnel)
         try:
             os.environ["GPR_BENCH_IMPLS"] = out["impl"]
-            out["large_scale"] = run_scale("large")
+            # reuse the measured full-scale C++ baseline: single-core
+            # time scales with (lhs envs) x (rhs envs) = (m_f*b_f)^2
+            base_full = rec.get("_baseline_single_ms")
+            scaled = None
+            if base_full:
+                (_, _b), (mf_f, bf_f), _ = shape_of("full")
+                (_, _b), (mf_l, bf_l), _ = shape_of("large")
+                scaled = base_full * ((mf_l * bf_l) / (mf_f * bf_f)) ** 2
+            out["large_scale"] = run_scale("large", baseline_single_ms=scaled)
+            out["large_scale"].pop("_baseline_single_ms", None)
         except Exception as exc:
             print(f"# large-scale point skipped: {type(exc).__name__}: "
                   f"{str(exc)[:160]}", file=sys.stderr)
+    out.pop("_baseline_single_ms", None)
     print(json.dumps(out))
 
 
