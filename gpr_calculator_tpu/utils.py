@@ -87,6 +87,13 @@ def get_strucs(db_file, N_max=None):
     return structures, values
 
 
+def fea(des, struc):
+    """One structure's descriptor dict (utilities.py:244-246; the
+    reference's multiprocessing map target -- here `convert_struc` maps
+    serially since the descriptor itself is a jitted device program)."""
+    return des.calculate(struc)
+
+
 def convert_struc(db_file, des, ids=None, N=None, stress=False, ncpu=1):
     from .io.ase_db import read_db
     structures, train_Y = [], {"energy": [], "forces": [], "stress": []}

@@ -177,3 +177,16 @@ def test_get_strucs_roundtrip(tmp_path):
     assert len(strucs) == 1
     E, F, S = values[0]
     assert E == -3.0 and F.shape == (2, 3) and S is None
+
+
+def test_fea_matches_descriptor_calculate():
+    from gpr_calculator_tpu.atoms import Atoms
+    from gpr_calculator_tpu.ops.so3 import SO3
+    from gpr_calculator_tpu.utils import fea
+    a = Atoms(["Si", "Si"], positions=[[0, 0, 0], [2.2, 0, 0]],
+              cell=8 * np.eye(3))
+    des = SO3(nmax=2, lmax=2, rcut=4.0)
+    out = fea(des, a)
+    ref = des.calculate(a)
+    assert np.allclose(out["x"], ref["x"])
+    assert out["seq"].shape == ref["seq"].shape
