@@ -12,11 +12,13 @@ extended in O(n^2 k):
     L_c = chol(C - S^T S)            (k x k)
 
 The production opt=False refit path (GP._try_incremental_fit) keeps ONE
-canonical factor -- the explicit inverse in a donated capacity buffer --
-and Schur-updates it in place (kinv_append_update_buf): serving variance
-reads K^-1 directly (an MXU GEMM, where triangular solves against L
-would serialise on TPU), and the L copy that round 2 kept alongside
-doubled the covariance-scale device memory for no consumer.
+canonical factor -- the lower Cholesky factor in a donated capacity
+buffer -- and extends it in place (chol_append_buf): the weights and the
+serving variance are both computed by triangular solves against L, which
+are backward stable at any conditioning.  (An explicit-inverse Schur
+update was tried and REJECTED: it loses ~cond(K) digits in alpha, a
+measured 8 meV energy error at GPR conditioning sigma^2/noise^2 ~ 1e9.
+Do not rebuild that design.)
 """
 from __future__ import annotations
 
@@ -27,73 +29,8 @@ import jax.numpy as jnp
 
 
 @jax.jit
-def chol_append(L: jnp.ndarray, B: jnp.ndarray,
-                C: jnp.ndarray) -> jnp.ndarray:
-    """Extend the lower Cholesky factor L of K to the factor of
-    [[K, B], [B^T, C]].
-
-    Args:
-        L: (n, n) lower factor of K
-        B: (n, k) cross covariance
-        C: (k, k) new self block (noise already added)
-    Returns:
-        the full (n+k, n+k) lower factor.
-    """
-    n = L.shape[0]
-    k = C.shape[0]
-    S = jax.scipy.linalg.solve_triangular(L, B, lower=True)     # (n, k)
-    Lc = jnp.linalg.cholesky(C - S.T @ S)
-    top = jnp.concatenate([L, jnp.zeros((n, k), L.dtype)], axis=1)
-    bot = jnp.concatenate([S.T, Lc], axis=1)
-    return jnp.concatenate([top, bot], axis=0)
-
-
-@jax.jit
 def chol_solve_lower(L: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return jax.scipy.linalg.cho_solve((L, True), y)
-
-
-@jax.jit
-def chol_append_update(L0: jnp.ndarray, Kinv0: jnp.ndarray,
-                       B: jnp.ndarray, C: jnp.ndarray, y: jnp.ndarray):
-    """One-shot device program for an incremental refit: extend the factor,
-    Schur-update the explicit inverse, and re-solve the weights.
-
-    This is the production opt=False path (GP._try_incremental_fit): the
-    whole update is O(n^2 k) on device with no host round-trip, vs the
-    reference's O(n^3) from-scratch refactorise per refit
-    (gaussianprocess.py:297).
-
-    Args:
-        L0:    (n, n) lower factor of K (insertion order)
-        Kinv0: (n, n) explicit inverse of K
-        B:     (n, k) cross covariance K(old, new)
-        C:     (k, k) new self block with noise added
-        y:     (n + k,) training labels in the extended insertion order
-    Returns:
-        (L_new, Kinv_new, alpha, lc_diag); lc_diag is the new block's
-        Cholesky diagonal -- non-finite or <= 0 entries signal a
-        not-positive-definite extension (caller falls back to a full
-        refactorisation).
-    """
-    n = L0.shape[0]
-    k = C.shape[0]
-    S = jax.scipy.linalg.solve_triangular(L0, B, lower=True)    # (n, k)
-    schur = C - S.T @ S
-    Lc = jnp.linalg.cholesky(schur)
-    top = jnp.concatenate([L0, jnp.zeros((n, k), L0.dtype)], axis=1)
-    bot = jnp.concatenate([S.T, Lc], axis=1)
-    L_new = jnp.concatenate([top, bot], axis=0)
-
-    T = Kinv0 @ B                                               # (n, k)
-    Qinv = jax.scipy.linalg.cho_solve(
-        (Lc, True), jnp.eye(k, dtype=L0.dtype))
-    top_inv = jnp.concatenate([Kinv0 + T @ Qinv @ T.T, -T @ Qinv], axis=1)
-    bot_inv = jnp.concatenate([-(T @ Qinv).T, Qinv], axis=1)
-    Kinv_new = jnp.concatenate([top_inv, bot_inv], axis=0)
-
-    alpha = jax.scipy.linalg.cho_solve((L_new, True), y)
-    return L_new, Kinv_new, alpha, jnp.diagonal(Lc)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),

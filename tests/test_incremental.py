@@ -7,20 +7,60 @@ import jax.numpy as jnp
 from gpr_calculator_tpu.calculators import EMT
 from gpr_calculator_tpu.models import GP, RBF
 from gpr_calculator_tpu.ops.so3 import SO3
-from gpr_calculator_tpu.ops.linalg import chol_append
+from gpr_calculator_tpu.ops.linalg import chol_append_buf
 
 from test_gp import make_structs
 
 
-def test_chol_append_matches_full():
+def _unit_tail_buf(L0, cap):
+    n = L0.shape[0]
+    buf = np.zeros((cap, cap), L0.dtype)
+    idx = np.arange(cap)
+    buf[idx, idx] = 1.0
+    buf[:n, :n] = L0
+    return buf
+
+
+def test_chol_append_buf_matches_full():
+    """The production opt=False refit program (donated capacity buffer,
+    unit-diag tail) extends the factor and re-solves alpha exactly."""
     rng = np.random.RandomState(0)
-    A = rng.randn(12, 20)
-    K = A @ A.T + 0.5 * np.eye(12)
+    n, k, cap = 8, 4, 16
+    A = rng.randn(n + k, n + k + 8)
+    K = A @ A.T + 0.5 * np.eye(n + k)
+    y = rng.randn(n + k)
+    buf0 = _unit_tail_buf(np.linalg.cholesky(K[:n, :n]), cap)
+    buf, alpha, lcd = chol_append_buf(
+        jnp.asarray(buf0), jnp.asarray(K[:n, n:]), jnp.asarray(K[n:, n:]),
+        jnp.asarray(y), n=n, k=k)
     L_full = np.linalg.cholesky(K)
-    L_inc = np.asarray(chol_append(
-        jnp.asarray(np.linalg.cholesky(K[:8, :8])),
-        jnp.asarray(K[:8, 8:]), jnp.asarray(K[8:, 8:])))
-    np.testing.assert_allclose(L_inc, L_full, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(buf)[:n + k, :n + k], L_full,
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(alpha), np.linalg.solve(K, y),
+                               rtol=1e-9, atol=1e-11)
+    assert np.all(np.asarray(lcd) > 0)
+    # unit-diag tail invariant preserved past the new active region
+    b = np.asarray(buf)
+    tail = b[n + k:, n + k:]
+    np.testing.assert_array_equal(tail, np.eye(cap - n - k))
+    np.testing.assert_array_equal(b[:n + k, n + k:], 0.0)
+
+
+def test_chol_append_buf_flags_non_pd_extension():
+    """A not-positive-definite extension must be SIGNALLED through
+    lc_diag (non-finite / <= 0), the caller's refactorise trigger."""
+    rng = np.random.RandomState(1)
+    n, k, cap = 8, 2, 16
+    A = rng.randn(n, n + 4)
+    K0 = A @ A.T + 0.5 * np.eye(n)
+    B = rng.randn(n, k)
+    C = -np.eye(k)            # violates PSD outright
+    buf0 = _unit_tail_buf(np.linalg.cholesky(K0), cap)
+    _, _, lcd = chol_append_buf(
+        jnp.asarray(buf0), jnp.asarray(B), jnp.asarray(C),
+        jnp.asarray(rng.randn(n + k)), n=n, k=k)
+    lcd = np.asarray(lcd)
+    assert not (np.all(np.isfinite(lcd)) and np.all(lcd > 0)), lcd
 
 
 def test_incremental_fit_matches_full_refit():
