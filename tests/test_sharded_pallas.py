@@ -144,6 +144,7 @@ def test_k_self_mesh_dispatch(monkeypatch):
     from gpr_calculator_tpu.ops.packing import pack_energy
 
     monkeypatch.setenv("GPR_CALC_TPU_KFF_INTERPRET", "1")
+    monkeypatch.setenv("GPR_CALC_TPU_SHARDED_GATE", "off")  # tiny model
     rng = np.random.RandomState(22)
     fpts = [(rng.uniform(0.2, 1.0, (4, 6)),
              rng.uniform(-1.0, 1.0, (4, 6, 3)),
@@ -188,6 +189,62 @@ def test_pallas_self_blocks_sharded_dot_kernel():
     assert np.abs(np.asarray(K) - K_ref).max() < 3e-5 * scale
 
 
+def test_small_model_on_mesh_takes_xla_route(monkeypatch):
+    """Work-proportionality gate (round-3 VERDICT weak #5 / item 5): a
+    20-point model on the 8-way mesh must NOT take the padded sharded
+    Pallas routes (serving would pad 20 -> TPC*8 = 1024 training force
+    points, >90% padding) -- it falls back to the GSPMD XLA build and
+    still matches."""
+    import gpr_calculator_tpu.parallel.sharded_kernels as sk
+    from gpr_calculator_tpu.ops.packing import pack_energy
+
+    monkeypatch.setenv("GPR_CALC_TPU_KFF_INTERPRET", "1")
+    rng = np.random.RandomState(31)
+    fpts = [(rng.uniform(0.2, 1.0, (4, 6)),
+             rng.uniform(-1.0, 1.0, (4, 6, 3)),
+             rng.choice([13, 79], 4)) for _ in range(20)]
+    epts = [(x, el) for x, _, el in fpts[:8]]
+    f = _f32tree(pack_force(fpts, m_pad=24, b_pad=4))
+    e = _f32tree(pack_energy(epts, m_pad=8, a_pad=4))
+    mesh = make_mesh(8)
+    params = _params32()
+
+    def boom(*a, **kw):
+        raise AssertionError("padded sharded Pallas route taken for a "
+                             "padding-dominated model")
+
+    monkeypatch.setattr(sk, "pallas_self_blocks_sharded", boom)
+    monkeypatch.setattr(sk, "k_block_pallas_sharded", boom)
+
+    K_ref = np.asarray(kernels.k_self(e, f, params, "rbf", 2,
+                                      allow_pallas=False))
+    K = np.asarray(kernels.k_self(e, f, params, "rbf", 2, mesh=mesh))
+    np.testing.assert_allclose(K, K_ref, rtol=1e-6, atol=1e-7)
+
+    Kd_ref = np.asarray(kernels.k_self(e, f, params, "rbf_dgamma", 2,
+                                       allow_pallas=False))
+    Kk, Kd = kernels.k_self_dual(e, f, params, 2, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(Kk), K_ref, rtol=1e-6,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(Kd), Kd_ref, rtol=1e-6,
+                               atol=1e-7)
+
+    B_ref = np.asarray(kernels.k_block(e, f, e, f, params, "rbf", 2,
+                                       allow_pallas=False))
+    B = np.asarray(kernels.k_block(e, f, e, f, params, "rbf", 2,
+                                   mesh=mesh))
+    np.testing.assert_allclose(B, B_ref, rtol=1e-6, atol=1e-7)
+
+    # the gates themselves, directly
+    assert not kernels._sharded_train_ok(f, 8)
+    assert not kernels._sharded_serving_ok(f, 8)
+    # and at the production scale both pass (m_f >= TPC/2, balanced)
+    f_big = _f32tree(pack_force(fpts * 13, m_pad=260, b_pad=4))
+    assert kernels._sharded_train_ok(f_big, 8)
+    f_huge = _f32tree(pack_force(fpts * 26, m_pad=520, b_pad=4))
+    assert kernels._sharded_serving_ok(f_huge, 8)
+
+
 def test_k_block_serving_sharded_matches_xla(monkeypatch):
     """Serving cross-covariance with the training force axis
     column-striped over the mesh == the XLA k_block (pred/train bucket
@@ -197,6 +254,7 @@ def test_k_block_serving_sharded_matches_xla(monkeypatch):
         k_block_pallas_sharded
 
     monkeypatch.setenv("GPR_CALC_TPU_KFF_INTERPRET", "1")
+    monkeypatch.setenv("GPR_CALC_TPU_SHARDED_GATE", "off")  # tiny model
     rng = np.random.RandomState(29)
 
     def mk(n_pts, B, n_e, A):

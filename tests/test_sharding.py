@@ -90,6 +90,10 @@ def test_gp_with_mesh_matches_unsharded_pallas_forced(monkeypatch):
     from test_gp import make_structs
 
     monkeypatch.setenv("GPR_CALC_TPU_KFF_INTERPRET", "1")
+    # 3-structure model is below the work-proportionality gate; force the
+    # sharded Pallas route (the gate itself is tested in
+    # test_sharded_pallas.test_small_model_on_mesh_takes_xla_route)
+    monkeypatch.setenv("GPR_CALC_TPU_SHARDED_GATE", "off")
     old_dt = config.dtype()
     config.set_dtype(jnp.float32)
     try:
