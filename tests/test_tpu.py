@@ -382,6 +382,86 @@ def test_device_pack_serving_on_tpu(monkeypatch):
 
 
 @skip_off_tpu
+def test_sharded_pallas_training_build_compiles_on_chip():
+    """The shard_map-wrapped Mosaic TRAINING kernels lowered by the REAL
+    TPU compiler (1-device mesh, interpret=False): ownership masks,
+    in-kernel accumulation under shard_map, and the psum/all_gather glue
+    all leave interpret mode for the first time (round-3 VERDICT item 1
+    -- GP._mesh_arg hides 1-device meshes, so only this direct call can
+    compile the sharded form on one chip).  Parity vs the unsharded
+    symmetric XLA build, incl. the dual (K, dK/dgamma) pass."""
+    import jax.numpy as jnp
+    from gpr_calculator_tpu.ops import kernels as K_ops
+    from gpr_calculator_tpu.parallel import make_mesh
+    from gpr_calculator_tpu.parallel.sharded_kernels import \
+        pallas_self_blocks_sharded
+
+    e, f = _bench_like_data(m_e=16, m_f=64, seed=13)
+    mesh = make_mesh(1)
+    params = {"sigma": jnp.asarray(1.6, jnp.float32),
+              "l": jnp.asarray(0.9, jnp.float32)}
+    K_ref = _fetch(K_ops.k_self(e, f, params, "rbf", 2, row_chunk=8,
+                                symmetric=True, allow_pallas=False))
+    Kd_ref = _fetch(K_ops.k_self(e, f, params, "rbf_dgamma", 2,
+                                 row_chunk=8, symmetric=True,
+                                 allow_pallas=False))
+    Kk, Kd = pallas_self_blocks_sharded(e, f, params, "rbf", 2,
+                                        dual=True, mesh=mesh,
+                                        interpret=False)
+    scale = np.abs(K_ref).max()
+    assert np.abs(_fetch(Kk) - K_ref).max() < 5e-4 * scale
+    dscale = max(np.abs(Kd_ref).max(), 1e-8)
+    assert np.abs(_fetch(Kd) - Kd_ref).max() < 5e-4 * dscale
+
+
+@skip_off_tpu
+def test_sharded_pallas_serving_build_compiles_on_chip():
+    """k_block_pallas_sharded (the route mesh users' serving hits)
+    lowered by the real TPU compiler on a 1-device mesh (round-3 VERDICT
+    item 1): column-striped rect kernels + all_gather glue, vs the
+    unsharded XLA k_block."""
+    import jax.numpy as jnp
+    from gpr_calculator_tpu.ops import kernels as K_ops
+    from gpr_calculator_tpu.parallel import make_mesh
+    from gpr_calculator_tpu.parallel.sharded_kernels import \
+        k_block_pallas_sharded
+
+    e1, f1 = _bench_like_data(m_e=8, a=24, b=16, m_f=24, seed=14)
+    e2, f2 = _bench_like_data(m_e=16, a=24, b=16, m_f=40, seed=15)
+    mesh = make_mesh(1)
+    params = {"sigma": jnp.asarray(1.5, jnp.float32),
+              "l": jnp.asarray(0.9, jnp.float32)}
+    ref = _fetch(K_ops.k_block(e1, f1, e2, f2, params, "rbf", 2,
+                               row_chunk=8, allow_pallas=False))
+    out = _fetch(k_block_pallas_sharded(e1, f1, e2, f2, params, mesh,
+                                        "rbf", 2, interpret=False))
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() < 5e-4 * scale
+
+
+@skip_off_tpu
+def test_sharded_cholesky_compiles_on_chip():
+    """The mesh-sharded blocked Cholesky (parallel/cholesky.py --
+    _chol_mesh's at-scale P10 replacement) lowered by the real TPU
+    compiler on a 1-device mesh: shard_map + fori_loop + dynamic slices
+    + all_gather, vs the host factor."""
+    import jax.numpy as jnp
+    from gpr_calculator_tpu.parallel import make_mesh
+    from gpr_calculator_tpu.parallel.cholesky import cholesky_sharded
+
+    n = 1024
+    rng = np.random.RandomState(17)
+    A = rng.randn(n, n + 16).astype(np.float32)
+    K = A @ A.T + n * np.eye(n, dtype=np.float32)
+    mesh = make_mesh(1)
+    L = _fetch(cholesky_sharded(jnp.asarray(K), mesh, nb=256))
+    L_ref = np.linalg.cholesky(K.astype(np.float64))
+    scale = np.abs(L_ref).max()
+    assert np.abs(L - L_ref).max() < 5e-5 * scale
+    assert np.abs(np.triu(L, 1)).max() == 0.0
+
+
+@skip_off_tpu
 def test_kff_pallas_wide_nsub_bucket_compiled():
     """B=96 (tp2=4, nsub=32) symmetric triangular build COMPILED on the
     chip: the shape that crashed the old 4-bit cell packing (advisor
