@@ -79,9 +79,21 @@ def _resolve_chol_mode(mesh, n: int) -> str:
     mode = os.environ.get("GPR_CALC_TPU_SHARDED_CHOL", "auto")
     if mesh is None or mesh.devices.size < 2 or mode == "off":
         return "replicated"
-    if mode == "on" or (mesh.devices.size >= 4 and n >= 4096):
+    if mode == "on":
         return "sharded"
-    return "replicated"
+    n_dev = mesh.devices.size
+    if n_dev < 4 or n < 4096:
+        return "replicated"
+    # the sharded factor pads rows to nb*n_dev granularity; near the
+    # threshold that padding can make its n_pad^3/n_dev per-device work
+    # EXCEED the replicated n^3/3 it is meant to beat -- compare the
+    # modelled costs at the actual padded size
+    from ..parallel.cholesky import NB
+    rows_per = -(-n // (NB * n_dev)) * NB
+    n_pad = rows_per * n_dev
+    if n_pad ** 3 / n_dev > n ** 3 / 3:
+        return "replicated"
+    return "sharded"
 
 
 def _chol_mesh(K, mesh, chol_mode: str = "replicated"):

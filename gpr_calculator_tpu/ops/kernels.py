@@ -754,6 +754,11 @@ def _foreign_sharded(f: ForceData, mesh) -> bool:
 
 
 def _sharded_gate_off() -> bool:
+    """NOTE: read at TRACE time inside jitted callers -- flipping the
+    env var after a same-shape program has compiled is silently ignored
+    (the jit cache key does not include it).  Test/diagnostic use only:
+    set it before the first trace, or force a retrace by varying a
+    static arg (as __graft_entry__._dryrun_body does)."""
     import os
     return os.environ.get("GPR_CALC_TPU_SHARDED_GATE", "auto") == "off"
 
@@ -770,20 +775,16 @@ def _sharded_train_ok(f: ForceData, n_dev: int) -> bool:
     diagnostics)."""
     if _sharded_gate_off():
         return True
-    from ..parallel.sharded_kernels import _partition_tri_cells
-    from .kff_pallas import (TPC, _lhs_tile_points, _rhs_tile_points,
-                             _tri_cells)
+    from ..parallel.sharded_kernels import tri_schedule
+    from .kff_pallas import TPC
     m_f, B = f.x.shape[0], f.x.shape[1]
     if 2 * m_f < TPC:          # m2p >= 2 m_f: padding-dominated
         return False
     m2p = -(-m_f // TPC) * TPC
-    tp2 = _rhs_tile_points(B)
-    tp1 = _lhs_tile_points(B, tp2 * B, four_rows=True)
-    if not tp1 or not tp2:
+    sched = tri_schedule(m2p, B, n_dev)
+    if sched is None:
         return False
-    nrt, ncb, nsub = m2p // tp1, m2p // TPC, TPC // tp2
-    codes, sbits, jbits = _tri_cells(nrt, ncb, nsub, tp2, tp1)
-    cells, _ = _partition_tri_cells(codes, sbits, jbits, n_dev, nrt, ncb)
+    codes, cells, _ = sched
     return n_dev * cells.shape[1] <= 2 * max(len(codes), 1)
 
 

@@ -33,8 +33,6 @@ diagonal and zero coupling, so its factor is the identity and the
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -100,8 +98,3 @@ def cholesky_sharded(K: jnp.ndarray, mesh, nb: int = NB) -> jnp.ndarray:
     L = fn(Kp)
     L = jnp.tril(L)      # the strict upper region holds stale K values
     return L[:n, :n]
-
-
-@functools.partial(jax.jit, static_argnames=("mesh", "nb"))
-def cholesky_sharded_jit(K: jnp.ndarray, mesh, nb: int = NB):
-    return cholesky_sharded(K, mesh, nb=nb)

@@ -31,6 +31,7 @@ compiled kernels per chip.
 """
 from __future__ import annotations
 
+import functools
 
 import numpy as np
 import jax
@@ -173,6 +174,29 @@ def _partition_tri_cells(codes: np.ndarray, sbits: int, jbits: int,
     return out, owned
 
 
+@functools.lru_cache(maxsize=64)
+def tri_schedule(m2p: int, B: int, n_dev: int):
+    """(codes, cells, owned) of the n_dev-way partitioned triangular
+    cell schedule for the padded force geometry, or None when the tile
+    geometry is infeasible.  lru-cached: the work-proportionality gate
+    (ops.kernels._sharded_train_ok) and pallas_self_blocks_sharded both
+    need it, and the schedule is ~150k cells of host numpy at the
+    20k-row scale -- recomputing per retrace would double trace cost."""
+    from ..ops.kff_pallas import (TPC, _lhs_tile_points,
+                                  _rhs_tile_points, _tri_cells)
+    tp2 = _rhs_tile_points(B)
+    if not tp2:
+        return None
+    tp1 = _lhs_tile_points(B, tp2 * B, four_rows=True)
+    if not tp1:
+        return None
+    nrt, ncb, nsub = m2p // tp1, m2p // TPC, TPC // tp2
+    codes, sbits, jbits = _tri_cells(nrt, ncb, nsub, tp2, tp1)
+    cells, owned = _partition_tri_cells(codes, sbits, jbits, n_dev,
+                                        nrt, ncb)
+    return codes, cells, owned
+
+
 def pallas_self_blocks_sharded(e, f, params, kind: str, zeta: int,
                                dual: bool, mesh,
                                interpret: bool | None = None,
@@ -182,11 +206,10 @@ def pallas_self_blocks_sharded(e, f, params, kind: str, zeta: int,
     ``mesh``; the result is REPLICATED (it feeds the replicated
     Cholesky, reference P10).  Mirrors ops/kernels._pallas_self_blocks
     block-for-block; same build-once operand contract."""
-    from ..ops.kff_pallas import (TP1, TPC, _lhs_tile_points,
-                                  _resolve_precision, _rhs_tile_points,
-                                  _tri_cells, energy_operand,
-                                  force_operand, kee_from_ops,
-                                  kef_from_ops, kff_from_ops)
+    from ..ops.kff_pallas import (TP1, TPC, _resolve_precision,
+                                  energy_operand, force_operand,
+                                  kee_from_ops, kef_from_ops,
+                                  kff_from_ops)
     n_dev = mesh.devices.size
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -208,15 +231,14 @@ def pallas_self_blocks_sharded(e, f, params, kind: str, zeta: int,
     e_lhs, e_rhs, e_w = energy_operand(e, mode, multiple=e_mult)
     f_lhs, f_rhs, f_re = force_operand(f, mode, f_mult)
 
-    # triangular schedule over the padded force geometry
-    tp2 = _rhs_tile_points(B)
-    t2 = tp2 * B
-    tp1 = _lhs_tile_points(B, t2, four_rows=True)
+    # triangular schedule over the padded force geometry (cached --
+    # the dispatch gate computed the same partition)
     m2p = f_lhs.shape[1] // B
-    nrt, ncb, nsub = m2p // tp1, m2p // TPC, TPC // tp2
-    codes, sbits, jbits = _tri_cells(nrt, ncb, nsub, tp2, tp1)
-    cells_st, owned_st = _partition_tri_cells(codes, sbits, jbits,
-                                              n_dev, nrt, ncb)
+    sched = tri_schedule(m2p, B, n_dev)
+    assert sched is not None, \
+        "tile geometry infeasible -- the dispatch gate should have " \
+        "routed this build to XLA"
+    _, cells_st, owned_st = sched
 
     kff_kw = dict(B1=B, B2=B, zeta=zeta, interpret=interpret,
                   symmetric=True, deriv=dg, mode=mode, kind=pk,

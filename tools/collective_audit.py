@@ -105,12 +105,14 @@ def main(n_devices: int = 8):
               pe, pf, e, f, params, a, Lf, "rbf", 2, True, 0, False,
               True, mesh=mesh), e, f, alpha, L)
     os.environ["GPR_CALC_TPU_SHARDED_GATE"] = "off"
-    audit("serve: cross-covariance, gate forced off (column-striped "
-          "k_block_pallas_sharded route)",
-          lambda e, f, a, Lf: _predict_packed(
-              pe, pf, e, f, params, a, Lf, "rbf", 2, True, 8, False,
-              True, mesh=mesh), e, f, alpha, L)
-    del os.environ["GPR_CALC_TPU_SHARDED_GATE"]
+    try:
+        audit("serve: cross-covariance, gate forced off (column-striped "
+              "k_block_pallas_sharded route)",
+              lambda e, f, a, Lf: _predict_packed(
+                  pe, pf, e, f, params, a, Lf, "rbf", 2, True, 8, False,
+                  True, mesh=mesh), e, f, alpha, L)
+    finally:
+        del os.environ["GPR_CALC_TPU_SHARDED_GATE"]
     audit("train: factorisation with SHARDED Cholesky (chol_mode="
           "'sharded', production at n_dev>=4 and n>=4096)",
           lambda e, f, yy: _factorize(e, f, yy, params,
