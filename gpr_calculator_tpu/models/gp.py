@@ -62,6 +62,12 @@ def _noise_diag(e: EnergyData, f: ForceData, noise_e, noise_f):
     return jnp.concatenate([de, df])
 
 
+# column-block width of the NLL diag/trace scan; module-level so tests
+# can shrink it to exercise the multi-block + partial-tail path at CPU
+# sizes (production value keeps the solve MXU-shaped)
+_TRACE_BLK = 2048
+
+
 def _resolve_chol_mode(mesh, n: int) -> str:
     """Cholesky dispatch decision for the training factorisations,
     resolved HOST-SIDE (it becomes a static jit arg -- an env read
@@ -191,7 +197,7 @@ def _nll_rbf_analytic(theta, e: EnergyData, f: ForceData, y,
     # compile-time wall at the 100k-row ambition (round-3 VERDICT
     # weak #7); columns past n solve to zero and their scatter drops.
     n = K.shape[0]
-    blk = min(2048, n)
+    blk = min(_TRACE_BLK, n)
     n_blk = -(-n // blk)
     col = jnp.arange(n)
 
@@ -277,7 +283,7 @@ def _nll_dot_analytic(theta, e: EnergyData, f: ForceData, y,
     # column-blocked solves inside a lax.scan, cf. _nll_rbf_analytic
     n = K.shape[0]
     m_ee = e.m
-    blk = min(2048, n)
+    blk = min(_TRACE_BLK, n)
     n_blk = -(-n // blk)
     col = jnp.arange(n)
 

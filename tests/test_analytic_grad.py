@@ -133,3 +133,50 @@ def test_dot_fit_uses_analytic_and_converges():
     E, E1, F, F1 = gp.validate_data()
     assert np.all(np.isfinite(E1)) and np.all(np.isfinite(F1))
     assert np.abs(np.asarray(E) - np.asarray(E1)).max() < 0.1
+
+
+def test_nll_scan_multiblock_with_partial_tail(monkeypatch):
+    """The lax.scan rewrite of the diag(K^-1)/trace loop (round-4): with
+    the block width shrunk below n, the scan runs several blocks plus a
+    PARTIAL tail whose out-of-range columns must solve to zero and whose
+    scatters must drop -- (nll, grad) must equal the full-width
+    single-block result to fp roundoff, for both analytic NLLs."""
+    import numpy as np
+    import jax.numpy as jnp
+    import gpr_calculator_tpu.models.gp as gpmod
+    from gpr_calculator_tpu import config
+    from gpr_calculator_tpu.ops.packing import EnergyData, ForceData
+
+    rng = np.random.RandomState(3)
+    dt = config.dtype()
+    m_e, a_e, m_f, b_f, d = 5, 4, 10, 4, 6    # n = 35 rows
+    e = EnergyData(
+        x=jnp.asarray(rng.uniform(0.2, 1.0, (m_e, a_e, d)), dt),
+        ele=jnp.asarray(rng.choice([13, 79], (m_e, a_e)), jnp.int32),
+        counts=jnp.full((m_e,), float(a_e), dt),
+        nreal=jnp.asarray(m_e, jnp.int32))
+    f = ForceData(
+        x=jnp.asarray(rng.uniform(0.2, 1.0, (m_f, b_f, d)), dt),
+        dxdr=jnp.asarray(rng.uniform(-1, 1, (m_f, b_f, d, 3)), dt),
+        ele=jnp.asarray(rng.choice([13, 79], (m_f, b_f)), jnp.int32),
+        nreal=jnp.asarray(m_f, jnp.int32))
+    n = m_e + 3 * m_f
+    y = jnp.asarray(rng.randn(n) * 0.1, dt)
+    nf = jnp.asarray([0.02, 0.15], dt)
+
+    def both(theta_list, fn):
+        theta = jnp.asarray(theta_list, dt)
+        # full width: one block covers all n columns
+        monkeypatch.setattr(gpmod, "_TRACE_BLK", 2048)
+        v1, g1 = fn(theta, e, f, y, nf, 7.5, 2, True, 4)
+        # shrunk width: 3 full blocks + a partial tail (16*2=32 < 35)
+        monkeypatch.setattr(gpmod, "_TRACE_BLK", 16)
+        # row_chunk is a static arg; vary it so the jit cache does not
+        # serve the full-width program for the same shapes
+        v2, g2 = fn(theta, e, f, y, nf, 7.5, 2, True, 2)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-7, atol=1e-10)
+
+    both([1.4, 0.9, 0.05], gpmod._nll_rbf_analytic)
+    both([1.4, 1.1, 0.05], gpmod._nll_dot_analytic)
