@@ -457,6 +457,10 @@ def bench_serve():
                 "barrier_eV": round(barrier, 4),
                 "converged": bool(neb.converged),
                 "opt_steps": int(neb.nsteps),
+                # the reference's comparison count: a pure-base NEB costs
+                # 2 endpoint + 3-interior-images x steps force calls
+                # (/root/reference/README.md:50)
+                "pure_base_equivalent_calls": 2 + 3 * int(neb.nsteps),
                 "wall_s": round(wall, 1),
             }
             print(f"# neb_counts: base={neb_counts['base_calls']} "
@@ -492,7 +496,32 @@ def bench_serve():
     return serve, neb_counts
 
 
+def _backend_reachable(timeout_s: float = 240.0) -> bool:
+    """Probe backend init in a SUBPROCESS: the axon tunnel, when its
+    remote end is down, hangs device enumeration indefinitely inside a C
+    call -- without this the driver's bench run times out with no JSON
+    at all.  A cleanly-exiting probe does not wedge the device (unlike
+    killing an attached client)."""
+    code = "import jax; print(len(jax.devices()))"
+    try:
+        p = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True,
+                           text=True)
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if os.environ.get("JAX_PLATFORMS", "") == "axon" \
+            and not _backend_reachable():
+        print("# axon tunnel unreachable: backend init hung >240s",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": "kernel_build_plus_cholesky_ms_per_fit_10k",
+            "value": None, "unit": "ms", "vs_baseline": None,
+            "error": "tpu tunnel unreachable (backend init hung)"}))
+        return
     rec = run_scale(_SCALE)
     out = {"metric": f"kernel_build_plus_cholesky_ms_per_fit_"
                      f"{'10k' if _SCALE == 'full' else _SCALE}",
