@@ -91,13 +91,15 @@ def _resolve_chol_mode(mesh, n: int) -> str:
     if n_dev < 4 or n < 4096:
         return "replicated"
     # the sharded factor pads rows to nb*n_dev granularity; near the
-    # threshold that padding can make its n_pad^3/n_dev per-device work
-    # EXCEED the replicated n^3/3 it is meant to beat -- compare the
-    # modelled costs at the actual padded size
+    # threshold that padding can make its per-device work EXCEED the
+    # replicated n^3/3 it is meant to beat -- compare the modelled
+    # costs at the actual padded size (segmented trailing window:
+    # n_pad^3/n_dev * (1/2 + 1/(2 n_dev)))
     from ..parallel.cholesky import NB
     rows_per = -(-n // (NB * n_dev)) * NB
     n_pad = rows_per * n_dev
-    if n_pad ** 3 / n_dev > n ** 3 / 3:
+    sharded_cost = n_pad ** 3 / n_dev * (0.5 + 0.5 / n_dev)
+    if sharded_cost > n ** 3 / 3:
         return "replicated"
     return "sharded"
 

@@ -21,11 +21,12 @@ collective, n^2 elements over the whole factorisation -- same order as
 one all_gather of K), redundantly factors the nb x nb diagonal block
 and panel-solves (n nb^2 per step, a few percent of the GEMM), then
 applies the trailing update to ITS rows only: a (rows_per, nb) x
-(nb, n) MXU GEMM.  Per-device FLOPs: n^3/n_dev + O(n^2 nb) vs n^3/3
-replicated -- the sharded form wins for n_dev > 3 and scales linearly
-with the mesh (the full-width update trades the triangle's factor ~3
-for perfect load balance and static shapes; see PARALLELISM.md for the
-measured model).
+(nb, width) MXU GEMM whose column window shrinks by one STATIC segment
+per device-row block (finished columns leave the program, the only way
+to skip work under XLA's static shapes).  Per-device FLOPs:
+n^3/n_dev * (1/2 + 1/(2 n_dev)) + O(n^2 nb) vs n^3/3 replicated -- the
+sharded form wins for n_dev >= 3 and scales ~2 n_dev / 3 x with the
+mesh; see PARALLELISM.md for the model.
 
 The padding tail (n -> n_pad = n_dev * rows_per) carries a unit
 diagonal and zero coupling, so its factor is the identity and the
@@ -71,26 +72,40 @@ def cholesky_sharded(K: jnp.ndarray, mesh, nb: int = NB) -> jnp.ndarray:
         z0 = jnp.zeros((), r0.dtype)     # index dtype must match r0
         gidx = jnp.arange(n_pad)
 
-        def step(j, K_local):
-            jb = j * nb
-            # the only collective: gather the current panel column
-            C = lax.dynamic_slice(K_local, (0, jb), (rows_per, nb))
-            C_full = lax.all_gather(C, ROW_AXIS, axis=0, tiled=True)
-            A = lax.dynamic_slice(C_full, (jb, 0), (nb, nb))
-            Ljj = jnp.linalg.cholesky(A)
-            # replicated panel solve: rows jb:jb+nb become Ljj itself
-            # (A Ljj^-T = Ljj), rows below jb+nb the L panel
-            Pn = jax.scipy.linalg.solve_triangular(
-                Ljj, C_full.T, lower=True).T
-            Pn = jnp.where(gidx[:, None] >= jb, Pn, 0.0)
-            P_loc = lax.dynamic_slice(Pn, (r0, z0), (rows_per, nb))
-            K_local = lax.dynamic_update_slice(K_local, P_loc, (0, jb))
-            # trailing update on THIS device's rows (the sharded n^3)
-            Pm = jnp.where(gidx[:, None] >= jb + nb, Pn, 0.0)
-            Pm_loc = lax.dynamic_slice(Pm, (r0, z0), (rows_per, nb))
-            return K_local - Pm_loc @ Pm.T
+        # Column SEGMENTS aligned to the device row blocks (static
+        # unroll): inside segment s the trailing GEMM's column window
+        # [c0, n_pad) is a STATIC slice, so finished columns to the
+        # left stop paying dense-GEMM FLOPs (XLA cannot skip masked
+        # work, but it can skip work that is not in the program).
+        # Per-device FLOPs drop from n^3/n_dev to
+        # n^3/n_dev * (1/2 + 1/(2 n_dev)).
+        for s in range(n_dev):
+            c0 = s * rows_per
+            width = n_pad - c0
 
-        K_local = lax.fori_loop(0, n_pad // nb, step, K_local)
+            def step(j, K_local, c0=c0, width=width):
+                jb = c0 + j * nb
+                # the only collective: gather the current panel column
+                C = lax.dynamic_slice(K_local, (0, jb), (rows_per, nb))
+                C_full = lax.all_gather(C, ROW_AXIS, axis=0, tiled=True)
+                A = lax.dynamic_slice(C_full, (jb, 0), (nb, nb))
+                Ljj = jnp.linalg.cholesky(A)
+                # replicated panel solve: rows jb:jb+nb become Ljj
+                # itself (A Ljj^-T = Ljj), rows below jb+nb the L panel
+                Pn = jax.scipy.linalg.solve_triangular(
+                    Ljj, C_full.T, lower=True).T
+                Pn = jnp.where(gidx[:, None] >= jb, Pn, 0.0)
+                P_loc = lax.dynamic_slice(Pn, (r0, z0), (rows_per, nb))
+                K_local = lax.dynamic_update_slice(K_local, P_loc,
+                                                   (0, jb))
+                # trailing update on THIS device's rows, restricted to
+                # the segment's static column window (the sharded n^3)
+                Pm = jnp.where(gidx[:, None] >= jb + nb, Pn, 0.0)
+                Pm_loc = lax.dynamic_slice(Pm, (r0, z0), (rows_per, nb))
+                tail = K_local[:, c0:] - Pm_loc @ Pm[c0:, :].T
+                return K_local.at[:, c0:].set(tail)
+
+            K_local = lax.fori_loop(0, rows_per // nb, step, K_local)
         return lax.all_gather(K_local, ROW_AXIS, axis=0, tiled=True)
 
     fn = _shard_map(body, mesh, in_specs=P(ROW_AXIS), out_specs=P())

@@ -189,14 +189,15 @@ def main(n_devices: int = 8):
         "factor and the (n, nb) panel solve stay replicated, a few",
         "percent).  The only collective is one (rows_per, nb) all-gather",
         "per panel step -- n^2 elements over the whole factorisation,",
-        "the same order as one all-gather of K.  Per-device FLOPs are",
-        "n^3/n_dev + O(n^2 nb) against n^3/3 replicated: the full-width",
-        "trailing GEMM trades the triangle's factor ~3 for perfect load",
-        "balance and static shapes (XLA computes dense GEMMs regardless",
-        "of masking), so the sharded factor wins for n_dev > 3 and keeps",
-        "scaling with the mesh.  Fit-call model at 10k rows on 8",
-        "devices: solve drops to 0.09*3/8 of the single-chip fit ->",
-        "~6.8x of 8, rising with both n and n_dev (at 32 devices ~27x).",
+        "the same order as one all-gather of K.  The trailing GEMM's",
+        "column window shrinks by one STATIC segment per device-row",
+        "block (finished columns leave the program -- the only way to",
+        "skip work under XLA's static shapes), so per-device FLOPs are",
+        "n^3/n_dev * (1/2 + 1/(2 n_dev)) + O(n^2 nb) against n^3/3",
+        "replicated: the sharded factor wins for n_dev >= 3 and scales",
+        "~2 n_dev/3 x.  Fit-call model at 10k rows on 8 devices: solve",
+        "drops to ~0.09*1.7/8 of the single-chip fit -> ~7.3x of 8,",
+        "rising with both n and n_dev.",
         "Parity: tests/test_sharded_cholesky.py (8-way virtual mesh,",
         "jit, f32/f64, non-divisible sizes, 1-device mesh) and the",
         "dryrun's step 6; the TPU lane compiles the 1-device-mesh form",
