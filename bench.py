@@ -512,7 +512,17 @@ def _backend_reachable(timeout_s: float = 240.0) -> bool:
         return False
 
 
+def _apply_platform_override():
+    """The axon sitecustomize pins jax_platforms at interpreter start,
+    so a JAX_PLATFORMS=cpu env override must also update the jax CONFIG
+    before the first backend use (CPU smoke runs: test_bench_smoke)."""
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main():
+    _apply_platform_override()
     if os.environ.get("JAX_PLATFORMS", "") == "axon" \
             and not _backend_reachable():
         print("# axon tunnel unreachable: backend init hung >240s",
