@@ -126,3 +126,40 @@ def test_gp_with_mesh_matches_unsharded_pallas_forced(monkeypatch):
         np.testing.assert_allclose(F1, F2, rtol=2e-3, atol=2e-4)
     finally:
         config.set_dtype(old_dt)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_batched_serving_with_mesh_matches_unsharded():
+    """predict_structures (the batched-NEB serving program) under
+    GP(mesh=...): the row-sharded training operands + the serving
+    dispatch (gate-routed at this scale) must reproduce the unsharded
+    batch exactly."""
+    from gpr_calculator_tpu.calculators import EMT
+    from gpr_calculator_tpu.models import GP, RBF
+    from gpr_calculator_tpu.ops.so3 import SO3
+    from test_gp import make_structs
+
+    structs = make_structs(n=5, natoms=5, seed=37)
+    calc = EMT()
+    labels = [(s, calc.get_potential_energy(s), calc.get_forces(s))
+              for s in structs[:3]]
+
+    def build(mesh):
+        gp = GP(kernel=RBF(para=[1.3, 1.0]),
+                descriptor=SO3(nmax=2, lmax=2, rcut=4.0),
+                noise_e=0.02, noise_f=0.15, mesh=mesh,
+                log_file="/tmp/shard_batch.log")
+        for s, e, f in labels:
+            gp.add_structure((s, e, f))
+        gp.fit(show=False, opt=False)
+        return gp
+
+    gp_mesh = build(make_mesh(8))
+    gp_ref = build(None)
+    out_m = gp_mesh.predict_structures(structs[3:], return_std=True)
+    out_r = gp_ref.predict_structures(structs[3:], return_std=True)
+    assert len(out_m) == len(out_r) == 2
+    for rm, rr in zip(out_m, out_r):
+        for a, b in zip(rm, rr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-9)
