@@ -547,7 +547,12 @@ def k_block(e1: EnergyData, f1: ForceData, e2: EnergyData, f2: ForceData,
         return k_block_pallas_sharded(e1, f1, e2, f2, params, mesh,
                                       kind, zeta)
     if allow_pallas and _use_pallas_rect(e1, f1, e2, f2, kind) \
-            and mesh is None and not _foreign_sharded(f2, mesh):
+            and mesh is None and not _foreign_sharded(f2, mesh) \
+            and not _foreign_sharded(f1, mesh):
+        # BOTH sides guarded: the incremental-refit cross block under a
+        # mesh arrives with data1 (the old training set) sharded and
+        # data2 (the appended points) host-packed -- a bare pallas_call
+        # would silently replicate the sharded side onto one device
         from .kff_pallas import kef_pallas, kff_pallas
         pk = "dot" if kind == "dot" else "rbf"
         dg = kind == "rbf_dgamma"

@@ -282,3 +282,39 @@ def test_k_block_serving_sharded_matches_xla(monkeypatch):
     out2 = np.asarray(kernels.k_block(e1, f1, e2, f2, params, "rbf", 2,
                                       mesh=mesh))
     assert np.abs(out2 - ref).max() < 5e-4 * scale   # default bf16x4
+
+
+def test_k_block_foreign_sharded_lhs_routes_xla(monkeypatch):
+    """The incremental-refit cross block arrives as k_block(old_sharded,
+    new_host) with NO mesh handle: the bare-Pallas route must be vetoed
+    when EITHER side is foreign-sharded (a bare pallas_call would
+    silently replicate the mesh-resident side onto one device)."""
+    import jax
+    from gpr_calculator_tpu.ops import kff_pallas
+    from gpr_calculator_tpu.ops.packing import pack_energy
+    from gpr_calculator_tpu.parallel import shard_train_data
+
+    monkeypatch.setenv("GPR_CALC_TPU_KFF_INTERPRET", "1")
+    rng = np.random.RandomState(47)
+    fpts = [(rng.uniform(0.2, 1.0, (4, 6)),
+             rng.uniform(-1.0, 1.0, (4, 6, 3)),
+             rng.choice([13, 79], 4)) for _ in range(16)]
+    epts = [(x, el) for x, _, el in fpts[:8]]
+    f1 = _f32tree(pack_force(fpts, m_pad=16, b_pad=4))
+    e1 = _f32tree(pack_energy(epts, m_pad=8, a_pad=4))
+    f2 = _f32tree(pack_force(fpts[:4], m_pad=4, b_pad=4))
+    e2 = _f32tree(pack_energy(epts[:4], m_pad=4, a_pad=4))
+    mesh = make_mesh(8)
+    e1s, f1s = shard_train_data(e1, f1, mesh)
+    params = _params32()
+    ref = np.asarray(kernels.k_block(e1, f1, e2, f2, params, "rbf", 2,
+                                     allow_pallas=False))
+
+    def boom(*a, **kw):
+        raise AssertionError("bare pallas route taken with a "
+                             "foreign-sharded lhs")
+
+    monkeypatch.setattr(kff_pallas, "kff_pallas", boom)
+    monkeypatch.setattr(kff_pallas, "kef_pallas", boom)
+    out = np.asarray(kernels.k_block(e1s, f1s, e2, f2, params, "rbf", 2))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
