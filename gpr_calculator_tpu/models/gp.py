@@ -1372,6 +1372,12 @@ class GP:
         free_ids = [i for i in range(n_atoms) if i not in fix_ids]
         sel = list(range(n_atoms)) if stress else free_ids
         te, tf, _, _ = self._train_view()
+        if stress and not getattr(self.descriptor, "stress", False):
+            raise ValueError(
+                "stress=True needs a stress-enabled descriptor -- "
+                "construct SO3(..., stress=True) so rdxdr strain terms "
+                "are computed (reference SO3.py stress flag); without "
+                "it the descriptor returns no rdxdr buffers")
 
         if self._device_pack_serving() and sel:
             dd = self.descriptor.calculate_device(

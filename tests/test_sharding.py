@@ -163,3 +163,57 @@ def test_batched_serving_with_mesh_matches_unsharded():
         for a, b in zip(rm, rr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_stress_serving_with_mesh_matches_unsharded():
+    """predict_structure(stress=True) -- the 9-column row-peeling
+    serving form -- under GP(mesh=...) must match the unsharded run."""
+    from gpr_calculator_tpu.calculators import EMT
+    from gpr_calculator_tpu.models import GP, RBF
+    from gpr_calculator_tpu.ops.so3 import SO3
+    from test_gp import make_structs
+
+    structs = make_structs(n=3, natoms=5, seed=51)
+    calc = EMT()
+
+    def build(mesh):
+        gp = GP(kernel=RBF(para=[1.2, 1.0]),
+                descriptor=SO3(nmax=2, lmax=2, rcut=4.0, stress=True),
+                noise_e=0.02, noise_f=0.15, mesh=mesh,
+                log_file="/tmp/stress_mesh.log")
+        for s in structs[:2]:
+            gp.add_structure((s, calc.get_potential_energy(s),
+                              calc.get_forces(s)))
+        gp.fit(show=False, opt=False)
+        return gp
+
+    gm, gr = build(make_mesh(8)), build(None)
+    o1 = gm.predict_structure(structs[2], stress=True, return_std=True)
+    o2 = gr.predict_structure(structs[2], stress=True, return_std=True)
+    for a, b in zip(o1, o2):
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
+
+
+def test_stress_without_stress_descriptor_raises():
+    """stress=True on a stress=False descriptor must fail with a clear
+    configuration error, not an AttributeError from a None rdxdr."""
+    from gpr_calculator_tpu.calculators import EMT
+    from gpr_calculator_tpu.models import GP, RBF
+    from gpr_calculator_tpu.ops.so3 import SO3
+    from test_gp import make_structs
+
+    structs = make_structs(n=2, natoms=5, seed=53)
+    calc = EMT()
+    gp = GP(kernel=RBF(para=[1.2, 1.0]),
+            descriptor=SO3(nmax=2, lmax=2, rcut=4.0),
+            noise_e=0.02, noise_f=0.15, log_file="/tmp/stress_cfg.log")
+    gp.add_structure((structs[0], calc.get_potential_energy(structs[0]),
+                      calc.get_forces(structs[0])))
+    gp.fit(show=False, opt=False)
+    with pytest.raises(ValueError, match="stress-enabled descriptor"):
+        gp.predict_structure(structs[1], stress=True)
