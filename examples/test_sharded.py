@@ -15,10 +15,15 @@ import jax
 
 from gpr_calculator_tpu import GP
 from gpr_calculator_tpu.io.ase_db import read_db
+from gpr_calculator_tpu.parallel import make_mesh
 
+# the mesh handle is what routes the kernel build through the sharded
+# paths (GP(mesh=...)); without it the operands stay single-device
+mesh = make_mesh() if len(jax.devices()) > 1 else None
 t0 = time()
 gpr = GP.load("/root/reference/examples/database/pd4-RBF.json", N_max=100,
-              row_chunk=32)  # bound kernel-build memory at this scale
+              row_chunk=32,  # bound kernel-build memory at this scale
+              mesh=mesh)
 gpr.fit(opt=False, show=False)
 print(f"Fit time: {time() - t0:.2f}s on {jax.devices()}")
 
