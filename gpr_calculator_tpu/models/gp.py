@@ -68,6 +68,40 @@ def _noise_diag(e: EnergyData, f: ForceData, noise_e, noise_f):
 _TRACE_BLK = 2048
 
 
+def _scan_diag_and_trace(L, n: int, trace_block):
+    """diag(K^-1) plus an accumulated per-block trace term, via
+    column-blocked cho_solves against L inside ONE lax.scan.
+
+    One explicit cho_solve(L, eye) at the 10k scale leaves ~6 GB of
+    staged triangular-solve temps live alongside the kernel builds
+    (compile OOM); the scan stages one solve regardless of n (the old
+    unrolled Python loop staged n/2048 of them at trace time, a
+    compile-time wall at the 100k-row ambition).  Columns past n solve
+    to zero and their scatters drop (mode="drop"), so the partial tail
+    block needs no branch.  ``trace_block(X, cols) -> scalar`` supplies
+    the NLL-specific trace contribution (tr(K^-1 Kd) for RBF, the
+    EE-block trace for Dot) -- both NLLs share this one canonical
+    implementation of the overhang handling.
+    """
+    blk = min(_TRACE_BLK, n)
+    n_blk = -(-n // blk)
+    col = jnp.arange(n)
+
+    def body(carry, b):
+        kinv_diag, acc = carry
+        cols = b * blk + jnp.arange(blk)
+        E = (col[:, None] == cols[None, :]).astype(L.dtype)
+        X = jax.scipy.linalg.cho_solve((L, True), E)     # (n, blk)
+        d = X[jnp.clip(cols, 0, n - 1), jnp.arange(blk)]
+        kinv_diag = kinv_diag.at[cols].set(d, mode="drop")
+        return (kinv_diag, acc + trace_block(X, cols)), None
+
+    (kinv_diag, acc), _ = jax.lax.scan(
+        body, (jnp.zeros((n,), L.dtype), jnp.zeros((), L.dtype)),
+        jnp.arange(n_blk))
+    return kinv_diag, acc
+
+
 def _resolve_chol_mode(mesh, n: int) -> str:
     """Cholesky dispatch decision for the training factorisations,
     resolved HOST-SIDE (it becomes a static jit arg -- an env read
@@ -191,32 +225,12 @@ def _nll_rbf_analytic(theta, e: EnergyData, f: ForceData, y,
            + jnp.sum(jnp.log(jnp.diagonal(L)))
            + 0.5 * n_real * jnp.log(2 * jnp.pi))
 
-    # diag(K^-1) and tr(K^-1 Kd) via column-blocked solves: one explicit
-    # cho_solve(L, eye) at the 10k scale leaves ~6 GB of staged
-    # triangular-solve temps live alongside Kk and Kd (compile OOM).
-    # lax.scan over the blocks stages ONE solve regardless of n -- the
-    # unrolled Python loop staged n/2048 of them at trace time, a
-    # compile-time wall at the 100k-row ambition (round-3 VERDICT
-    # weak #7); columns past n solve to zero and their scatter drops.
+    # diag(K^-1) and tr(K^-1 Kd): shared scan helper, trace term is
+    # this block's slice of Kd (round-3 VERDICT weak #7)
     n = K.shape[0]
-    blk = min(_TRACE_BLK, n)
-    n_blk = -(-n // blk)
-    col = jnp.arange(n)
-
-    def _blk_body(carry, b):
-        kinv_diag, tr_kd = carry
-        cols = b * blk + jnp.arange(blk)
-        E = (col[:, None] == cols[None, :]).astype(K.dtype)
-        X = jax.scipy.linalg.cho_solve((L, True), E)     # (n, blk)
-        d = X[jnp.clip(cols, 0, n - 1), jnp.arange(blk)]
-        kinv_diag = kinv_diag.at[cols].set(d, mode="drop")
-        tr_kd = tr_kd + jnp.vdot(X, Kd[:, jnp.clip(cols, 0, n - 1)])
-        return (kinv_diag, tr_kd), None
-
-    (kinv_diag, tr_kd), _ = jax.lax.scan(
-        _blk_body,
-        (jnp.zeros((n,), K.dtype), jnp.zeros((), K.dtype)),
-        jnp.arange(n_blk))
+    kinv_diag, tr_kd = _scan_diag_and_trace(
+        L, n,
+        lambda X, cols: jnp.vdot(X, Kd[:, jnp.clip(cols, 0, n - 1)]))
 
     # tr(Kinv Kk) = n_pad - tr(Kinv Nz); a^T Kk a = a^T y - a^T Nz a
     # (padding rows cancel through the unit noise placed on them)
@@ -281,30 +295,17 @@ def _nll_dot_analytic(theta, e: EnergyData, f: ForceData, y,
            + jnp.sum(jnp.log(jnp.diagonal(L)))
            + 0.5 * n_real * jnp.log(2 * jnp.pi))
 
-    # diag(K^-1) (and the EE-block trace for d/dsigma0) via
-    # column-blocked solves inside a lax.scan, cf. _nll_rbf_analytic
+    # diag(K^-1) and the EE-block trace for d/dsigma0: shared scan
+    # helper; only columns inside the energy block contribute
     n = K.shape[0]
     m_ee = e.m
-    blk = min(_TRACE_BLK, n)
-    n_blk = -(-n // blk)
-    col = jnp.arange(n)
 
-    def _blk_body(carry, b):
-        kinv_diag, tr_dee = carry
-        cols = b * blk + jnp.arange(blk)
-        E = (col[:, None] == cols[None, :]).astype(K.dtype)
-        X = jax.scipy.linalg.cho_solve((L, True), E)     # (n, blk)
-        d = X[jnp.clip(cols, 0, n - 1), jnp.arange(blk)]
-        kinv_diag = kinv_diag.at[cols].set(d, mode="drop")
+    def _ee_trace(X, cols):
         Wc = jnp.where(cols[None, :] < m_ee,
                        W[:, jnp.clip(cols, 0, m_ee - 1)], 0.0)
-        tr_dee = tr_dee + jnp.vdot(X[:m_ee, :], Wc)
-        return (kinv_diag, tr_dee), None
+        return jnp.vdot(X[:m_ee, :], Wc)
 
-    (kinv_diag, tr_dee), _ = jax.lax.scan(
-        _blk_body,
-        (jnp.zeros((n,), K.dtype), jnp.zeros((), K.dtype)),
-        jnp.arange(n_blk))
+    kinv_diag, tr_dee = _scan_diag_and_trace(L, n, _ee_trace)
 
     tr_kk = n - jnp.sum(kinv_diag * nz)
     aKka = jnp.sum(y * alpha) - jnp.sum(nz * alpha * alpha)

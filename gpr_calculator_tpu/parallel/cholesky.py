@@ -81,9 +81,8 @@ def cholesky_sharded(K: jnp.ndarray, mesh, nb: int = NB) -> jnp.ndarray:
         # n^3/n_dev * (1/2 + 1/(2 n_dev)).
         for s in range(n_dev):
             c0 = s * rows_per
-            width = n_pad - c0
 
-            def step(j, K_local, c0=c0, width=width):
+            def step(j, K_local, c0=c0):
                 jb = c0 + j * nb
                 # the only collective: gather the current panel column
                 C = lax.dynamic_slice(K_local, (0, jb), (rows_per, nb))

@@ -104,6 +104,7 @@ def main(n_devices: int = 8):
           lambda e, f, a, Lf: _predict_packed(
               pe, pf, e, f, params, a, Lf, "rbf", 2, True, 0, False,
               True, mesh=mesh), e, f, alpha, L)
+    gate_prev = os.environ.get("GPR_CALC_TPU_SHARDED_GATE")
     os.environ["GPR_CALC_TPU_SHARDED_GATE"] = "off"
     try:
         audit("serve: cross-covariance, gate forced off (column-striped "
@@ -112,7 +113,10 @@ def main(n_devices: int = 8):
                   pe, pf, e, f, params, a, Lf, "rbf", 2, True, 8, False,
                   True, mesh=mesh), e, f, alpha, L)
     finally:
-        del os.environ["GPR_CALC_TPU_SHARDED_GATE"]
+        if gate_prev is None:
+            os.environ.pop("GPR_CALC_TPU_SHARDED_GATE", None)
+        else:
+            os.environ["GPR_CALC_TPU_SHARDED_GATE"] = gate_prev
     audit("train: factorisation with SHARDED Cholesky (chol_mode="
           "'sharded', production at n_dev>=4 and n>=4096)",
           lambda e, f, yy: _factorize(e, f, yy, params,
