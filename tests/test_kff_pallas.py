@@ -1,6 +1,9 @@
 """Fused Pallas K_FF kernel vs the XLA reference path (interpret mode on
 CPU; the compiled path is exercised on TPU by bench.py)."""
+import os
+
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from gpr_calculator_tpu.ops import kernels
@@ -522,3 +525,57 @@ def test_kff_pallas_symmetric_wide_nsub(monkeypatch):
                                     mm_precision="highest"))
     scale = max(np.abs(ref).max(), 1e-8)
     assert np.abs(out - ref).max() < 2e-5 * scale
+
+
+@pytest.mark.slow
+def test_pallas_self_blocks_shape_sweep_interpret():
+    """Randomized shape sweep of the fused self build (interpret mode)
+    vs the XLA reference: point counts that straddle tile boundaries,
+    uneven env widths, single-point edge -- broader than the fixed
+    bench-like shapes the unit tests pin."""
+    import itertools
+    import jax
+    import jax.numpy as jnp
+    from gpr_calculator_tpu.ops import kernels as K
+    from gpr_calculator_tpu.ops.kernels import _pallas_self_blocks
+    from gpr_calculator_tpu.ops.packing import pack_energy, pack_force
+
+    rng = np.random.RandomState(71)
+
+    def f32t(t):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+
+    cases = [
+        # (m_e, A, m_f, B, d)
+        (1, 3, 1, 4, 6),          # single-point edge
+        (3, 5, 7, 4, 10),         # odd counts
+        (2, 4, 9, 8, 14),         # B=8 bucket
+        (4, 6, 5, 12, 30),        # production d
+        (2, 7, 11, 16, 22),       # wide env bucket
+    ]
+    for (m_e, A, m_f, B, d) in cases:
+        fpts = [(rng.uniform(0.2, 1.0, (B, d)),
+                 rng.uniform(-1.0, 1.0, (B, d, 3)),
+                 rng.choice([13, 79], B)) for _ in range(m_f)]
+        epts = [(rng.uniform(0.2, 1.0, (A, d)),
+                 rng.choice([13, 79], A)) for _ in range(m_e)]
+        f = f32t(pack_force(fpts, m_pad=m_f, b_pad=B))
+        e = f32t(pack_energy(epts, m_pad=m_e, a_pad=A))
+        params = {"sigma": jnp.asarray(1.4, jnp.float32),
+                  "l": jnp.asarray(0.9, jnp.float32)}
+        ref = np.asarray(K.k_self(e, f, params, "rbf", 2,
+                                  allow_pallas=False))
+        os.environ["GPR_CALC_TPU_KFF_INTERPRET"] = "1"
+        os.environ["GPR_CALC_TPU_KFF_PRECISION"] = "highest"
+        try:
+            (out,) = _pallas_self_blocks(e, f, params, "rbf", 2,
+                                         dual=False)
+        finally:
+            del os.environ["GPR_CALC_TPU_KFF_INTERPRET"]
+            del os.environ["GPR_CALC_TPU_KFF_PRECISION"]
+        out = np.asarray(out)
+        scale = max(np.abs(ref).max(), 1e-8)
+        err = np.abs(out - ref).max() / scale
+        assert err < 3e-5, ((m_e, A, m_f, B, d), err)
