@@ -91,3 +91,24 @@ def test_cholesky_sharded_one_device_mesh():
     L = np.asarray(cholesky_sharded(jnp.asarray(K), mesh, nb=16))
     np.testing.assert_allclose(L, np.linalg.cholesky(K),
                                rtol=5e-9, atol=5e-9)
+
+
+def test_cholesky_sharded_flop_model():
+    """XLA's own cost analysis must confirm the segmented-window FLOP
+    model: per-device ~ n^3/n_dev * (1/2 + 1/(2 n_dev)) + panel terms --
+    a regression guard against silently reverting to full-width
+    trailing updates (which would read ~1.07e9 here instead of ~6.3e8)
+    or to a replicated factor (2.9e9)."""
+    n, nb, n_dev = 2048, 128, 8
+    mesh = make_mesh(8)
+    fn = jax.jit(lambda K: cholesky_sharded(K, mesh, nb=nb))
+    A = np.random.RandomState(0).randn(n, n + 8)
+    K = jnp.asarray(A @ A.T + n * np.eye(n))
+    ca = fn.lower(K).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    flops = float(ca["flops"])
+    model = n ** 3 / n_dev * (0.5 + 0.5 / n_dev)
+    # within 15% above the GEMM-only model (panel solves + diag chols),
+    # and far below the unsegmented n^3/n_dev
+    assert flops < 1.15 * model, (flops, model)
+    assert flops > 0.9 * model, (flops, model)

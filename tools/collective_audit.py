@@ -199,9 +199,14 @@ def main(n_devices: int = 8):
         "skip work under XLA's static shapes), so per-device FLOPs are",
         "n^3/n_dev * (1/2 + 1/(2 n_dev)) + O(n^2 nb) against n^3/3",
         "replicated: the sharded factor wins for n_dev >= 3 and scales",
-        "~2 n_dev/3 x.  Fit-call model at 10k rows on 8 devices: solve",
-        "drops to ~0.09*1.7/8 of the single-chip fit -> ~7.3x of 8,",
-        "rising with both n and n_dev.",
+        "~2 n_dev/3 x.  MEASURED (XLA cost analysis, n=2048 nb=128 on",
+        "the 8-way virtual mesh): 6.28e8 FLOPs/device vs the model's",
+        "6.04e8 (+4% = panel solves/diag factors), vs 1.07e9 for a",
+        "full-width update and 2.86e9 replicated -- 4.6x per-device",
+        "FLOP reduction at 8 devices, pinned by",
+        "test_cholesky_sharded_flop_model.  Fit-call model at 10k rows",
+        "on 8 devices: solve drops to ~0.09*1.7/8 of the single-chip",
+        "fit -> ~7.3x of 8, rising with both n and n_dev.",
         "Parity: tests/test_sharded_cholesky.py (8-way virtual mesh,",
         "jit, f32/f64, non-divisible sizes, 1-device mesh) and the",
         "dryrun's step 6; the TPU lane compiles the 1-device-mesh form",
