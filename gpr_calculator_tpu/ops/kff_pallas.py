@@ -79,6 +79,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import config
 from .packing import ForceData
 
 TP1 = 8      # max lhs points per grid cell (shrunk adaptively, _lhs_tile)
@@ -131,11 +132,11 @@ def _lhs_tile_points(b1: int, t2: int, four_rows: bool) -> int:
 def _rhs_tile_points(B2: int) -> int:
     """Smallest TP2 with TP2*B2 a lane-tile multiple, grown to the VMEM
     budget, and dividing TPC."""
+    # tp2 starts as a power-of-two divisor of TPC=128 and the growth
+    # condition preserves divisibility, so TPC % tp2 == 0 always holds
     tp2 = 128 // math.gcd(B2, 128)
-    while tp2 * 2 * B2 <= T2_MAX and TPC % (tp2 * 2) == 0 and tp2 * 2 <= TPC:
+    while tp2 * 2 * B2 <= T2_MAX and TPC % (tp2 * 2) == 0:
         tp2 *= 2
-    if TPC % tp2:
-        tp2 = math.gcd(tp2, TPC)
     return tp2
 
 
@@ -422,7 +423,7 @@ def force_operand(f: ForceData, mode: str, multiple: int = TPC):
     x = f.x.reshape(m * B, d).astype(f32)
     n2 = jnp.sum(x * x, axis=1)
     n = jnp.sqrt(n2)
-    valid = (n > 1e-8) & (f.ele.reshape(-1) > 0)
+    valid = (n > config.EPS) & (f.ele.reshape(-1) > 0)
     u = x / jnp.where(valid, n, 1.0)[:, None]
     rinv = jnp.where(valid, 1.0 / jnp.where(valid, n, 1.0), 0.0)
     J = f.dxdr.reshape(m * B, d, 3).astype(f32)
@@ -446,7 +447,7 @@ def energy_operand(e, mode: str, multiple: int = TP1):
     m, A, d = e.x.shape
     x = e.x.reshape(m * A, d).astype(f32)
     n1 = jnp.sqrt(jnp.sum(x * x, axis=1))
-    v1 = (n1 > 1e-8) & (e.ele.reshape(-1) > 0)
+    v1 = (n1 > config.EPS) & (e.ele.reshape(-1) > 0)
     u1 = x / jnp.where(v1, n1, 1.0)[:, None]            # true d
     inv_count = jnp.repeat(1.0 / e.counts.astype(f32), A)
     w = jnp.stack([jnp.where(v1, inv_count, 0.0),
@@ -538,8 +539,6 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
     S2 = np.kron(np.eye(tp2, dtype=np.float32),
                  np.ones((1, B2), np.float32)).T         # (t2, tp2)
 
-    grid = (m1 // tp1, m2 // TPC, nsub)
-    N1, N2 = m1 * B1, m2 * B2
     if symmetric:
         if cells is None:
             cells, sbits, jbits = _tri_cells(m1 // tp1, m2 // TPC, nsub,
@@ -572,6 +571,7 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
     # i64 grid indices, which Mosaic cannot legalize.
     with jax.enable_x64(False):
         if not symmetric:
+            grid = (m1 // tp1, m2 // TPC, nsub)
             outs = pl.pallas_call(
                 functools.partial(_kff_kernel, **kern_kw),
                 grid=grid,
@@ -806,6 +806,11 @@ def kef_from_ops(params, U1, w1, rhs2, re2, *, A1: int, B2: int,
     tp2 = _rhs_tile_points(B2)
     t2 = tp2 * B2
     tp1 = _lhs_tile_points(A1, t2, four_rows=False)
+    if tp1 == 0:
+        raise ValueError(
+            f"fused kef tile does not fit scoped VMEM for lhs bucket "
+            f"A1={A1} against rhs tile t2={t2} (B2={B2}); route this "
+            "shape to the XLA build (k_block/_use_pallas gates)")
     t1 = tp1 * A1
     nsub = TPC // tp2
     X2 = rhs2
@@ -905,6 +910,7 @@ def kee_from_ops(params, lhs, rhs, w, *, A1: int, zeta: int,
     w_lhs: per-row weights when ``lhs`` is a ROW STRIPE of the full
     operand (the multi-chip row-sharded build); defaults to ``w`` (the
     square self block)."""
+    assert not (dual and deriv), "dual already includes the deriv set"
     f32 = jnp.float32
     N1, N2 = lhs.shape[0], rhs.shape[0]
     m_rows, m_cols = N1 // A1, N2 // A1
