@@ -127,8 +127,18 @@ class Atoms:
     def get_positions(self):
         return self.positions.copy()
 
-    def set_positions(self, positions):
-        self.positions = np.asarray(positions, float).reshape(len(self), 3)
+    def set_positions(self, positions, apply_constraint: bool = True):
+        positions = np.asarray(positions, float).reshape(len(self), 3)
+        if apply_constraint:
+            # ASE parity: constraints clamp position updates (ase
+            # Atoms.set_positions -> constraint.adjust_positions); the
+            # plain-calculator NEB/IDPP paths rely on this to keep
+            # FixAtoms rows frozen
+            for c in self.constraints:
+                adj = getattr(c, "adjust_positions", None)
+                if adj is not None:
+                    adj(self, positions)
+        self.positions = positions
         if self.calc is not None and hasattr(self.calc, "results"):
             self.calc.results = {}
 
@@ -204,10 +214,20 @@ class Atoms:
             raise RuntimeError("no calculator attached")
         return self.calc.get_potential_energy(self)
 
-    def get_forces(self) -> np.ndarray:
+    def get_forces(self, apply_constraint: bool = True) -> np.ndarray:
         if self.calc is None:
             raise RuntimeError("no calculator attached")
-        return self.calc.get_forces(self)
+        forces = np.array(self.calc.get_forces(self), dtype=float,
+                          copy=True)
+        if apply_constraint:
+            # ASE parity: ase Atoms.get_forces applies adjust_forces, so
+            # FixAtoms rows read zero for ANY calculator (the GPR path
+            # zeroes them itself; plain calculators rely on this)
+            for c in self.constraints:
+                adj = getattr(c, "adjust_forces", None)
+                if adj is not None:
+                    adj(self, forces)
+        return forces
 
     def fixed_indices(self) -> np.ndarray:
         from .constraints import FixAtoms

@@ -18,6 +18,9 @@ class FixAtoms:
     def adjust_forces(self, atoms, forces):
         forces[self.index] = 0.0
 
+    def adjust_positions(self, atoms, newpositions):
+        newpositions[self.index] = atoms.positions[self.index]
+
     def todict(self):
         return {"name": "FixAtoms", "kwargs": {"indices":
                                                self.index.tolist()}}

@@ -48,14 +48,18 @@ class GPR(Calculator):
         return new
 
     def freeze(self):
-        """Disable base-calculator fallback (NEB endpoint handling,
-        calculator.py:40-46)."""
+        """Disable base-calculator fallback AND refits (NEB endpoint /
+        reporting mode, calculator.py:40-46).  unfreeze() restores the
+        calculator's previous update_gpr (per-image NEB copies only
+        update the GP on image 1 -- an unconditional True would break
+        that)."""
         self.allow_base = False
-        self.update = False
+        self._frozen_update_gpr = self.update_gpr
+        self.update_gpr = False
 
     def unfreeze(self):
-        self.update = True
         self.allow_base = True
+        self.update_gpr = getattr(self, "_frozen_update_gpr", True)
 
     def _policy(self):
         from .dispatch import DispatchPolicy

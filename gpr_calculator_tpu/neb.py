@@ -86,11 +86,25 @@ def neb_calc(images, calculator=None, algo: str = "BFGS",
             ignore_E_std=getattr(calculator, "ignore_E_std", True))
         if algo == "BFGS":
             opt = BFGS(neb, trajectory=traj, append_trajectory=True)
-        else:
+        elif algo == "FIRE":
             opt = FIRE(neb, trajectory=traj)
-        opt.run(fmax=fmax, steps=steps)
+        else:
+            raise ValueError("Invalid algorithm for NEB calculation")
+        # run() returns convergence; calling opt.converged() again would
+        # re-evaluate the whole band (an extra device program + possible
+        # base dispatches/refits after the optimization ended)
+        neb.converged = opt.run(fmax=fmax, steps=steps)
         neb.nsteps = opt.nsteps + 1
-        neb.converged = opt.converged()
+        if use_ref:
+            ref_engs = list(neb.energies[:1])
+            base = calculator.parameters.base
+            for image in images[1:-1]:
+                prev = getattr(image, "calc", None)
+                image.calc = base
+                ref_engs.append(image.get_potential_energy())
+                image.calc = prev
+            ref_engs.append(neb.energies[-1])
+            return neb, ref_engs
         return neb
 
     neb = NEB(images, k=k, climb=climb)
@@ -106,9 +120,8 @@ def neb_calc(images, calculator=None, algo: str = "BFGS",
         opt = FIRE(neb, trajectory=traj)
     else:
         raise ValueError("Invalid algorithm for NEB calculation")
-    opt.run(fmax=fmax, steps=steps)
+    neb.converged = opt.run(fmax=fmax, steps=steps)
     neb.nsteps = opt.nsteps + 1
-    neb.converged = opt.converged()
 
     for i, image in enumerate(images):
         if getattr(image.calc, "name", "") == "gpr":
@@ -198,11 +211,17 @@ def plot_path(data, unit="eV", fontsize=15, figname="neb_path.png",
         if x_scale and s[-1] > 0:
             s = s / s[-1]
         markers = ax.plot(s, energies, marker="o", ls="none")[0]
-        # endpoints are minima: clamp the guide curve to zero slope there
-        guide = CubicSpline(s, energies, bc_type="clamped")
-        dense = np.linspace(s[0], s[-1], 120)
-        ax.plot(dense, guide(dense), ls="--", color=markers.get_color(),
-                label=label)
+        # endpoints are minima: clamp the guide curve to zero slope
+        # there.  CubicSpline needs strictly increasing x: drop
+        # duplicate-coordinate images (e.g. an unmoved frame in a
+        # restart chain) from the guide curve only
+        keep = np.r_[True, np.diff(s) > 1e-12]
+        if keep.sum() >= 2:
+            guide = CubicSpline(s[keep], np.asarray(energies)[keep],
+                                bc_type="clamped")
+            dense = np.linspace(s[0], s[-1], 120)
+            ax.plot(dense, guide(dense), ls="--",
+                    color=markers.get_color(), label=label)
 
     ax.margins(x=0.08)
     ax.yaxis.set_major_locator(MaxNLocator(max_yticks))
@@ -234,6 +253,13 @@ def plot_progress(trajectory, calc, N_images, start=0, interval=50,
         energies[-1] = gp.train_y["energy"][N_images - 1] * len(chain[-1])
         for image in chain[1:-1]:
             image.calc = calc
-        energies[1:-1] = [im.get_potential_energy() for im in chain[1:-1]]
+        # frozen: rendering a figure must not dispatch to the base
+        # calculator, grow the training set, or refit the live GP
+        calc.freeze()
+        try:
+            energies[1:-1] = [im.get_potential_energy()
+                              for im in chain[1:-1]]
+        finally:
+            calc.unfreeze()
         data.append((chain, energies, f"NEB_iter_{snap}"))
     plot_path(data, figname=figname)

@@ -107,6 +107,13 @@ class BFGS(Optimizer):
         a = dpos @ dforces
         dg = self.H @ dpos
         b = dpos @ dg
+        # skip the update when either curvature denominator is
+        # numerically zero (possible under NEB's projected,
+        # non-conservative forces) -- a division there poisons H with
+        # inf/NaN and the next eigh crashes
+        scale = max(float(np.abs(dpos).max()), 1e-30)
+        if abs(a) < 1e-12 * scale or abs(b) < 1e-12 * scale:
+            return
         self.H -= (np.outer(dforces, dforces) / a
                    + np.outer(dg, dg) / b)
 

@@ -99,3 +99,82 @@ def test_idpp_interpolation_differs_from_linear():
             for i in (1, 2, 3))
     assert d > 1e-3, "IDPP did not move the interior images"
     assert d < 1.0, "IDPP moved images unreasonably far"
+
+
+def test_plain_calculator_respects_fix_atoms():
+    """A PLAIN (non-GPR) calculator driven through Atoms/NEB must honor
+    FixAtoms: forces read zero on fixed rows and positions stay clamped
+    (ASE applies constraints inside Atoms; ours must too -- the
+    quick-start slab has 8 fixed substrate atoms and the 'plain EMT
+    yardstick' used to relax them)."""
+    import numpy as np
+    from gpr_calculator_tpu.atoms import Atoms
+    from gpr_calculator_tpu.atoms.constraints import FixAtoms
+    from gpr_calculator_tpu.calculators import EMT
+    from gpr_calculator_tpu.optimize import BFGS
+
+    rng = np.random.RandomState(61)
+    a0 = 2.55
+    grid = np.array([[0, 0, 0], [a0, 0, 0], [0.5 * a0, 0.5 * a0, 0],
+                     [0, a0, 0], [0.5 * a0, 0, 0.5 * a0],
+                     [0, 0.5 * a0, 0.5 * a0]])
+    atoms = Atoms(numbers=[29] * 6,
+                  positions=grid + 0.05 * rng.randn(6, 3),
+                  cell=np.eye(3) * 11, pbc=False)
+    atoms.set_constraint(FixAtoms(indices=[0, 1]))
+    frozen0 = atoms.positions[[0, 1]].copy()
+    atoms.calc = EMT()
+
+    f = atoms.get_forces()
+    np.testing.assert_array_equal(f[[0, 1]], 0.0)
+
+    opt = BFGS(atoms, verbose=False)
+    opt.run(fmax=0.05, steps=25)
+    np.testing.assert_array_equal(atoms.positions[[0, 1]], frozen0)
+
+
+def test_idpp_respects_fix_atoms():
+    """IDPP interpolation must not move FixAtoms rows (the pair
+    potential exerts nonzero forces on them; position clamping keeps
+    the frozen-layer geometry intact)."""
+    import numpy as np
+    from gpr_calculator_tpu.atoms import Atoms
+    from gpr_calculator_tpu.atoms.constraints import FixAtoms
+    from gpr_calculator_tpu.mep import NEB
+
+    rng = np.random.RandomState(63)
+    pos0 = rng.uniform(0, 4, (5, 3))
+    pos1 = pos0.copy()
+    pos1[3:] += [[0.8, 0.2, 0.0], [0.0, 0.9, 0.1]]   # only atoms 3,4 move
+
+    def mk(p):
+        a = Atoms(numbers=[29] * 5, positions=p, cell=np.eye(3) * 12,
+                  pbc=False)
+        a.set_constraint(FixAtoms(indices=[0, 1, 2]))
+        return a
+
+    first, last = mk(pos0), mk(pos1)
+    images = [first] + [first.copy() for _ in range(3)] + [last]
+    neb = NEB(images)
+    neb.interpolate(method="idpp")
+    for im in images[1:-1]:
+        np.testing.assert_allclose(im.positions[:3], pos0[:3],
+                                   rtol=0, atol=1e-12)
+
+
+def test_batched_use_ref_returns_reference_energies():
+    """neb_calc(batched=True, use_ref=True) must honor the documented
+    (neb, ref_engs) contract like the serial path."""
+    from gpr_calculator_tpu import EMT, GP, GPR, get_images, neb_calc
+
+    images = get_images(INIT, FINAL, num_images=5)
+    gp = GP.set_GPR(images, EMT(), noise_e=0.05 / len(images[0]),
+                    noise_f=0.05)
+    calc = GPR(base=EMT(), ff=gp, save=False)
+    neb, ref_engs = neb_calc(images, calc, fmax=0.2, steps=6,
+                             batched=True, use_ref=True)
+    assert len(ref_engs) == len(images)
+    assert all(np.isfinite(e) for e in ref_engs)
+    # endpoints mirror the pinned NEB energies
+    assert ref_engs[0] == neb.energies[0]
+    assert ref_engs[-1] == neb.energies[-1]
