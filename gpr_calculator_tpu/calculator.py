@@ -9,7 +9,6 @@ parallelism lives inside the jitted kernels.
 """
 from __future__ import annotations
 
-import copy as _copy
 
 import numpy as np
 
@@ -45,6 +44,7 @@ class GPR(Calculator):
         new.allow_base = self.allow_base
         new.update_gpr = self.update_gpr
         new.ignore_E_std = self.ignore_E_std
+        new.verbose = self.verbose
         return new
 
     def freeze(self):
@@ -53,11 +53,15 @@ class GPR(Calculator):
         calculator's previous update_gpr (per-image NEB copies only
         update the GP on image 1 -- an unconditional True would break
         that)."""
+        if getattr(self, "_is_frozen", False):
+            return                      # idempotent: nested freeze()
+        self._is_frozen = True
         self.allow_base = False
         self._frozen_update_gpr = self.update_gpr
         self.update_gpr = False
 
     def unfreeze(self):
+        self._is_frozen = False
         self.allow_base = True
         self.update_gpr = getattr(self, "_frozen_update_gpr", True)
 
@@ -99,18 +103,22 @@ class GPR(Calculator):
     def _calculate(self, atoms, properties=("energy", "forces")):
         stress = self.parameters.get("stress", False)
         f_tol = self.parameters.get("f_tol", 1e-12)
-        return_std = self.parameters.get("return_std", True)
-
+        # the dispatcher's uncertainty gate REQUIRES std -- a
+        # return_std=False parameter (accepted for API parity) must not
+        # skip it, or calculate() would KeyError on var_e
         res = self.parameters.ff.predict_structure(
-            atoms, stress, return_std, f_tol=f_tol)
-        if return_std:
-            self.results["var_e"] = res[3]
-            self.results["var_f"] = res[4]
+            atoms, stress, return_std=True, f_tol=f_tol)
+        self.results["var_e"] = res[3]
+        self.results["var_f"] = res[4]
         self.results["energy"] = res[0]
         self.results["free_energy"] = res[0]
         self.results["forces"] = res[1]
         if stress:
-            self.results["stress"] = res[2].sum(axis=0)
+            # results["stress"] follows the package calculator contract
+            # (ASE Voigt xx,yy,zz,yz,xz,xy, like LennardJones); the GP
+            # rows are (xx,yy,zz,xy,xz,yz), so permute the shears
+            self.results["stress"] = res[2].sum(axis=0)[[0, 1, 2,
+                                                         5, 4, 3]]
         else:
             self.results["stress"] = None
         self.forces = res[1]

@@ -34,7 +34,9 @@ class Calculator:
         fp = None
         if atoms is not None:
             fp = (atoms.positions.tobytes(),
-                  np.asarray(atoms.cell).tobytes())
+                  np.asarray(atoms.cell).tobytes(),
+                  np.asarray(atoms.pbc).tobytes(),
+                  np.asarray(atoms.numbers).tobytes())
         if not self.results or (fp is not None and fp != self._fingerprint):
             self.calculate(atoms)
             self._fingerprint = fp

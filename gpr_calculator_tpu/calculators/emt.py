@@ -60,6 +60,11 @@ def _element_table(symbols: tuple):
     """Per-element derived parameters in eV/Angstrom units."""
     rows = []
     for sym in symbols:
+        if sym not in PARAMETERS:
+            raise NotImplementedError(
+                f"EMT has no parameters for element {sym!r} (available: "
+                f"{sorted(PARAMETERS)}); use LennardJones or another "
+                "base calculator for this species")
         E0, s0b, V0, eta2b, kappab, lamb, n0b = PARAMETERS[sym]
         s0 = s0b * BOHR
         eta2 = eta2b / BOHR
@@ -137,8 +142,7 @@ class EMT(Calculator):
 
     def __init__(self, **kwargs):
         super().__init__(**kwargs)
-        self._grad = None
-
+        
     def calculate(self, atoms=None, properties=("energy", "forces"),
                   system_changes=None):
         numbers = np.asarray(atoms.numbers)

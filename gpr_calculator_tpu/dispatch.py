@@ -51,11 +51,16 @@ class DispatchPolicy:
                    if hasattr(atoms, "fixed_indices") else [])
         prev_calc = getattr(atoms, "calc", None)
         atoms.calc = self.base
-        eng = atoms.get_potential_energy()
-        forces = atoms.get_forces().copy()
+        try:
+            eng = atoms.get_potential_energy()
+            forces = atoms.get_forces().copy()
+        finally:
+            # an exception from the base evaluation must not leave the
+            # base calculator attached (every later step would silently
+            # bypass the GPR dispatcher)
+            atoms.calc = prev_calc
         if len(fix_ids):
             forces[np.asarray(fix_ids, int)] = 0.0
-        atoms.calc = prev_calc
         self.gp.use_base += 1
         self.gp.add_structure((atoms.copy(), eng, forces))
         return eng, forces

@@ -1442,7 +1442,10 @@ class GP:
             E += e_off
             F += f_off
             if stress and s_off is not None:
-                S = S + s_off
+                # base calculators emit ASE Voigt (xx,yy,zz,yz,xz,xy);
+                # the GP stress rows are (xx,yy,zz,xy,xz,yz) (_STRESS_COLS)
+                # -- permute the shear components before adding
+                S = S + np.asarray(s_off)[..., [0, 1, 2, 5, 4, 3]]
 
         if not return_std:
             return E, F, S

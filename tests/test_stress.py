@@ -168,3 +168,55 @@ def test_predict_ncart9_points_sliced_correctly(lj_gp):
         gp.predict({"energy": [(d["x"], ele)],
                     "force": [(d["x"], d["dxdr"][:len(d["x"])], ele)]},
                    stress=True)
+
+
+def test_base_potential_stress_order_matches_gp_columns():
+    """base_potential stress arrives in ASE Voigt (xx,yy,zz,yz,xz,xy)
+    while the GP stress rows are (xx,yy,zz,xy,xz,yz): predict_structure
+    must permute the shears before adding (a silent wrong-shear bug
+    otherwise).  Checked by differencing predictions with and without
+    the base potential against the LJ calculator's own stress."""
+    import numpy as np
+    from gpr_calculator_tpu.atoms import Atoms
+    from gpr_calculator_tpu.calculators import EMT
+    from gpr_calculator_tpu.calculators.lj import LJ
+    from gpr_calculator_tpu.models import GP, RBF
+    from gpr_calculator_tpu.ops.so3 import SO3
+
+    rng = np.random.RandomState(73)
+    # sheared cell so the off-diagonal components are nonzero
+    cell = np.array([[8.0, 0.6, 0.0], [0.0, 8.0, 0.4], [0.2, 0.0, 8.0]])
+    strucs = [Atoms(numbers=[29] * 5,
+                    positions=rng.uniform(1.0, 7.0, (5, 3)),
+                    cell=cell, pbc=True) for _ in range(3)]
+    calc = EMT()
+
+    def build(base):
+        gp = GP(kernel=RBF(para=[1.2, 1.0]),
+                descriptor=SO3(nmax=2, lmax=2, rcut=4.0, stress=True),
+                noise_e=0.02, noise_f=0.15, base_potential=base,
+                log_file="/tmp/base_stress.log")
+        for s in strucs[:2]:
+            e = calc.get_potential_energy(s)
+            f = calc.get_forces(s)
+            if base is not None:
+                e_off, f_off, _ = base.calculate(s)
+                e, f = e - e_off, f - f_off
+            gp.add_structure((s, e, f))
+        gp.fit(show=False, opt=False)
+        return gp
+
+    lj = LJ({"rc": 4.0, "sigma": 2.0, "epsilon": 0.05})
+    gp0 = build(None)
+    gp1 = build(lj)
+    _, _, S0 = gp0.predict_structure(strucs[2], stress=True)
+    _, _, S1 = gp1.predict_structure(strucs[2], stress=True)
+    # training labels differ, so only the ADDED stress offset is exact:
+    # re-predict gp1 with its base potential detached
+    gp1.base_potential = None
+    _, _, S1_nobase = gp1.predict_structure(strucs[2], stress=True)
+    del S0
+    s_lj = lj.calculate(strucs[2])[2]          # (natoms, 6) ASE Voigt
+    expected = np.asarray(s_lj)[:, [0, 1, 2, 5, 4, 3]]
+    np.testing.assert_allclose(np.asarray(S1) - np.asarray(S1_nobase),
+                               expected, rtol=1e-8, atol=1e-12)
