@@ -23,12 +23,34 @@ CHEMICAL_SYMBOLS = [
 ]
 ATOMIC_NUMBERS = {s: z for z, s in enumerate(CHEMICAL_SYMBOLS)}
 
-# Covalent-ish reference masses (amu) for the elements we care about; used
-# only by dynamics-style drivers, not by the GPR math.
+# Standard atomic weights (amu, IUPAC; conventional values for interval
+# elements, most-stable-isotope mass for the radioactives).  Used by the
+# dynamics drivers (thermostat noise, kinetic energy), not the GPR math
+# -- a silent fallback to mass=Z skewed temperatures by sqrt(Z/m).
 ATOMIC_MASSES = {
-    "H": 1.008, "He": 4.0026, "C": 12.011, "N": 14.007, "O": 15.999,
-    "Al": 26.9815, "Si": 28.085, "S": 32.06, "Ni": 58.693, "Cu": 63.546,
-    "Pd": 106.42, "Ag": 107.868, "Pt": 195.084, "Au": 196.967,
+    "H": 1.008, "He": 4.0026, "Li": 6.94, "Be": 9.0122, "B": 10.81,
+    "C": 12.011, "N": 14.007, "O": 15.999, "F": 18.998, "Ne": 20.180,
+    "Na": 22.990, "Mg": 24.305, "Al": 26.9815, "Si": 28.085, "P": 30.974,
+    "S": 32.06, "Cl": 35.45, "Ar": 39.948, "K": 39.098, "Ca": 40.078,
+    "Sc": 44.956, "Ti": 47.867, "V": 50.942, "Cr": 51.996, "Mn": 54.938,
+    "Fe": 55.845, "Co": 58.933, "Ni": 58.693, "Cu": 63.546, "Zn": 65.38,
+    "Ga": 69.723, "Ge": 72.630, "As": 74.922, "Se": 78.971, "Br": 79.904,
+    "Kr": 83.798, "Rb": 85.468, "Sr": 87.62, "Y": 88.906, "Zr": 91.224,
+    "Nb": 92.906, "Mo": 95.95, "Tc": 97.0, "Ru": 101.07, "Rh": 102.906,
+    "Pd": 106.42, "Ag": 107.868, "Cd": 112.414, "In": 114.818,
+    "Sn": 118.710, "Sb": 121.760, "Te": 127.60, "I": 126.904,
+    "Xe": 131.293, "Cs": 132.905, "Ba": 137.327, "La": 138.905,
+    "Ce": 140.116, "Pr": 140.908, "Nd": 144.242, "Pm": 145.0,
+    "Sm": 150.36, "Eu": 151.964, "Gd": 157.25, "Tb": 158.925,
+    "Dy": 162.500, "Ho": 164.930, "Er": 167.259, "Tm": 168.934,
+    "Yb": 173.045, "Lu": 174.967, "Hf": 178.486, "Ta": 180.948,
+    "W": 183.84, "Re": 186.207, "Os": 190.23, "Ir": 192.217,
+    "Pt": 195.084, "Au": 196.967, "Hg": 200.592, "Tl": 204.38,
+    "Pb": 207.2, "Bi": 208.980, "Po": 209.0, "At": 210.0, "Rn": 222.0,
+    "Fr": 223.0, "Ra": 226.0, "Ac": 227.0, "Th": 232.038, "Pa": 231.036,
+    "U": 238.029, "Np": 237.0, "Pu": 244.0, "Am": 243.0, "Cm": 247.0,
+    "Bk": 247.0, "Cf": 251.0, "Es": 252.0, "Fm": 257.0, "Md": 258.0,
+    "No": 259.0, "Lr": 262.0,
 }
 
 
@@ -164,9 +186,14 @@ class Atoms:
         return sp
 
     def get_masses(self):
-        return np.asarray(
-            [ATOMIC_MASSES.get(CHEMICAL_SYMBOLS[z], float(z)) for z in
-             self.numbers])
+        out = []
+        for z in self.numbers:
+            sym = CHEMICAL_SYMBOLS[z]
+            if sym not in ATOMIC_MASSES:
+                raise NotImplementedError(
+                    f"no atomic mass tabulated for element {sym!r}")
+            out.append(ATOMIC_MASSES[sym])
+        return np.asarray(out)
 
     def set_constraint(self, constraint=None):
         self.constraints = [] if constraint is None else [constraint]
@@ -202,11 +229,20 @@ class Atoms:
         return new
 
     def __add__(self, other: "Atoms") -> "Atoms":
-        return Atoms(
+        # ASE parity: keep both operands' FixAtoms (right side shifted
+        # by len(self)) -- the slab+adsorbate idiom must not silently
+        # unfreeze the substrate
+        from .constraints import FixAtoms, all_fixed_indices
+        fixed = list(all_fixed_indices(self))
+        fixed += [int(i) + len(self) for i in all_fixed_indices(other)]
+        out = Atoms(
             numbers=np.concatenate([self.numbers, other.numbers]),
             positions=np.vstack([self.positions, other.positions]),
             cell=self.cell.array.copy(), pbc=self.pbc.copy(),
+            constraints=[FixAtoms(indices=fixed)] if fixed else None,
             tags=np.concatenate([self.tags, other.tags]))
+        out.info.update(self.info)
+        return out
 
     # -- calculator protocol -------------------------------------------------
     def get_potential_energy(self) -> float:
@@ -230,11 +266,9 @@ class Atoms:
         return forces
 
     def fixed_indices(self) -> np.ndarray:
-        from .constraints import FixAtoms
-        for c in self.constraints:
-            if isinstance(c, FixAtoms):
-                return np.asarray(c.get_indices(), dtype=int)
-        return np.zeros(0, dtype=int)
+        """UNION of all FixAtoms constraints (a list can carry several)."""
+        from .constraints import all_fixed_indices
+        return all_fixed_indices(self)
 
     def set_calculator(self, calc):
         self.calc = calc

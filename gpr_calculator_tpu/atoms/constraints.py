@@ -24,3 +24,20 @@ class FixAtoms:
     def todict(self):
         return {"name": "FixAtoms", "kwargs": {"indices":
                                                self.index.tolist()}}
+
+
+def all_fixed_indices(atoms):
+    """Union of FixAtoms indices from OUR Atoms or a real ase.Atoms
+    (io writers and dispatchers must not depend on the custom
+    fixed_indices() method -- ase.Atoms lacks it, and multiple FixAtoms
+    entries must all be honored)."""
+    idx = []
+    for c in getattr(atoms, "constraints", None) or []:
+        if type(c).__name__ == "FixAtoms":
+            getter = getattr(c, "get_indices", None)
+            ind = getter() if getter is not None else getattr(c, "index",
+                                                              [])
+            idx.extend(int(i) for i in np.asarray(ind).ravel())
+    if not idx:
+        return np.zeros(0, dtype=int)
+    return np.unique(np.asarray(idx, dtype=int))

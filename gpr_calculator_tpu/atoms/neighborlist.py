@@ -74,12 +74,27 @@ def _numpy_pairs(positions, cell, pbc, rcut):
                        for b in range(-nimg[1], nimg[1] + 1)
                        for c in range(-nimg[2], nimg[2] + 1)], float)
     offsets = shifts @ cell                                  # (S, 3)
-    # rij[s, i, j] = r_j + off_s - r_i
-    rij = (positions[None, None, :, :] + offsets[:, None, None, :]
-           - positions[None, :, None, :])
-    d2 = np.sum(rij * rij, axis=-1)
-    mask = (d2 < rcut * rcut) & (d2 > 1e-20)
-    s_idx, i_idx, j_idx = np.nonzero(mask)
+    # chunk the (S, chunk, n, 3) displacement tensor over the center
+    # axis: the full (S, n, n, 3) form is images*natoms^2 memory
+    # (~10 GB at 4000 atoms / 27 images) -- the NumPy fallback must
+    # stay usable where the native builder is absent
+    S = len(offsets)
+    budget = 64 * 1024 * 1024            # f64 elements per chunk block
+    chunk = max(1, min(n, int(budget // max(S * n * 3, 1))))
+    outs_i, outs_j, outs_r = [], [], []
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        # rij[s, i-lo, j] = r_j + off_s - r_i
+        rij = (positions[None, None, :, :] + offsets[:, None, None, :]
+               - positions[None, lo:hi, None, :])
+        d2 = np.sum(rij * rij, axis=-1)
+        mask = (d2 < rcut * rcut) & (d2 > 1e-20)
+        s_idx, i_idx, j_idx = np.nonzero(mask)
+        outs_i.append(i_idx + lo)
+        outs_j.append(j_idx)
+        outs_r.append(rij[s_idx, i_idx, j_idx])
+    i_idx = np.concatenate(outs_i)
+    j_idx = np.concatenate(outs_j)
+    rvecs = np.concatenate(outs_r)
     order = np.lexsort((j_idx, i_idx))
-    return (i_idx[order], j_idx[order],
-            rij[s_idx, i_idx, j_idx][order])
+    return i_idx[order], j_idx[order], rvecs[order]

@@ -6,10 +6,21 @@ from .trajectory import Trajectory, TrajectoryWriter  # noqa
 
 
 def read(filename, index=-1, format=None):
-    """ASE-style read dispatch for the formats the framework uses."""
+    """ASE-style read dispatch for the formats the framework uses.
+
+    Explicit ``format`` wins; otherwise the extension decides, and the
+    POSCAR/CONTCAR convention is checked against the BASENAME only (a
+    directory named POSCAR_scan must not hijack a .traj read)."""
+    import os as _os
     name = str(filename)
-    if format == "vasp" or name.endswith(("POSCAR", "CONTCAR", ".vasp")) \
-            or "POSCAR" in name:
+    base = _os.path.basename(name)
+    if format == "traj" or (format is None and name.endswith(".traj")):
+        pass     # fall through to the traj branch below
+    elif format == "db" or (format is None and name.endswith(".db")):
+        pass     # fall through to the db branch below
+    elif format == "vasp" or (format is None and (
+            name.endswith((".vasp",))
+            or base.startswith(("POSCAR", "CONTCAR")))):
         from .vasp import read_vasp
         return read_vasp(name)
     if format in ("traj", None) and name.endswith(".traj"):

@@ -132,9 +132,9 @@ def write_db(filename: str, rows: List[dict], permission: str = "w"):
             positions = np.asarray(atoms.positions, np.float64)
             cell = np.asarray(np.asarray(atoms.cell), np.float64)
             pbc = int(sum(int(b) << i for i, b in enumerate(atoms.pbc)))
+            from ..atoms.constraints import all_fixed_indices
             constraints = None
-            fixed = atoms.fixed_indices() if hasattr(
-                atoms, "fixed_indices") else []
+            fixed = all_fixed_indices(atoms)   # works for ase.Atoms too
             if len(fixed):
                 constraints = json.dumps([{
                     "name": "FixAtoms",
@@ -175,8 +175,8 @@ def read_db(filename: str) -> List[dict]:
              data) in cur.fetchall():
             numbers = np.frombuffer(numbers, np.int32).astype(np.int64)
             n = len(numbers)
-            positions = np.frombuffer(positions, np.float64).reshape(n, 3)
-            cell = (np.frombuffer(cell, np.float64).reshape(3, 3)
+            positions = np.frombuffer(positions, np.float64).reshape(n, 3).copy()   # frombuffer is read-only
+            cell = (np.frombuffer(cell, np.float64).reshape(3, 3).copy()
                     if cell else np.zeros((3, 3)))
             pbc_arr = [(int(pbc) >> i) & 1 == 1 for i in range(3)]
             cons = []

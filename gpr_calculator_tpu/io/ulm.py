@@ -57,9 +57,13 @@ def read_traj(filename: str) -> List:
 
     items = read_ulm_items(filename)
     frames = []
-    state: dict = {}
+    base = items[0] if items else {}
     for item in items:
-        state = {**state, **item}
+        # ASE semantics: frame i inherits STATIC data from frame 0 only
+        # (numbers, cell, pbc, constraints); a cumulative merge would
+        # carry frame i-1's calculator results into an unevaluated
+        # frame i
+        state = {**base, **item}
         numbers = np.asarray(state["numbers"])
         positions = np.asarray(state["positions"], float)
         cell = np.asarray(state.get("cell", np.zeros((3, 3))), float)
@@ -74,7 +78,7 @@ def read_traj(filename: str) -> List:
         atoms = Atoms(numbers=numbers, positions=positions, cell=cell,
                       pbc=pbc, constraints=cons,
                       tags=state.get("tags"))
-        calc = state.get("calculator")
+        calc = item.get("calculator")
         if isinstance(calc, dict) and "energy" in calc:
             atoms.info["energy"] = calc.get("energy")
             if "forces" in calc:
@@ -98,6 +102,7 @@ class UlmWriter:
         self._offsets: List[int] = []
         self._pos = 48  # end of the data region (header size initially)
         if mode == "a" and os.path.exists(filename):
+            size = os.path.getsize(filename)
             with open(filename, "rb") as fh:
                 head = fh.read(48)
                 if head[:8] != MAGIC:
@@ -106,7 +111,16 @@ class UlmWriter:
                 fh.seek(int(pos0))
                 self._offsets = [int(o) for o in np.frombuffer(
                     fh.read(8 * int(nitems)), np.int64)]
-            self._pos = int(pos0)  # new data overwrites the old table
+            table_end = int(pos0) + 8 * int(nitems)
+            if table_end >= size:
+                # our layout: the offsets table is the last data -- new
+                # frames may overwrite it (it is rewritten at the end)
+                self._pos = int(pos0)
+            else:
+                # ASE-written files keep frame data AFTER the table
+                # (doubling growth); never overwrite -- append at EOF,
+                # leaving the old table bytes as dead space
+                self._pos = size + ((-size) % 8)
         else:
             with open(filename, "wb") as fh:
                 fh.write(MAGIC + TAG
@@ -135,8 +149,8 @@ class UlmWriter:
         item["positions."] = put_array(np.asarray(atoms.positions,
                                                   np.float64))
         item["cell"] = np.asarray(atoms.cell).tolist()
-        fixed = (atoms.fixed_indices()
-                 if hasattr(atoms, "fixed_indices") else [])
+        from ..atoms.constraints import all_fixed_indices
+        fixed = all_fixed_indices(atoms)     # works for ase.Atoms too
         if len(fixed):
             item["constraints"] = json.dumps([{
                 "name": "FixAtoms",

@@ -128,3 +128,85 @@ def test_update_y_train_parity():
     np.testing.assert_allclose(
         y[gp.N_energy:, 0],
         np.asarray(gp._force_y[:gp.N_forces]).reshape(-1))
+
+
+def test_db_roundtrip_atoms_are_mutable():
+    """read_db structures must be writable (frombuffer views are
+    read-only): get_images' vacuum adjustment and Atoms.center mutate
+    positions/cell in place."""
+    import os
+    import numpy as np
+    from gpr_calculator_tpu.atoms import Atoms
+    from gpr_calculator_tpu.io.ase_db import read_db, write_db
+
+    a = Atoms(numbers=[29, 29], positions=[[0, 0, 0], [1.2, 0, 0]],
+              cell=np.eye(3) * 8, pbc=True)
+    path = "/tmp/mut_rt.db"
+    if os.path.exists(path):
+        os.remove(path)
+    write_db(path, [{"atoms": a}])
+    b = read_db(path)[0]["atoms"]
+    b.positions += 0.1          # raises ValueError on a read-only view
+    b.cell[2, 2] += 1.0
+    b.center()
+
+
+def test_fixed_indices_unions_multiple_fixatoms():
+    import numpy as np
+    from gpr_calculator_tpu.atoms import Atoms
+    from gpr_calculator_tpu.atoms.constraints import FixAtoms
+
+    a = Atoms(numbers=[29] * 5, positions=np.random.rand(5, 3),
+              cell=np.eye(3) * 8, pbc=False)
+    a.constraints = [FixAtoms(indices=[0, 1]), FixAtoms(indices=[3])]
+    np.testing.assert_array_equal(a.fixed_indices(), [0, 1, 3])
+
+
+def test_atoms_add_preserves_constraints():
+    import numpy as np
+    from gpr_calculator_tpu.atoms import Atoms
+    from gpr_calculator_tpu.atoms.constraints import FixAtoms
+
+    slab = Atoms(numbers=[29] * 4, positions=np.random.rand(4, 3),
+                 cell=np.eye(3) * 8, pbc=True,
+                 constraints=[FixAtoms(indices=[0, 1])])
+    ads = Atoms(numbers=[8], positions=[[1, 1, 3]], cell=np.eye(3) * 8,
+                pbc=True)
+    combo = slab + ads
+    np.testing.assert_array_equal(combo.fixed_indices(), [0, 1])
+
+
+def test_vasp_roundtrip_preserves_fixatoms(tmp_path):
+    import numpy as np
+    from gpr_calculator_tpu.atoms import Atoms
+    from gpr_calculator_tpu.atoms.constraints import FixAtoms
+    from gpr_calculator_tpu.io.vasp import read_vasp, write_vasp
+
+    a = Atoms(numbers=[29, 29, 79], positions=np.random.rand(3, 3) + 1,
+              cell=np.eye(3) * 9, pbc=True,
+              constraints=[FixAtoms(indices=[0, 2])])
+    path = str(tmp_path / "POSCAR")
+    write_vasp(path, a)
+    b = read_vasp(path)
+    np.testing.assert_array_equal(b.fixed_indices(), [0, 2])
+
+
+def test_read_dispatch_not_hijacked_by_poscar_dirname(tmp_path):
+    """A directory named POSCAR_* must not force the VASP reader onto a
+    .traj file."""
+    import os
+    import numpy as np
+    from gpr_calculator_tpu.atoms import Atoms
+    from gpr_calculator_tpu.io import read
+    from gpr_calculator_tpu.io.trajectory import TrajectoryWriter
+
+    d = tmp_path / "POSCAR_scan"
+    os.makedirs(d)
+    path = str(d / "chain.traj")
+    w = TrajectoryWriter(path, mode="w")
+    a = Atoms(numbers=[29], positions=[[0, 0, 0]], cell=np.eye(3) * 8,
+              pbc=True)
+    w.write(a)
+    w.close()
+    frames = read(path, index=":")
+    assert len(frames) == 1 and frames[0].numbers[0] == 29
