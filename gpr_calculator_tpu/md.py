@@ -22,8 +22,9 @@ class VelocityVerlet:
         self.atoms = atoms
         self.dt = timestep_fs * FS
         self.masses = atoms.get_masses()[:, None]
-        if not hasattr(atoms, "velocities") or atoms.arrays.get(
-                "velocities") is None:
+        # preserve velocities set by maxwell_boltzmann_velocities (they
+        # live in atoms.arrays); only seed zeros when absent
+        if atoms.arrays.get("velocities") is None:
             atoms.arrays["velocities"] = np.zeros_like(atoms.positions)
         self._traj = None
         if trajectory:
@@ -40,7 +41,14 @@ class VelocityVerlet:
         return float(0.5 * np.sum(self.masses * v * v))
 
     def temperature(self) -> float:
-        dof = 3 * len(self.atoms) - 3
+        n_fixed = len(self.atoms.fixed_indices()) \
+            if hasattr(self.atoms, "fixed_indices") else 0
+        n_free = len(self.atoms) - n_fixed
+        # COM momentum is conserved only for free dynamics without
+        # constraints; a thermostat (Langevin) or FixAtoms breaks it
+        com = 3 if (n_fixed == 0
+                    and not isinstance(self, Langevin)) else 0
+        dof = max(3 * n_free - com, 1)
         return 2 * self.kinetic_energy() / (dof * KB)
 
     def run(self, steps: int):
@@ -106,7 +114,13 @@ def maxwell_boltzmann_velocities(atoms, temperature_K: float,
     rng = rng or np.random.RandomState(0)
     m = atoms.get_masses()[:, None]
     v = rng.randn(len(atoms), 3) * np.sqrt(KB * temperature_K / m)
-    v -= v.mean(axis=0)
+    # remove the CENTER-OF-MASS momentum (mass-weighted -- a plain mean
+    # leaves net momentum for mixed-mass systems and the cell drifts)
+    v -= (m * v).sum(axis=0) / m.sum()
+    fixed = atoms.fixed_indices() if hasattr(atoms, "fixed_indices") \
+        else []
+    if len(fixed):
+        v[np.asarray(fixed, int)] = 0.0
     atoms.arrays["velocities"] = v
     return v
 
@@ -121,7 +135,9 @@ def equation_of_state(atoms, calc, scales=None):
     for s in scales:
         a = atoms.copy()
         a.set_cell(cell0 * s)
-        a.set_positions(pos0 * s)
+        # affine cell scaling: constraints must not pin FixAtoms rows at
+        # their unscaled coordinates
+        a.set_positions(pos0 * s, apply_constraint=False)
         a.calc = calc
         vols.append(a.get_volume())
         engs.append(a.get_potential_energy())

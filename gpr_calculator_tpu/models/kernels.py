@@ -116,10 +116,13 @@ class _BlockAPI:
         full = full[:, c]
         m_e = e1.ele.shape[0]
         e_rows = full[:n_e1]
-        f_blocks = full[m_e:m_e + 9 * n_f1].reshape(n_f1, 9, -1)
-        C = np.concatenate([e_rows, f_blocks[:, :3].reshape(3 * n_f1, -1)],
-                           axis=0)
-        C_stress = f_blocks[:, 3:].reshape(6 * n_f1, -1)
+        ncols = full.shape[1]
+        # explicit column count: reshape(-1) cannot be resolved for an
+        # energy-only data1 (n_f1 == 0, size-0 array)
+        f_blocks = full[m_e:m_e + 9 * n_f1].reshape(n_f1, 9, ncols)
+        C = np.concatenate(
+            [e_rows, f_blocks[:, :3].reshape(3 * n_f1, ncols)], axis=0)
+        C_stress = f_blocks[:, 3:].reshape(6 * n_f1, ncols)
         return C, C_stress
 
     def diag(self, data):

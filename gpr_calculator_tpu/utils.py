@@ -11,23 +11,19 @@ from .atoms.atoms import ATOMIC_NUMBERS
 from .models.gp import metric_values, new_pt  # noqa: F401  (re-export)
 
 
+# thin delegations: ONE canonical implementation of the scoring math
+# (models/gp.metric_values) so conventions cannot diverge
+
 def rmse(true, predicted):
-    true, predicted = np.asarray(true, float), np.asarray(predicted, float)
-    return np.sqrt(np.sum((true - predicted) ** 2) / len(true))
+    return metric_values(true, predicted)[2]
 
 
 def mae(true, predicted):
-    true, predicted = np.asarray(true, float), np.asarray(predicted, float)
-    return np.sum(np.abs(true - predicted)) / len(true)
+    return metric_values(true, predicted)[1]
 
 
 def r2(true, predicted):
-    if len(true) == 0:
-        return 1.0
-    true, predicted = np.asarray(true, float), np.asarray(predicted, float)
-    tbar = true.mean()
-    return 1 - np.sum((true - predicted) ** 2) / (
-        np.sum((true - tbar) ** 2) + 1e-8)
+    return metric_values(true, predicted)[0]
 
 
 def metric_single(y_train, y_train_pred, header, show_max=False):
@@ -65,7 +61,10 @@ def get_train_data(db_file, include_stress=False):
         energies.append(row["data"]["energy"])
         forces.append(np.asarray(row["data"]["force"]))
         if include_stress:
-            stresses.append(np.asarray(row["data"].get("stress")))
+            sv = row["data"].get("stress")
+            # keep None (energy/forces-only rows) instead of wrapping it
+            # into a dtype=object scalar array
+            stresses.append(None if sv is None else np.asarray(sv))
     if include_stress:
         return strucs, energies, forces, stresses
     return strucs, energies, forces

@@ -81,3 +81,25 @@ def test_langevin_respects_fix_atoms():
     frozen2 = atoms2.positions[[1]].copy()
     VelocityVerlet(atoms2, timestep_fs=1.0).run(25)
     np.testing.assert_array_equal(atoms2.positions[[1]], frozen2)
+
+
+def test_md_preserves_initial_velocities():
+    """The integrator constructor must NOT wipe velocities set by
+    maxwell_boltzmann_velocities (it used to: every MD run silently
+    started from rest and the NVE test passed vacuously with KE=0)."""
+    import numpy as np
+    from gpr_calculator_tpu.md import (VelocityVerlet,
+                                       maxwell_boltzmann_velocities)
+
+    atoms = make_structs(n=1, natoms=6, seed=45)[0]
+    atoms.calc = EMT()
+    v0 = maxwell_boltzmann_velocities(atoms, 300.0)
+    assert np.abs(v0).max() > 0
+    dyn = VelocityVerlet(atoms, timestep_fs=1.0)
+    np.testing.assert_array_equal(dyn.velocities, v0)
+    assert dyn.kinetic_energy() > 0
+    # mass-weighted COM momentum is removed (mixed masses drift
+    # otherwise once the integrator runs)
+    m = atoms.get_masses()[:, None]
+    p = (m * dyn.velocities).sum(axis=0)
+    np.testing.assert_allclose(p, 0.0, atol=1e-12)
