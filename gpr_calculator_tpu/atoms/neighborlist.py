@@ -28,6 +28,19 @@ def neighbor_pairs(atoms, rcut: float) -> Tuple[np.ndarray, np.ndarray,
         cell = np.zeros((3, 3))
         pbc = np.zeros(3, dtype=bool)
 
+    # wrap positions into the cell on periodic axes: both backends
+    # derive their image search range from ceil(rcut/height), which
+    # assumes in-cell coordinates -- an atom drifted ~a cell outside
+    # (long MD/NEB trajectories) would silently lose ALL its periodic
+    # pairs.  Wrapping changes nothing physical (pair vectors are
+    # min-image relative displacements).
+    if np.any(pbc) and abs(np.linalg.det(cell)) > 1e-12:
+        frac = positions @ np.linalg.inv(cell)
+        for k in range(3):
+            if pbc[k]:
+                frac[:, k] -= np.floor(frac[:, k])
+        positions = np.ascontiguousarray(frac @ cell)
+
     lib = get_lib()
     if lib is not None:
         return _native_pairs(lib, positions, cell, pbc, rcut)

@@ -16,10 +16,21 @@ _LIB = None
 _TRIED = False
 
 
+def _host_tag() -> str:
+    import platform
+    return f"{platform.machine()}-{platform.processor()}"
+
+
 def _build() -> Path | None:
     src = _HERE / "neighbor.cpp"
     out = _HERE / "_libgprnative.so"
-    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+    tag = _HERE / "_libgprnative.host"
+    if not src.exists():
+        # never trust an orphaned .so (it may be from another machine:
+        # -march=native binaries SIGILL on a lesser ISA, uncatchably)
+        return None
+    if (out.exists() and out.stat().st_mtime >= src.stat().st_mtime
+            and tag.exists() and tag.read_text() == _host_tag()):
         return out
     try:
         with tempfile.TemporaryDirectory() as td:
@@ -29,6 +40,7 @@ def _build() -> Path | None:
                  "-std=c++17", str(src), "-o", str(tmp_out)],
                 check=True, capture_output=True, timeout=120)
             tmp_out.replace(out)
+        tag.write_text(_host_tag())
         return out
     except Exception:
         return None

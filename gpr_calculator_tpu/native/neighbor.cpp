@@ -1,7 +1,7 @@
 // Native neighbour-pair builder (host runtime component).
 //
 // Replaces the reference's per-step use of ase.neighborlist.NeighborList
-// (gpr_calc/SO3.py:348-407) with a C++ cell-list/brute-force hybrid so the
+// (gpr_calc/SO3.py:348-407) with a C++ brute-force O(natoms^2 x images) builder (a cell list is the natural upgrade at >10^3 atoms) so the
 // host side of the per-NEB-step path is not Python-bound.
 //
 // Semantics match the reference: pairs (i, j, image) with

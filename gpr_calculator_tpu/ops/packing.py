@@ -97,8 +97,13 @@ def round_up(n: int, multiple: int) -> int:
 def bucket_size(n: int, multiple: int = 8, grow: float = 1.25) -> int:
     """Bucketed padding: next multiple of ``multiple`` at least ``grow*n``.
 
-    Growing the bucket geometrically keeps the number of distinct compiled
-    shapes logarithmic in the training-set size.
+    NOTE: this is an ARITHMETIC ladder (bucket boundaries every
+    ~multiple/grow), not a geometric one -- the shape count grows
+    linearly with n, with a bounded ~(grow-1) padding overhead that
+    gives the jit cache hysteresis when a size oscillates around a
+    plain round_up boundary.  (A true geometric ladder would compile
+    fewer shapes at large n; changing it now would invalidate every
+    cached program, so it is documented rather than altered.)
     """
     if n <= 0:
         return multiple
@@ -164,8 +169,15 @@ def pack_force(
             ele=jnp.zeros((m_pad, b_pad), config.int_dtype()),
             nreal=jnp.asarray(0, config.int_dtype()),
         )
-    d = points[0][0].shape[1]
-    ncart = points[0][1].shape[2]
+    d_data = points[0][0].shape[1]
+    assert d is None or d == d_data, (
+        f"declared descriptor width d={d} but the points carry {d_data}")
+    d = d_data
+    nc_data = points[0][1].shape[2]
+    assert ncart in (3, nc_data), (
+        f"declared ncart={ncart} but the force points carry {nc_data} "
+        "cart columns (stress rows missing?)")
+    ncart = nc_data
     max_b = max(int(p[0].shape[0]) for p in points)
     m_pad = m_pad or n
     b_pad = b_pad or max_b

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import config
+from ..atoms.atoms import CHEMICAL_SYMBOLS
 from .bessel import scaled_in
 from .sph import ylm_all, ylm_gradients
 
@@ -113,7 +114,7 @@ CUTOFFS = {"cosine": cosine_cutoff}
     static_argnames=("nmax", "lmax", "natoms", "nseq", "derivative",
                      "stress", "cutoff"))
 def _so3_core(rij, weights, pair_center, pair_seq, pair_Ri, pair_Rj,
-              self_seq, seq_center, q, G0,
+              self_seq, self_ids, seq_center, q, G0,
               *, nmax: int, lmax: int, natoms: int, nseq: int,
               rcut: float, alpha: float, derivative: bool, stress: bool,
               cutoff: str):
@@ -121,8 +122,11 @@ def _so3_core(rij, weights, pair_center, pair_seq, pair_Ri, pair_Rj,
 
     Shapes (P = padded pair count):
       rij (P,3), weights (P,), pair_center (P,), pair_seq (P,),
-      pair_Ri/Rj (P,3) absolute positions, self_seq (natoms,) seq row of
-      (i,i), seq_center (nseq,) centre of each seq row, q (NQ,), G0 (nmax,NQ)
+      pair_Ri/Rj (P,3) absolute positions, self_seq (n_sel,) seq row of
+      (i,i) and self_ids (n_sel,) the atom index of each (a subset call
+      has n_sel < natoms -- center_tot is indexed by ATOM, self rows by
+      selection), seq_center (nseq,) centre of each seq row, q (NQ,),
+      G0 (nmax,NQ)
     """
     fdt = rij.dtype
     P = rij.shape[0]
@@ -210,7 +214,7 @@ def _so3_core(rij, weights, pair_center, pair_seq, pair_Ri, pair_Rj,
     dxdr = jax.ops.segment_sum(dP_tri, pair_seq, num_segments=nseq + 1)[:nseq]
     center_tot = jax.ops.segment_sum(
         dxdr, seq_center, num_segments=natoms + 1)[:natoms]
-    dxdr = dxdr.at[self_seq].add(-center_tot)
+    dxdr = dxdr.at[self_seq].add(-center_tot[self_ids])
 
     rdxdr = None
     if stress:
@@ -223,7 +227,7 @@ def _so3_core(rij, weights, pair_center, pair_seq, pair_Ri, pair_Rj,
         rdPi = jnp.einsum("pn,pcm->pcnm", pair_Ri, dP_tri)
         rdPi_center = jax.ops.segment_sum(
             rdPi, pair_center, num_segments=natoms + 1)[:natoms]
-        pstress = pstress.at[self_seq].add(rdPi_center)
+        pstress = pstress.at[self_seq].add(rdPi_center[self_ids])
         rdxdr = pstress  # caller applies the -1/vol (SO3.py:306)
 
     return x, dxdr, rdxdr
@@ -265,6 +269,10 @@ class SO3:
         if cutoff_function not in CUTOFFS:
             raise NotImplementedError(
                 f"cutoff function {cutoff_function!r} not implemented")
+        if stress and not derivative:
+            raise ValueError(
+                "stress=True requires derivative=True (the rdxdr strain "
+                "terms are built from the gradient chain)")
         self.nmax = nmax
         self.lmax = lmax
         self.rcut = float(rcut)
@@ -426,7 +434,9 @@ class SO3:
                 jnp.asarray(rij_p, dt), jnp.asarray(w_p, dt),
                 jnp.asarray(pc_p), jnp.asarray(ps_p),
                 jnp.asarray(Ri, dt), jnp.asarray(Rj, dt),
-                jnp.asarray(self_seq), jnp.asarray(seq_center),
+                jnp.asarray(self_seq),
+                jnp.asarray(ids_arr.astype(np.int32)),
+                jnp.asarray(seq_center),
                 self._q.astype(dt), self._G0.astype(dt),
                 nmax=self.nmax, lmax=self.lmax, natoms=natoms,
                 nseq=nseq_pad, rcut=self.rcut, alpha=self.alpha,
@@ -437,7 +447,7 @@ class SO3:
             "x": x,
             "dxdr": dxdr,
             "elements": list(getattr(atoms, "symbols", [])) or [
-                _SYMBOLS.get(int(zz), str(zz)) for zz in numbers],
+                CHEMICAL_SYMBOLS[int(zz)] for zz in numbers],
             "seq": seq if self.derivative else None,
             "nseq": nseq,
         }
@@ -449,10 +459,3 @@ class SO3:
         return out
 
 
-_SYMBOLS = {
-    1: "H", 2: "He", 3: "Li", 4: "Be", 5: "B", 6: "C", 7: "N", 8: "O",
-    9: "F", 10: "Ne", 11: "Na", 12: "Mg", 13: "Al", 14: "Si", 15: "P",
-    16: "S", 17: "Cl", 18: "Ar", 19: "K", 20: "Ca", 22: "Ti", 24: "Cr",
-    26: "Fe", 28: "Ni", 29: "Cu", 30: "Zn", 46: "Pd", 47: "Ag", 78: "Pt",
-    79: "Au",
-}

@@ -311,3 +311,42 @@ def test_ylm_compiles_at_validated_ceiling():
     u = pos / r[:, None]
     out = np.asarray(prog(jnp.asarray(u), jnp.asarray(r)))
     assert np.all(np.isfinite(out.real)) and np.all(np.isfinite(out.imag))
+
+
+def test_subset_atom_ids_with_derivative():
+    """atom_ids subsets with derivative=True: the translation-invariance
+    self-row correction is indexed by ATOM while self rows follow the
+    selection -- a subset call used to crash on the shape mismatch (and
+    would have been misaligned even when shapes agreed).  The subset
+    rows must equal the corresponding rows of the full call."""
+    atoms = _make_cluster(seed=17, n=4)
+    so3 = SO3(nmax=2, lmax=2, rcut=4.0, derivative=True)
+    full = so3.calculate(atoms)
+    sub = so3.calculate(atoms, atom_ids=[0, 2])
+    # x rows for the selected atoms match
+    np.testing.assert_allclose(np.asarray(sub["x"])[[0, 2]],
+                               np.asarray(full["x"])[[0, 2]],
+                               rtol=1e-10, atol=1e-12)
+    # dxdr rows: compare per (center, neighbour) seq pair
+    f_map = {(int(i), int(j)): k for k, (i, j) in enumerate(full["seq"])}
+    for k, (i, j) in enumerate(sub["seq"]):
+        kf = f_map[(int(i), int(j))]
+        np.testing.assert_allclose(np.asarray(sub["dxdr"])[k],
+                                   np.asarray(full["dxdr"])[kf],
+                                   rtol=1e-9, atol=1e-12)
+
+
+def test_neighbor_pairs_wrap_drifted_positions():
+    """Atoms drifted outside the periodic cell must keep their
+    min-image neighbours (the image search range assumes in-cell
+    coordinates; unwrapped positions silently lost ALL pairs)."""
+    from gpr_calculator_tpu.atoms import Atoms
+    from gpr_calculator_tpu.atoms.neighborlist import neighbor_pairs
+
+    a = Atoms(numbers=[29, 29],
+              positions=[[0.2, 5.0, 5.0], [20.5, 5.0, 5.0]],
+              cell=np.eye(3) * 10.0, pbc=True)
+    i, j, rij = neighbor_pairs(a, rcut=3.0)
+    assert len(i) == 2, (i, j)
+    d = np.linalg.norm(rij, axis=1)
+    np.testing.assert_allclose(d, [0.3, 0.3], rtol=1e-10)
