@@ -557,7 +557,7 @@ def new_pt(data, refs, d_tol: float = 1e-1, eps: float = 1e-8) -> bool:
     X = X / (np.linalg.norm(X) + eps)
     for X1, ele1 in refs:
         if ele1 == ele:
-            X1 = X1 / np.linalg.norm(X1 + eps)
+            X1 = X1 / (np.linalg.norm(X1) + eps)
             d = X @ X1.T
             if 1 - d ** 2 < d_tol:
                 return False
@@ -599,11 +599,20 @@ class GP:
         pd4-RBF model) serveable on TPU without the ~25x f64-emulation
         penalty; GPR_CALC_TPU_SERVE overrides."""
         self.log_file = log_file
-        logging.getLogger().handlers.clear()
-        logging.basicConfig(level=logging.INFO,
-                            format="%(asctime)s| %(message)s",
-                            filename=self.log_file)
-        self.logging = logging
+        # per-instance named logger: clearing the ROOT logger's handlers
+        # (the old behavior) hijacked the host application's logging on
+        # every GP construction
+        logger = logging.getLogger(
+            f"gpr_calculator_tpu.gp.{log_file or 'default'}")
+        logger.setLevel(logging.INFO)
+        logger.propagate = False
+        if not logger.handlers:
+            handler = (logging.FileHandler(log_file) if log_file
+                       else logging.StreamHandler())
+            handler.setFormatter(
+                logging.Formatter("%(asctime)s| %(message)s"))
+            logger.addHandler(handler)
+        self.logging = logger
 
         if isinstance(noise_e, (list, tuple)):
             self.noise_e = float(noise_e[0])
@@ -714,6 +723,11 @@ class GP:
             self.train_db = []
             self.N_energy = self.N_forces = 0
             self.N_energy_queue = self.N_forces_queue = self.N_queue = 0
+            # a dataset REPLACEMENT invalidates the incremental factor:
+            # the signature check covers hyperparameters only, and a
+            # same-size replacement would otherwise re-solve the new
+            # labels against the OLD covariance's factor
+            self._inc = None
 
         N_E, N_F = 0, 0
         for d in data.get("db", []):
@@ -1063,9 +1077,15 @@ class GP:
         kk = dict(kind=self.kernel.kind, zeta=self.kernel.zeta)
 
         # cross block K(old, new) and new self block -- gathered to real
-        # rows on device
-        B_pad = K_ops.k_block(e_old, f_old, e_new, f_new, params, **kk)
-        C_pad = K_ops.k_self(e_new, f_new, params, **kk)
+        # rows on device; same memory bounding and mesh routing as every
+        # other kernel build (the unchunked f64 build compile-OOMs at
+        # pd4-class neighbourhoods, _fit_chunk docstring)
+        chunk = self._fit_chunk(e_old, f_old)
+        B_pad = K_ops.k_block(e_old, f_old, e_new, f_new, params,
+                              row_chunk=chunk, mesh=self._mesh_arg(),
+                              **kk)
+        C_pad = K_ops.k_self(e_new, f_new, params, row_chunk=chunk,
+                             **kk)
         # old factor rows -> padded row indices of the old packing
         perm_old = self._factor_perm(st["groups"], nE0)
         pad_old = np.where(perm_old < nE0, perm_old,
@@ -1339,8 +1359,9 @@ class GP:
         """Full predictive covariance (gaussianprocess.py:363-366):
         cov = K(X, X) - K_trans K^{-1} K_trans^T."""
         te, tf, _, _ = self._train_view()
+        ncart = force_pts[0][1].shape[2] if force_pts else 3
         pe = pack_energy(energy_pts, d=te.d)
-        pf = pack_force(force_pts, d=te.d)
+        pf = pack_force(force_pts, d=te.d, ncart=ncart)
         params = self.kernel.jax_params()
         kk = dict(kind=self.kernel.kind, zeta=self.kernel.zeta)
         Kt = np.asarray(K_ops.k_block(pe, pf, te, tf, params, **kk))
@@ -1357,7 +1378,7 @@ class GP:
                                  lower=True)
         cov = K_self_pred - V.T @ V
         nE, nF = len(energy_pts), len(force_pts)
-        rows = np.r_[np.arange(nE), pe.m + np.arange(3 * nF)]
+        rows = np.r_[np.arange(nE), pe.m + np.arange(ncart * nF)]
         mean_r = mean[rows]
         if total_E:
             natoms = np.asarray([len(p[0]) for p in energy_pts])
@@ -1441,6 +1462,11 @@ class GP:
             e_off, f_off, s_off = self.compute_base_potential(struc)
             E += e_off
             F += f_off
+            if fix_ids:
+                # consistent with dispatch.evaluate_base: fixed rows
+                # report zero force on BOTH serving paths (a convergence
+                # check must not flip between them)
+                F[sorted(fix_ids)] = 0.0
             if stress and s_off is not None:
                 # base calculators emit ASE Voigt (xx,yy,zz,yz,xz,xy);
                 # the GP stress rows are (xx,yy,zz,xy,xz,yz) (_STRESS_COLS)
@@ -1592,9 +1618,7 @@ class GP:
             K_inv_arg, self.kernel.kind, self.kernel.zeta, return_std,
             *self._serving_args(pf, tf), rows=rows,
             mesh=self._mesh_arg())
-        mean = np.asarray(mean)
-        if return_std:
-            std = np.asarray(std)
+        mean, std = _fetch_mean_std(mean, std if return_std else None)
 
         out = []
         f_off = 0
@@ -1690,7 +1714,10 @@ class GP:
             pts_to_add["db"].append((atoms, energy, force, energy_in,
                                      force_in))
             self.set_train_pts(pts_to_add, mode="a+")
-        errors = (E[0] + energy_off, E1[0] + energy_off, E_std,
+        # E/E1 are PER-ATOM energies (convert_train_data stores
+        # energy/len); the base offset must be per-atom too
+        eoff_at = energy_off / max(len(atoms), 1)
+        errors = (E[0] + eoff_at, E1[0] + eoff_at, E_std,
                   F.reshape(-1) + force_off.reshape(-1),
                   F1.reshape(-1) + force_off.reshape(-1), F_std)
         return pts_to_add, N_pts, errors

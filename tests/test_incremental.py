@@ -215,3 +215,50 @@ def test_incremental_update_beats_refactorise_wallclock():
     np.testing.assert_allclose(np.asarray(out_inc[1]),
                                np.asarray(out_full[1]),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_dataset_replacement_invalidates_incremental_factor():
+    """set_train_pts(mode='w') (dataset REPLACEMENT) must drop the
+    incremental factor state: the signature check covers only
+    hyperparameters, so a same-size replacement used to re-solve the new
+    labels against the OLD covariance's factor -- silently wrong alpha
+    on every subsequent prediction."""
+    structs = make_structs(n=6, natoms=5, seed=27)
+    calc = EMT()
+    labels = [(s, calc.get_potential_energy(s), calc.get_forces(s))
+              for s in structs]
+
+    gp = GP(kernel=RBF(para=[1.5, 1.1]),
+            descriptor=SO3(nmax=2, lmax=2, rcut=4.0),
+            noise_e=0.01, noise_f=0.1, log_file="/tmp/inc_repl.log")
+    for s, e, f in labels[:3]:
+        gp.add_structure((s, e, f))
+    gp.fit(show=False, opt=False)
+    assert gp._inc is not None
+
+    # replace the dataset with three DIFFERENT structures (same counts)
+    data = {"energy": [], "force": [], "db": []}
+    gp2 = GP(kernel=RBF(para=[1.5, 1.1]),
+             descriptor=SO3(nmax=2, lmax=2, rcut=4.0),
+             noise_e=0.01, noise_f=0.1, log_file="/tmp/inc_repl2.log")
+    for s, e, f in labels[3:]:
+        gp2.add_structure((s, e, f))
+    replacement = gp2.export_train_pts() if hasattr(
+        gp2, "export_train_pts") else None
+    if replacement is None:
+        # build the replacement dict through the public path
+        replacement = {"energy": [], "force": [], "db": []}
+        for (x, ele), y in zip(gp2._energy_pts, gp2._energy_y):
+            replacement["energy"].append((x, y, ele))
+        for (x, dxdr, ele), fv in zip(gp2._force_pts, gp2._force_y):
+            replacement["force"].append((x, dxdr, fv, ele))
+    gp.set_train_pts(replacement, mode="w")
+    assert gp._inc is None, "replacement left the old factor alive"
+    gp.fit(show=False, opt=False)
+
+    # predictions must equal a from-scratch fit on the replacement set
+    gp2.fit(show=False, opt=False)
+    E1, F1, _ = gp.predict_structure(structs[0])
+    E2, F2, _ = gp2.predict_structure(structs[0])
+    np.testing.assert_allclose(E1, E2, rtol=1e-8)
+    np.testing.assert_allclose(F1, F2, rtol=1e-6, atol=1e-10)
