@@ -37,8 +37,22 @@ import jax.numpy as jnp
 
 def _b01(z):
     em = jnp.exp(-2.0 * z)
-    b0 = (1.0 - em) / (2.0 * z)
-    b1 = (z * (1.0 + em) - (1.0 - em)) / (2.0 * z * z)
+    # expm1 keeps b0 exact at small z ((1 - e^{-2z}) loses ~eps/2z
+    # relative accuracy -- 6% at z=1e-6 in f32, and it normalises EVERY
+    # Miller output)
+    b0 = -jnp.expm1(-2.0 * z) / (2.0 * z)
+    b1_formula = (z * (1.0 + em) - (1.0 - em)) / (2.0 * z * z)
+    # the closed form cancels catastrophically for small z (numerator
+    # ~2z^3/3 from O(z) terms: measured 1% relative error at z=1e-2 in
+    # f32); switch to the series b1 = z/3 (1 - z + 3z^2/5 - 4z^3/15)
+    z2 = z * z
+    b1_series = z / 3.0 * (1.0 - z + 0.6 * z2 - (4.0 / 15.0) * z2 * z
+                           + (2.0 / 21.0) * z2 * z2)
+    # dtype-dependent switch at the error crossover (series truncation
+    # ~z^5/35 vs the formula's measured ~2e-14/z^2 (f64) / ~1e-5/z^2
+    # (f32) cancellation error)
+    b1_cut = 0.3 if z.dtype == jnp.float32 else 0.02
+    b1 = jnp.where(z < b1_cut, b1_series, b1_formula)
     return b0, b1
 
 
@@ -51,6 +65,7 @@ def _upward(lmax: int, z):
 
 
 def _miller(lmax: int, z, n_extra: int = 40):
+    assert n_extra >= 1, "Miller recurrence needs >= 1 guard index"
     lstart = lmax + n_extra
     # dtype-aware seed/renormalisation bounds (1e-280 underflows in f32)
     if z.dtype == jnp.float32:
@@ -80,7 +95,13 @@ def scaled_in(lmax: int, z: jnp.ndarray, n_extra: int = 40):
     shapes z.shape + (lmax + 1,).  Exact limits at z == 0."""
     zshape = z.shape
     zf = z.reshape(-1)
-    small = zf < 1e-12
+    # f32 needs a much wider small-z guard: below ~4e-7 a single Miller
+    # step's (2l+1)/z growth can jump past float32 range BETWEEN the
+    # renormalisation checks (measured: all-NaN output for z in
+    # (1e-12, 2e-8]); the first-order limits below are accurate to
+    # ~machine eps at these cutoffs
+    z_cut = 1e-6 if z.dtype == jnp.float32 else 1e-12
+    small = zf < z_cut
     zsafe = jnp.where(small, 1.0, zf)
 
     z_switch = float(lmax + 1)
@@ -99,9 +120,15 @@ def scaled_in(lmax: int, z: jnp.ndarray, n_extra: int = 40):
         _, b1 = _b01(zsafe)
         db = b1[..., None]
 
-    # z -> 0 limits: b_l(0) = delta_{l0}; i_l'(0) = 1/3 for l == 1 else 0
+    # z -> 0 limits to FIRST order (the plain delta_{l0} limit leaves a
+    # ~z absolute error at the f32 cutoff): b = [1-z, z/3, 0...],
+    # db = [z/3, 1/3, 0...]
     l_idx = jnp.arange(lmax + 1)
-    b = jnp.where(small[..., None], (l_idx == 0).astype(b.dtype), b)
-    db = jnp.where(small[..., None], (l_idx == 1).astype(b.dtype) / 3.0, db)
+    b_lim = jnp.where(l_idx == 0, 1.0 - zf[..., None],
+                      jnp.where(l_idx == 1, zf[..., None] / 3.0, 0.0))
+    db_lim = jnp.where(l_idx == 0, zf[..., None] / 3.0,
+                       jnp.where(l_idx == 1, 1.0 / 3.0, 0.0))
+    b = jnp.where(small[..., None], b_lim.astype(b.dtype), b)
+    db = jnp.where(small[..., None], db_lim.astype(b.dtype), db)
 
     return b.reshape(*zshape, lmax + 1), db.reshape(*zshape, lmax + 1)

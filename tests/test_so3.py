@@ -350,3 +350,34 @@ def test_neighbor_pairs_wrap_drifted_positions():
     assert len(i) == 2, (i, j)
     d = np.linalg.norm(rij, axis=1)
     np.testing.assert_allclose(d, [0.3, 0.3], rtol=1e-10)
+
+
+def test_scaled_bessel_f32_small_z_finite_and_accurate():
+    """float32 small-z window (the TPU production dtype): Miller's
+    recurrence used to overflow to NaN for z in (1e-12, ~2e-8] and the
+    b1 closed form cancelled catastrophically up to ~1% at z=1e-2.
+    All outputs must be finite and match the f64 path."""
+    import jax
+    zs32 = jnp.asarray([1e-9, 1e-8, 1e-7, 1e-6, 1e-4, 1e-3,
+                        1e-2, 0.04, 0.06, 0.5], jnp.float32)
+    b32, db32 = scaled_in(6, zs32)
+    assert np.all(np.isfinite(np.asarray(b32))), np.asarray(b32)
+    assert np.all(np.isfinite(np.asarray(db32)))
+    # x64 is already enabled by the test conftest
+    b64, db64 = scaled_in(6, jnp.asarray(np.asarray(zs32), jnp.float64))
+    # f32 vs f64 parity within a few f32 eps (abs for the tiny entries)
+    np.testing.assert_allclose(np.asarray(b32), np.asarray(b64),
+                               rtol=5e-5, atol=5e-7)
+    np.testing.assert_allclose(np.asarray(db32), np.asarray(db64),
+                               rtol=5e-5, atol=5e-7)
+
+
+def test_scaled_bessel_b1_small_z_vs_scipy():
+    """b1's series branch vs scipy at the cancellation-prone range (the
+    lmax=0 derivative path consumes it directly)."""
+    for z in [1e-5, 1e-4, 1e-3, 1e-2, 0.04, 0.06, 0.2]:
+        b, db = scaled_in(0, jnp.asarray([z], jnp.float64))
+        ref_b0 = float(np.exp(-z) * sp.spherical_in(0, z))
+        ref_b1 = float(np.exp(-z) * sp.spherical_in(1, z))
+        np.testing.assert_allclose(float(b[0, 0]), ref_b0, rtol=1e-12)
+        np.testing.assert_allclose(float(db[0, 0]), ref_b1, rtol=5e-10)
