@@ -425,8 +425,6 @@ def kff_self(f: ForceData, params, kind: str = "rbf", zeta: int = 2,
     pairs = np.asarray([(i, j) for i in range(nchunk)
                         for j in range(i, nchunk)], np.int32)
 
-    u, r, ele, valid, J = _flatten_force(f)
-    d = f.x.shape[2]
     work_dtype = jnp.bfloat16 if fast else None
     acc_dtype = f.x.dtype
 
