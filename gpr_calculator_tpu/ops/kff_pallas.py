@@ -87,6 +87,14 @@ TPC = 128    # rhs points per output column block
 D_LANES = 128
 T2_MAX = 512  # rhs env-tile budget (VMEM)
 G_BUDGET = 8 * 2 ** 20  # per-cell G buffer budget (scoped VMEM is 16 MB)
+# Largest triangular schedule one pallas_call may carry: the scalar-
+# prefetch window lives in SMEM (1 MB) and the TPU compile helper dies
+# past 2^17 int32 cell codes (131,072 = 512 KB double-buffered;
+# measured on v5e: 127,512 cells compiles, 131,584 crashes --
+# tools/probe_compile_limit.py).  Bigger schedules are split into
+# row-tile-aligned panels, one pallas_call each (_sched_panels).
+SCHED_CELL_CAP = int(os.environ.get("GPR_CALC_TPU_SCHED_CELL_CAP",
+                                    120_000))
 
 _DN = (((1,), (1,)), ((), ()))   # contract lane dims, no batch
 
@@ -338,6 +346,38 @@ def _tri_cells(n_row_tiles, n_col_blocks, nsub, tp2, tp1):
     return np.asarray(codes, np.int32), sbits, jbits
 
 
+def _sched_panels(codes: np.ndarray, sh_i: int, n_row_tiles: int,
+                  cap: int):
+    """Row-tile-aligned partition of the i-major triangular schedule
+    into slices of at most ``cap`` cells: (c0, c1, i0, n_rows) per
+    panel.
+
+    One pallas_call per panel bounds the scalar-prefetch SMEM window
+    (SCHED_CELL_CAP); row tiles stay contiguous and every row tile owns
+    at least its diagonal cells, so the panels' output planes
+    concatenate along the row axis into the full (m1/tp1, tp1, m2)
+    planes with no uninitialised blocks."""
+    n = len(codes)
+    if n <= cap:
+        return [(0, n, 0, n_row_tiles)]
+    rows = (np.asarray(codes, np.int64) >> sh_i)
+    starts = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+    row_of = rows[starts]
+    ends = np.r_[starts[1:], n]
+    assert int((ends - starts).max()) <= cap, (
+        "a single row tile exceeds the schedule cell cap; "
+        "route this shape to the XLA build")
+    panels = []
+    c0, i0 = 0, 0
+    for k in range(len(starts)):
+        if int(ends[k]) - c0 > cap:
+            panels.append((c0, int(starts[k]), i0,
+                           int(row_of[k]) - i0))
+            c0, i0 = int(starts[k]), int(row_of[k])
+    panels.append((c0, n, i0, n_row_tiles - i0))
+    return panels
+
+
 def _pad_points(f: ForceData, multiple: int) -> ForceData:
     m = f.x.shape[0]
     m_new = ((m + multiple - 1) // multiple) * multiple
@@ -539,12 +579,20 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
     S2 = np.kron(np.eye(tp2, dtype=np.float32),
                  np.ones((1, B2), np.float32)).T         # (t2, tp2)
 
+    panels = None
     if symmetric:
         if cells is None:
-            cells, sbits, jbits = _tri_cells(m1 // tp1, m2 // TPC, nsub,
+            codes, sbits, jbits = _tri_cells(m1 // tp1, m2 // TPC, nsub,
                                              tp2, tp1)
-            cells = jnp.asarray(cells)
+            sh_i0 = 1 + sbits + jbits
+            if len(codes) > SCHED_CELL_CAP:
+                panels = _sched_panels(codes, sh_i0, m1 // tp1,
+                                       SCHED_CELL_CAP)
+            cells = jnp.asarray(codes)
         else:
+            # explicit schedule slice (multi-chip shard_map path): the
+            # caller owns the partitioning; slices are not row-
+            # contiguous, so no panel split applies here
             sbits, jbits = _cell_bits(m1 // tp1, m2 // TPC, nsub)
         sh_j, sh_i = 1 + sbits, 1 + sbits + jbits
         jmask, smask = (1 << jbits) - 1, (1 << sbits) - 1
@@ -597,44 +645,61 @@ def kff_from_ops(params, lhs1, re1, rhs2, re2, *, B1: int, B2: int,
                 interpret=interpret,
             )(*tensor_args)
         else:
-            grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(len(cells),),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
-                    pl.BlockSpec((4, 1, t1, kl),
-                                 lambda c, C, si=sh_i: (0, C[c] >> si,
-                                                        0, 0)),
-                    pl.BlockSpec((t1, 2),
-                                 lambda c, C, si=sh_i: (C[c] >> si, 0)),
-                    pl.BlockSpec((4, 1, t2, kl),
-                                 lambda c, C, n=nsub, sj=sh_j, jm=jmask,
-                                 sm=smask:
-                                 (0, (((C[c] >> sj) & jm)) * n
-                                  + ((C[c] >> 1) & sm), 0, 0)),
-                    pl.BlockSpec((2, t2),
-                                 lambda c, C, n=nsub, sj=sh_j, jm=jmask,
-                                 sm=smask:
-                                 (0, (((C[c] >> sj) & jm)) * n
-                                  + ((C[c] >> 1) & sm))),
-                    pl.BlockSpec((t2, tp2),
-                                 lambda c, C: (0, 0)),
-                ],
-                out_specs=tuple(
-                    pl.BlockSpec((1, tp1, TPC),
-                                 lambda c, C, si=sh_i, sj=sh_j, jm=jmask:
-                                 (C[c] >> si, 0, (C[c] >> sj) & jm))
-                    for _ in range(n_planes)),
-                scratch_shapes=scratch,
-            )
-            outs = pl.pallas_call(
-                functools.partial(_kff_kernel_tri, smask=smask,
-                                  **kern_kw),
-                grid_spec=grid_spec,
-                out_shape=out_shape,
-                interpret=interpret,
-            )(cells, *tensor_args)
+            def tri_call(cells_p, i0, nrows_p):
+                # one triangular pallas_call over a row-contiguous
+                # schedule slice; output planes cover rows [i0, i0+nrows)
+                grid_spec = pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(cells_p.shape[0],),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec((4, 1, t1, kl),
+                                     lambda c, C, si=sh_i: (0, C[c] >> si,
+                                                            0, 0)),
+                        pl.BlockSpec((t1, 2),
+                                     lambda c, C, si=sh_i: (C[c] >> si,
+                                                            0)),
+                        pl.BlockSpec((4, 1, t2, kl),
+                                     lambda c, C, n=nsub, sj=sh_j,
+                                     jm=jmask, sm=smask:
+                                     (0, (((C[c] >> sj) & jm)) * n
+                                      + ((C[c] >> 1) & sm), 0, 0)),
+                        pl.BlockSpec((2, t2),
+                                     lambda c, C, n=nsub, sj=sh_j,
+                                     jm=jmask, sm=smask:
+                                     (0, (((C[c] >> sj) & jm)) * n
+                                      + ((C[c] >> 1) & sm))),
+                        pl.BlockSpec((t2, tp2),
+                                     lambda c, C: (0, 0)),
+                    ],
+                    out_specs=tuple(
+                        pl.BlockSpec((1, tp1, TPC),
+                                     lambda c, C, si=sh_i, sj=sh_j,
+                                     jm=jmask, r0=i0:
+                                     ((C[c] >> si) - r0, 0,
+                                      (C[c] >> sj) & jm))
+                        for _ in range(n_planes)),
+                    scratch_shapes=scratch,
+                )
+                return pl.pallas_call(
+                    functools.partial(_kff_kernel_tri, smask=smask,
+                                      **kern_kw),
+                    grid_spec=grid_spec,
+                    out_shape=tuple(
+                        jax.ShapeDtypeStruct((nrows_p, tp1, m2), f32)
+                        for _ in range(n_planes)),
+                    interpret=interpret,
+                )(cells_p, *tensor_args)
+
+            if panels is None:
+                outs = tri_call(cells, 0, m1 // tp1)
+            else:
+                pouts = [tri_call(cells[c0:c1], i0, nr)
+                         for c0, c1, i0, nr in panels]
+                outs = tuple(
+                    jnp.concatenate([po[k] for po in pouts], axis=0)
+                    for k in range(n_planes))
             if owned is not None:
                 # multi-chip: zero the blocks this device does not own
                 # (their memory is uninitialised -- use where, a

@@ -579,3 +579,78 @@ def test_pallas_self_blocks_shape_sweep_interpret():
         scale = max(np.abs(ref).max(), 1e-8)
         err = np.abs(out - ref).max() / scale
         assert err < 3e-5, ((m_e, A, m_f, B, d), err)
+
+
+def test_sched_panels_partition_properties():
+    """_sched_panels: row-tile-aligned, cap-respecting, exhaustive,
+    contiguous partition of the i-major triangular schedule."""
+    from gpr_calculator_tpu.ops.kff_pallas import (_sched_panels,
+                                                   _tri_cells)
+    nrt, ncb, nsub, tp2, tp1 = 40, 20, 4, 32, 4
+    codes, sbits, jbits = _tri_cells(nrt, ncb, nsub, tp2, tp1)
+    sh_i = 1 + sbits + jbits
+    for cap in (len(codes), len(codes) // 2, len(codes) // 5,
+                max(1, len(codes) // 17) + ncb * nsub):
+        panels = _sched_panels(codes, sh_i, nrt, cap)
+        # exhaustive + contiguous in cells AND rows
+        assert panels[0][0] == 0 and panels[-1][1] == len(codes)
+        assert panels[0][2] == 0
+        assert sum(p[3] for p in panels) == nrt
+        for (a, b) in zip(panels, panels[1:]):
+            assert a[1] == b[0] and a[2] + a[3] == b[2]
+        rows = np.asarray(codes, np.int64) >> sh_i
+        for c0, c1, i0, nr in panels:
+            assert c1 - c0 <= cap
+            assert rows[c0:c1].min() == i0
+            assert rows[c0:c1].max() == i0 + nr - 1
+
+
+def test_panelled_schedule_build_matches_single_call(monkeypatch):
+    """The row-panel split (SCHED_CELL_CAP exceeded: one pallas_call
+    per row-aligned schedule slice, planes concatenated) is numerically
+    identical to the single-call build -- same cells, same blocks, same
+    accumulation groups.  Guards the >26.5k-point single-chip builds
+    where the full schedule crashes the TPU compile helper
+    (tools/probe_compile_limit.py: 2^17-code SMEM prefetch limit)."""
+    import jax
+    from gpr_calculator_tpu.ops import kff_pallas as kp
+    from gpr_calculator_tpu.ops.kff_pallas import (TPC, force_operand,
+                                                   kff_from_ops)
+    rng = np.random.RandomState(7)
+    m, B, d = 24, 4, 10
+    fpts = [(rng.uniform(0.2, 1.0, (B, d)),
+             rng.uniform(-1.0, 1.0, (B, d, 3)),
+             rng.choice([13, 79], B)) for _ in range(m)]
+    f = pack_force(fpts, m_pad=m, b_pad=B)
+    params = _params32()
+    mode = "bf16x4"
+    f_lhs, f_rhs, f_re = force_operand(f, mode, TPC)
+
+    def build(dual):
+        return kff_from_ops(params, f_lhs, f_re, f_rhs, f_re, B1=B,
+                            B2=B, zeta=2, interpret=True,
+                            symmetric=True, deriv=False, mode=mode,
+                            dual=dual)
+
+    single_k = np.asarray(build(False))
+    single_kd = build(True)
+    single_d = np.asarray(single_kd[1])
+
+    # force ~4 panels; clear the jit cache so the same-shape retrace
+    # actually sees the patched cap
+    tp2 = kp._rhs_tile_points(B)
+    tp1 = kp._lhs_tile_points(B, tp2 * B, four_rows=True)
+    m_pad = f_lhs.shape[1] // B
+    codes, _, _ = kp._tri_cells(m_pad // tp1, m_pad // TPC,
+                                TPC // tp2, tp2, tp1)
+    assert len(codes) >= 8, "shape too small to exercise panels"
+    monkeypatch.setattr(kp, "SCHED_CELL_CAP",
+                        max(1, len(codes) // 4))
+    jax.clear_caches()
+    panel_k = np.asarray(build(False))
+    panel_kd = build(True)
+
+    np.testing.assert_array_equal(panel_k, single_k)
+    np.testing.assert_array_equal(np.asarray(panel_kd[0]),
+                                  np.asarray(single_kd[0]))
+    np.testing.assert_array_equal(np.asarray(panel_kd[1]), single_d)
