@@ -775,16 +775,25 @@ def _sharded_train_ok(f: ForceData, n_dev: int) -> bool:
     recomputation across the mesh.  The analogue of the reference's
     "split the larger axis" proportionality rule (RBF_mb.py:350-354).
     GPR_CALC_TPU_SHARDED_GATE=off forces the Pallas route (tests /
-    diagnostics)."""
-    if _sharded_gate_off():
-        return True
+    diagnostics).
+
+    Independently of the proportionality gate, a per-device schedule
+    slice longer than SCHED_CELL_CAP is rejected outright (even under
+    GATE=off): each device's slice rides ONE scalar-prefetch window,
+    and past 2^17 codes the TPU compile helper crashes (the sharded
+    slices are not row-contiguous, so the single-chip panel split does
+    not apply to them)."""
     from ..parallel.sharded_kernels import tri_schedule
-    from .kff_pallas import TPC
+    from .kff_pallas import SCHED_CELL_CAP, TPC
     m_f, B = f.x.shape[0], f.x.shape[1]
-    if 2 * m_f < TPC:          # m2p >= 2 m_f: padding-dominated
-        return False
     m2p = -(-m_f // TPC) * TPC
     sched = tri_schedule(m2p, B, n_dev)
+    if sched is not None and sched[1].shape[1] > SCHED_CELL_CAP:
+        return False
+    if _sharded_gate_off():
+        return True
+    if 2 * m_f < TPC:          # m2p >= 2 m_f: padding-dominated
+        return False
     if sched is None:
         return False
     codes, cells, _ = sched

@@ -318,3 +318,28 @@ def test_k_block_foreign_sharded_lhs_routes_xla(monkeypatch):
     monkeypatch.setattr(kff_pallas, "kef_pallas", boom)
     out = np.asarray(kernels.k_block(e1s, f1s, e2, f2, params, "rbf", 2))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_gate_rejects_oversized_device_slices(monkeypatch):
+    """A per-device schedule slice longer than SCHED_CELL_CAP is
+    rejected even under GPR_CALC_TPU_SHARDED_GATE=off: each device's
+    slice rides one scalar-prefetch SMEM window, which crashes the TPU
+    compile helper past 2^17 codes (and the sharded slices are not
+    row-contiguous, so the single-chip panel split cannot apply)."""
+    from gpr_calculator_tpu.ops import kernels
+    from gpr_calculator_tpu.ops import kff_pallas as kp
+    from gpr_calculator_tpu.parallel import sharded_kernels as sk
+    rng = np.random.RandomState(5)
+    fpts = [(rng.uniform(0.2, 1.0, (4, 6)),
+             rng.uniform(-1.0, 1.0, (4, 6, 3)),
+             rng.choice([13, 79], 4)) for _ in range(20)]
+    f_big = _f32tree(pack_force(fpts * 13, m_pad=260, b_pad=4))
+    monkeypatch.setenv("GPR_CALC_TPU_SHARDED_GATE", "off")
+    assert kernels._sharded_train_ok(f_big, 8)
+    # shrink the cap below this shape's per-device slice
+    m2p = -(-260 // kp.TPC) * kp.TPC
+    sched = sk.tri_schedule(m2p, 4, 8)
+    assert sched is not None
+    per_dev = sched[1].shape[1]
+    monkeypatch.setattr(kp, "SCHED_CELL_CAP", per_dev - 1)
+    assert not kernels._sharded_train_ok(f_big, 8)

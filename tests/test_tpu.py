@@ -477,3 +477,31 @@ def test_kff_pallas_wide_nsub_bucket_compiled():
     out = _fetch(kff_pallas(f, f, params, zeta=2, symmetric=True))
     scale = max(np.abs(ref).max(), 1e-6)
     assert np.abs(out - ref).max() < 5e-4 * scale
+
+
+@skip_off_tpu
+def test_panelled_schedule_compiled_matches_single_call(monkeypatch):
+    """The row-panel schedule split (SCHED_CELL_CAP; kicks in above
+    ~26.5k covariance rows where one scalar-prefetch window crashes the
+    TPU compile helper) lowered by the REAL Mosaic compiler: force a
+    tiny cap at bench-like shapes and assert the panelled build equals
+    the single-call build bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+    from gpr_calculator_tpu.ops import kff_pallas as kp
+    from gpr_calculator_tpu.ops.kff_pallas import kff_pallas
+    _, f = _bench_like_data(m_f=192, seed=23)
+    params = {"sigma": jnp.asarray(1.7, jnp.float32),
+              "l": jnp.asarray(0.8, jnp.float32)}
+    single = _fetch(kff_pallas(f, f, params, zeta=2, symmetric=True))
+
+    tp2 = kp._rhs_tile_points(32)
+    tp1 = kp._lhs_tile_points(32, tp2 * 32, four_rows=True)
+    m_pad = -(-192 // kp.TPC) * kp.TPC
+    codes, _, _ = kp._tri_cells(m_pad // tp1, m_pad // kp.TPC,
+                                kp.TPC // tp2, tp2, tp1)
+    assert len(codes) > 4
+    monkeypatch.setattr(kp, "SCHED_CELL_CAP", max(1, len(codes) // 3))
+    jax.clear_caches()
+    panelled = _fetch(kff_pallas(f, f, params, zeta=2, symmetric=True))
+    np.testing.assert_array_equal(panelled, single)
