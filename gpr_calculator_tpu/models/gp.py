@@ -82,16 +82,33 @@ def _scan_diag_and_trace(L, n: int, trace_block):
     the NLL-specific trace contribution (tr(K^-1 Kd) for RBF, the
     EE-block trace for Dot) -- both NLLs share this one canonical
     implementation of the overhang handling.
+
+    The per-block solve is the BLOCKED substitution
+    (ops/linalg.blocked_cho_solve), not XLA's TriangularSolve: the
+    native lowering of a wide solve at large n compiles a 20.9 GiB-temp
+    program (n=20k, 2048 rhs) and crashes the TPU compile helper when
+    placed inside this scan -- it was the single-chip NLL ceiling.
+    The diagonal-block inverses are hoisted out of the scan (one small
+    vmapped solve per NLL evaluation).  GPR_CALC_TPU_TRACE_SOLVE=xla
+    restores the native solve for A/B diagnostics; the choice is read
+    at trace time and frozen into the compiled program (same caveat as
+    _resolve_chol_mode).
     """
     blk = min(_TRACE_BLK, n)
     n_blk = -(-n // blk)
     col = jnp.arange(n)
+    use_xla = os.environ.get("GPR_CALC_TPU_TRACE_SOLVE",
+                             "blocked") == "xla"
+    dinv = None if use_xla else linalg.blocked_dinv(L)
 
     def body(carry, b):
         kinv_diag, acc = carry
         cols = b * blk + jnp.arange(blk)
         E = (col[:, None] == cols[None, :]).astype(L.dtype)
-        X = jax.scipy.linalg.cho_solve((L, True), E)     # (n, blk)
+        if use_xla:
+            X = jax.scipy.linalg.cho_solve((L, True), E)  # (n, blk)
+        else:
+            X = linalg.blocked_cho_solve(L, E, dinv)
         d = X[jnp.clip(cols, 0, n - 1), jnp.arange(blk)]
         kinv_diag = kinv_diag.at[cols].set(d, mode="drop")
         return (kinv_diag, acc + trace_block(X, cols)), None

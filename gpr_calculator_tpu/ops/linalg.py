@@ -33,6 +33,106 @@ def chol_solve_lower(L: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return jax.scipy.linalg.cho_solve((L, True), y)
 
 
+# ---------------------------------------------------------------------------
+# Blocked wide triangular solves (MXU substitution)
+#
+# XLA's TriangularSolve lowering on TPU is pathological for WIDE
+# right-hand sides at large n: a single cho_solve of (20000, 20000)
+# against 2048 columns compiles to a 20.9 GiB-temp program in 160 s,
+# and the same solve inside a lax.scan crashes the TPU compile helper
+# outright (measured, tools/probe_scan_trace.py) -- which capped the
+# analytic NLL's diag/trace pass at ~10k rows.  The routines below
+# rebuild the solve as BLOCK substitution: invert the (nb, nb) diagonal
+# blocks once per factor, then sweep block rows with one (nb, n) x
+# (n, k) matmul per step inside a fori_loop.  Everything is a dense
+# MXU contraction with static shapes; temps are O(n k); the loop body
+# compiles once.  Cost is 2x the ideal substitution FLOPs (each sweep
+# multiplies the full row block, half of which is above/below the
+# diagonal and known zero) -- the price of never materialising a
+# data-dependent-width slice under jit.
+# ---------------------------------------------------------------------------
+
+# block size of the substitution sweeps; 512 keeps the per-step matmul
+# MXU-shaped while the diagonal-block inversion stays trivial to compile
+_SOLVE_NB = 512
+
+
+def _pad_factor(L: jnp.ndarray, nb: int):
+    """Pad an (n, n) lower factor to a block multiple with a unit-diag
+    tail (same invariant as the capacity buffers: padded rows solve to
+    exactly zero)."""
+    n = L.shape[0]
+    n_pad = -(-n // nb) * nb
+    if n_pad == n:
+        return L, n_pad
+    Lp = jnp.zeros((n_pad, n_pad), L.dtype).at[:n, :n].set(L)
+    idx = jnp.arange(n, n_pad)
+    return Lp.at[idx, idx].set(1.0), n_pad
+
+
+def blocked_dinv(L: jnp.ndarray, nb: int = _SOLVE_NB) -> jnp.ndarray:
+    """(n_blk, nb, nb) inverses of the diagonal blocks of a lower
+    factor, the precompute shared by every `blocked_cho_solve` against
+    the same L (one small vmapped solve; n_blk * nb^2 storage)."""
+    Lp, n_pad = _pad_factor(L, nb)
+    n_blk = n_pad // nb
+    blocks = Lp.reshape(n_blk, nb, n_blk, nb)
+    diag = blocks[jnp.arange(n_blk), :, jnp.arange(n_blk), :]
+    eye = jnp.eye(nb, dtype=L.dtype)
+    return jax.vmap(lambda d: jax.scipy.linalg.solve_triangular(
+        d, eye, lower=True))(diag)
+
+
+def blocked_cho_solve(L: jnp.ndarray, B: jnp.ndarray,
+                      dinv: jnp.ndarray | None = None,
+                      nb: int = _SOLVE_NB) -> jnp.ndarray:
+    """K^-1 B for K = L L^T by blocked forward + backward substitution.
+
+    Replaces jax.scipy.linalg.cho_solve for WIDE right-hand sides at
+    large n, where XLA's TriangularSolve lowering explodes (see module
+    comment).  Exact (no iteration): each block row is solved with the
+    precomputed diagonal-block inverse after subtracting the already-
+    solved region via one full-width matmul; not-yet-solved rows are
+    still zero, and the factor's triangularity zeroes their weights, so
+    the sweep needs no masking.
+
+    Args:
+        L:    (n, n) lower Cholesky factor
+        B:    (n, k) right-hand sides
+        dinv: optional blocked_dinv(L, nb) to amortise across calls
+        nb:   substitution block size
+    """
+    n, k = B.shape
+    Lp, n_pad = _pad_factor(L, nb)
+    n_blk = n_pad // nb
+    if dinv is None:
+        dinv = blocked_dinv(L, nb)
+    Bp = B if n_pad == n else jnp.zeros(
+        (n_pad, k), B.dtype).at[:n, :].set(B)
+
+    def fwd(i, X):
+        r0 = i * nb
+        row = jax.lax.dynamic_slice(Lp, (r0, 0), (nb, n_pad))
+        acc = row @ X                       # solved region only: X_i = 0
+        Bi = jax.lax.dynamic_slice(Bp, (r0, 0), (nb, k))
+        Xi = dinv[i] @ (Bi - acc)
+        return jax.lax.dynamic_update_slice(X, Xi, (r0, 0))
+
+    X = jax.lax.fori_loop(0, n_blk, fwd, jnp.zeros_like(Bp))
+
+    def bwd(j, Y):
+        i = n_blk - 1 - j
+        r0 = i * nb
+        colT = jax.lax.dynamic_slice(Lp, (0, r0), (n_pad, nb))
+        acc = colT.T @ Y                    # rows > i of L^T: Y_i = 0
+        Xi = jax.lax.dynamic_slice(X, (r0, 0), (nb, k))
+        Yi = dinv[i].T @ (Xi - acc)
+        return jax.lax.dynamic_update_slice(Y, Yi, (r0, 0))
+
+    Y = jax.lax.fori_loop(0, n_blk, bwd, jnp.zeros_like(Bp))
+    return Y[:n, :]
+
+
 @functools.partial(jax.jit, donate_argnums=(0,),
                    static_argnames=("n", "k"))
 def chol_append_buf(Lbuf, B, C, y, *, n: int, k: int):

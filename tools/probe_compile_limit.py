@@ -117,6 +117,25 @@ def probe_mem(n, prog="build"):
             fn = jax.jit(lambda e_, f_, p_: K_ops.k_self(
                 e_, f_, p_, "rbf", 2, symmetric=True))
             c = fn.lower(e, f, params).compile()
+        elif prog == "dual":
+            # the analytic-NLL covariance pass (K + dK/dl in one fused
+            # kernel, 18 output planes) -- isolates whether the NLL's
+            # compile-helper failure is the dual Mosaic kernel or the
+            # surrounding trace/solve program
+            fn = jax.jit(lambda e_, f_, p_: K_ops.k_self_dual(
+                e_, f_, p_, 2))
+            c = fn.lower(e, f, params).compile()
+        elif prog == "nll":
+            # the FULL analytic NLL+grad step (dual build + factor +
+            # trace/solve) -- the program that crashes the axon compile
+            # helper at 30k while the dual build alone compiles
+            from gpr_calculator_tpu.models.gp import _nll_rbf_analytic
+            y = jnp.zeros((n,), jnp.float32)
+            nf = jnp.asarray([0.01, 0.1], jnp.float32)
+            fn = jax.jit(lambda t, e_, f_, y_: _nll_rbf_analytic(
+                t, e_, f_, y_, nf, 10.0, 2, False, 8))
+            theta = jnp.asarray([2.0, 1.0], jnp.float32)
+            c = fn.lower(theta, e, f, y).compile()
         else:
             y = jnp.zeros((n,), jnp.float32)
             fn = jax.jit(lambda e_, f_, y_, p_: _factorize(
@@ -147,7 +166,8 @@ if __name__ == "__main__":
             probe_chol(n)
         elif mode in ("pallas", "xla"):
             probe_build(n, impl=mode)
-        elif mode in ("mem", "memfit"):
-            probe_mem(n, "build" if mode == "mem" else "fit")
+        elif mode in ("mem", "memfit", "memdual", "memnll"):
+            probe_mem(n, {"mem": "build", "memfit": "fit",
+                          "memdual": "dual", "memnll": "nll"}[mode])
         else:
             probe_fit(n)

@@ -83,9 +83,15 @@ def run_point(n_rows: int, nll: bool):
 
 
 if __name__ == "__main__":
-    args = [int(a) for a in sys.argv[1:]]
-    points = args or [30000, 40000]
-    for n in points:
-        run_point(n, nll=False)
-    for n in (args or [30000, 36000]):
-        run_point(n, nll=True)
+    only = None
+    argv = sys.argv[1:]
+    if argv and argv[0] in ("--nll", "--fit"):
+        only = argv[0][2:]
+        argv = argv[1:]
+    args = [int(a) for a in argv]
+    if only != "nll":
+        for n in (args or [30000, 40000]):
+            run_point(n, nll=False)
+    if only != "fit":
+        for n in (args or [30000, 36000]):
+            run_point(n, nll=True)
