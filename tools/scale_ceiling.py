@@ -63,7 +63,10 @@ def run_point(n_rows: int, nll: bool):
         prog = "nll" if nll else "fit"
         print(f"CEILING {prog} {label}: OK finite={ok} "
               f"compile+first={wall:.1f}s", flush=True)
-        # warm sample
+        # warm sample; drop the first run's factor/weights first or the
+        # two copies of L coexist and OOM the warm run near the ceiling
+        if not nll:
+            del L, alpha
         t0 = time.time()
         if nll:
             float(_nll_rbf_analytic(jnp.asarray([2.0002, 1.0], dt), e,
