@@ -93,6 +93,17 @@ def _scan_diag_and_trace(L, n: int, trace_block):
     restores the native solve for A/B diagnostics; the choice is read
     at trace time and frozen into the compiled program (same caveat as
     _resolve_chol_mode).
+
+    The scan exploits K^-1's SYMMETRY to halve the solve work: each
+    block only computes rows at and below the diagonal (the blocked
+    solve's forward sweep starts at the block row -- exact, L^-1 is
+    lower triangular -- and its backward sweep stops there), and
+    ``trace_block`` receives the column block pre-weighted with 2 on
+    the strictly-lower entries, 1 on the diagonal, 0 above.  This is
+    exact whenever the trace weight is symmetric (dK/dgamma is; the
+    zero-extended EE pair-count matrix is); the same weighting is
+    applied in xla mode (full solve) so the A/B toggle compares like
+    for like.
     """
     blk = min(_TRACE_BLK, n)
     n_blk = -(-n // blk)
@@ -108,10 +119,12 @@ def _scan_diag_and_trace(L, n: int, trace_block):
         if use_xla:
             X = jax.scipy.linalg.cho_solve((L, True), E)  # (n, blk)
         else:
-            X = linalg.blocked_cho_solve(L, E, dinv)
+            X = linalg.blocked_cho_solve(L, E, dinv, start_row=b * blk)
         d = X[jnp.clip(cols, 0, n - 1), jnp.arange(blk)]
         kinv_diag = kinv_diag.at[cols].set(d, mode="drop")
-        return (kinv_diag, acc + trace_block(X, cols)), None
+        w = (2.0 * (col[:, None] > cols[None, :])
+             + 1.0 * (col[:, None] == cols[None, :])).astype(L.dtype)
+        return (kinv_diag, acc + trace_block(X * w, cols)), None
 
     (kinv_diag, acc), _ = jax.lax.scan(
         body, (jnp.zeros((n,), L.dtype), jnp.zeros((), L.dtype)),

@@ -85,7 +85,8 @@ def blocked_dinv(L: jnp.ndarray, nb: int = _SOLVE_NB) -> jnp.ndarray:
 
 def blocked_cho_solve(L: jnp.ndarray, B: jnp.ndarray,
                       dinv: jnp.ndarray | None = None,
-                      nb: int = _SOLVE_NB) -> jnp.ndarray:
+                      nb: int = _SOLVE_NB,
+                      start_row=0) -> jnp.ndarray:
     """K^-1 B for K = L L^T by blocked forward + backward substitution.
 
     Replaces jax.scipy.linalg.cho_solve for WIDE right-hand sides at
@@ -96,11 +97,22 @@ def blocked_cho_solve(L: jnp.ndarray, B: jnp.ndarray,
     still zero, and the factor's triangularity zeroes their weights, so
     the sweep needs no masking.
 
+    ``start_row`` (may be a traced scalar) restricts BOTH sweeps to
+    block rows >= start_row // nb: rows above it come back ZERO, not
+    their true values.  This is exact for the forward half when B's
+    rows above start_row are zero (L^-1 is lower triangular), and is
+    how the NLL trace scan halves its work -- by K^-1's symmetry it
+    only needs the lower-triangular part of each column block, so the
+    backward sweep stops once it has filled the rows at and below the
+    diagonal (the caller double-weights the strictly-lower entries).
+
     Args:
-        L:    (n, n) lower Cholesky factor
-        B:    (n, k) right-hand sides
-        dinv: optional blocked_dinv(L, nb) to amortise across calls
-        nb:   substitution block size
+        L:         (n, n) lower Cholesky factor
+        B:         (n, k) right-hand sides
+        dinv:      optional blocked_dinv(L, nb) to amortise across calls
+        nb:        substitution block size
+        start_row: first row of interest (traced ok); rows above the
+                   enclosing block boundary are returned as zero
     """
     n, k = B.shape
     Lp, n_pad = _pad_factor(L, nb)
@@ -109,6 +121,7 @@ def blocked_cho_solve(L: jnp.ndarray, B: jnp.ndarray,
         dinv = blocked_dinv(L, nb)
     Bp = B if n_pad == n else jnp.zeros(
         (n_pad, k), B.dtype).at[:n, :].set(B)
+    i0 = start_row // nb
 
     def fwd(i, X):
         r0 = i * nb
@@ -118,7 +131,7 @@ def blocked_cho_solve(L: jnp.ndarray, B: jnp.ndarray,
         Xi = dinv[i] @ (Bi - acc)
         return jax.lax.dynamic_update_slice(X, Xi, (r0, 0))
 
-    X = jax.lax.fori_loop(0, n_blk, fwd, jnp.zeros_like(Bp))
+    X = jax.lax.fori_loop(i0, n_blk, fwd, jnp.zeros_like(Bp))
 
     def bwd(j, Y):
         i = n_blk - 1 - j
@@ -129,7 +142,7 @@ def blocked_cho_solve(L: jnp.ndarray, B: jnp.ndarray,
         Yi = dinv[i].T @ (Xi - acc)
         return jax.lax.dynamic_update_slice(Y, Yi, (r0, 0))
 
-    Y = jax.lax.fori_loop(0, n_blk, bwd, jnp.zeros_like(Bp))
+    Y = jax.lax.fori_loop(0, n_blk - i0, bwd, jnp.zeros_like(Bp))
     return Y[:n, :]
 
 

@@ -94,3 +94,20 @@ def test_scan_diag_and_trace_blocked_matches_xla(monkeypatch):
     tr_ref = np.trace(np.linalg.solve(K, Kd))
     assert abs(float(t_blk) - tr_ref) < 1e-8 * abs(tr_ref)
     assert abs(float(t_blk) - float(t_xla)) < 1e-8 * abs(tr_ref)
+
+
+def test_blocked_cho_solve_start_row_truncation():
+    """start_row: rows at/below the enclosing block boundary are the
+    exact solution, rows above come back zero (the trace scan's
+    symmetry-halving contract)."""
+    n, k, nb = 300, 24, 64
+    L, K = _spd_factor(n, seed=8)
+    B = np.zeros((n, k))
+    c0 = 150                      # one-hot rhs rows >= c0, like the scan
+    B[np.arange(c0, c0 + k), np.arange(k)] = 1.0
+    ref = np.linalg.solve(K, B)
+    got = np.asarray(blocked_cho_solve(jnp.asarray(L), jnp.asarray(B),
+                                       nb=nb, start_row=c0))
+    i0 = (c0 // nb) * nb
+    assert np.abs(got[i0:] - ref[i0:]).max() / np.abs(ref).max() < 1e-10
+    np.testing.assert_array_equal(got[:i0], 0.0)
