@@ -442,8 +442,21 @@ def _predict_packed(pe: EnergyData, pf: ForceData, te: EnergyData,
     # floor (orders above f32 rounding) and an emulated-f64 triangular
     # solve would undo the mixed speedup
     vdt = jnp.float32 if mixed else alpha.dtype
-    V = jax.scipy.linalg.solve_triangular(
-        L_fac.astype(vdt), Ktf.T.astype(vdt), lower=True)  # (n, n_pred)
+    # wide variance solves on big factors take the blocked substitution:
+    # XLA's TriangularSolve crashes the TPU compile helper at
+    # (n=20k, k=3072) and stages 5.5 GiB of temps even at k=512
+    # (ops/linalg module comment).  Shapes are static under jit, so the
+    # route is resolved at trace time; GPR_CALC_TPU_VAR_SOLVE overrides.
+    var_mode = os.environ.get("GPR_CALC_TPU_VAR_SOLVE", "auto")
+    use_blocked = (var_mode == "blocked"
+                   or (var_mode == "auto" and L_fac.shape[0] >= 8192
+                       and Ktf.shape[0] >= 256))
+    if use_blocked:
+        V = linalg.blocked_solve_lower(
+            L_fac.astype(vdt), Ktf.T.astype(vdt))   # (n, n_pred)
+    else:
+        V = jax.scipy.linalg.solve_triangular(
+            L_fac.astype(vdt), Ktf.T.astype(vdt), lower=True)
     var = diag - jnp.einsum("ji,ji->i", V, V).astype(alpha.dtype)
     var = jnp.maximum(var, 0.0)          # clamp (gaussianprocess.py:371-375)
     return mean, jnp.sqrt(var)

@@ -123,15 +123,7 @@ def blocked_cho_solve(L: jnp.ndarray, B: jnp.ndarray,
         (n_pad, k), B.dtype).at[:n, :].set(B)
     i0 = start_row // nb
 
-    def fwd(i, X):
-        r0 = i * nb
-        row = jax.lax.dynamic_slice(Lp, (r0, 0), (nb, n_pad))
-        acc = row @ X                       # solved region only: X_i = 0
-        Bi = jax.lax.dynamic_slice(Bp, (r0, 0), (nb, k))
-        Xi = dinv[i] @ (Bi - acc)
-        return jax.lax.dynamic_update_slice(X, Xi, (r0, 0))
-
-    X = jax.lax.fori_loop(i0, n_blk, fwd, jnp.zeros_like(Bp))
+    X = _fwd_sweep(Lp, Bp, dinv, nb, i0)
 
     def bwd(j, Y):
         i = n_blk - 1 - j
@@ -144,6 +136,39 @@ def blocked_cho_solve(L: jnp.ndarray, B: jnp.ndarray,
 
     Y = jax.lax.fori_loop(0, n_blk - i0, bwd, jnp.zeros_like(Bp))
     return Y[:n, :]
+
+
+def _fwd_sweep(Lp, Bp, dinv, nb, i0):
+    n_pad, k = Bp.shape
+    n_blk = n_pad // nb
+
+    def fwd(i, X):
+        r0 = i * nb
+        row = jax.lax.dynamic_slice(Lp, (r0, 0), (nb, n_pad))
+        acc = row @ X                       # solved region only: X_i = 0
+        Bi = jax.lax.dynamic_slice(Bp, (r0, 0), (nb, k))
+        Xi = dinv[i] @ (Bi - acc)
+        return jax.lax.dynamic_update_slice(X, Xi, (r0, 0))
+
+    return jax.lax.fori_loop(i0, n_blk, fwd, jnp.zeros_like(Bp))
+
+
+def blocked_solve_lower(L: jnp.ndarray, B: jnp.ndarray,
+                        dinv: jnp.ndarray | None = None,
+                        nb: int = _SOLVE_NB) -> jnp.ndarray:
+    """L^-1 B (forward substitution only) by the same blocked MXU
+    sweep.  This is the serving-variance solve: XLA's TriangularSolve
+    crashes the TPU compile helper at (n=20k, k=3072) and stages
+    5.5 GiB of temps even at k=512, so `_predict_packed` routes wide
+    variance solves on big factors here (var = diag - ||L^-1 k||^2
+    needs only the forward half)."""
+    n, k = B.shape
+    Lp, n_pad = _pad_factor(L, nb)
+    if dinv is None:
+        dinv = blocked_dinv(L, nb)
+    Bp = B if n_pad == n else jnp.zeros(
+        (n_pad, k), B.dtype).at[:n, :].set(B)
+    return _fwd_sweep(Lp, Bp, dinv, nb, 0)[:n, :]
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),

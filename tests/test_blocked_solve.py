@@ -111,3 +111,53 @@ def test_blocked_cho_solve_start_row_truncation():
     i0 = (c0 // nb) * nb
     assert np.abs(got[i0:] - ref[i0:]).max() / np.abs(ref).max() < 1e-10
     np.testing.assert_array_equal(got[:i0], 0.0)
+
+
+def test_blocked_solve_lower_matches_dense():
+    n, k, nb = 300, 40, 64
+    L, _ = _spd_factor(n, seed=9)
+    B = np.random.RandomState(10).randn(n, k)
+    ref = np.linalg.solve(L, B)
+    got = np.asarray(
+        __import__("gpr_calculator_tpu.ops.linalg", fromlist=["x"])
+        .blocked_solve_lower(jnp.asarray(L), jnp.asarray(B), nb=nb))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-10
+
+
+def test_serving_variance_blocked_route_matches_xla(monkeypatch):
+    """_predict_packed's variance: blocked forward substitution vs
+    XLA TriangularSolve (GPR_CALC_TPU_VAR_SOLVE A/B) on a small model,
+    caches cleared between routes so the env choice re-traces."""
+    from gpr_calculator_tpu.models.gp import _factorize, _predict_packed
+    from gpr_calculator_tpu.ops.packing import EnergyData, ForceData
+    rng = np.random.RandomState(11)
+    m_e, m_f, a, d = 4, 12, 6, 9
+    dt = jnp.float64
+    def mk(m_eu, m_fu, seed):
+        r = np.random.RandomState(seed)
+        e = EnergyData(x=jnp.asarray(r.uniform(.2, 1, (m_eu, a, d)), dt),
+                       ele=jnp.asarray(r.choice([13, 79], (m_eu, a))),
+                       counts=jnp.full((m_eu,), float(a), dt),
+                       nreal=jnp.asarray(m_eu))
+        f = ForceData(x=jnp.asarray(r.uniform(.2, 1, (m_fu, a, d)), dt),
+                      dxdr=jnp.asarray(r.uniform(-1, 1, (m_fu, a, d, 3)), dt),
+                      ele=jnp.asarray(r.choice([13, 79], (m_fu, a))),
+                      nreal=jnp.asarray(m_fu))
+        return e, f
+    e, f = mk(m_e, m_f, 12)
+    pe, pf = mk(1, 5, 13)
+    y = jnp.asarray(rng.randn(m_e + 3 * m_f) * .1, dt)
+    params = {"sigma": jnp.asarray(1.5, dt), "l": jnp.asarray(0.9, dt)}
+    L, alpha = _factorize(e, f, y, params, jnp.asarray(0.01, dt),
+                          jnp.asarray(0.1, dt), "rbf", 2)
+    out = {}
+    for mode in ("blocked", "xla"):
+        monkeypatch.setenv("GPR_CALC_TPU_VAR_SOLVE", mode)
+        jax.clear_caches()
+        mean, std = _predict_packed(pe, pf, e, f, params, alpha, L,
+                                    "rbf", 2, True, 0)
+        out[mode] = (np.asarray(mean), np.asarray(std))
+    np.testing.assert_allclose(out["blocked"][0], out["xla"][0],
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(out["blocked"][1], out["xla"][1],
+                               rtol=1e-9, atol=1e-12)
