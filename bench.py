@@ -399,37 +399,11 @@ def bench_serve():
     examples ship) -- and the batched-NEB per-step latency."""
     serve, neb_counts = {}, {}
 
-    # 1. warm per-structure serving latency against the bundled
-    #    pd4-RBF artifact (real 220-atom periodic cell, 100 structures)
-    try:
-        from gpr_calculator_tpu import GP
-        from gpr_calculator_tpu.io.ase_db import read_db
-        gp = GP.load("/root/reference/examples/database/pd4-RBF.json",
-                     N_max=100, row_chunk=32,
-                     log_file="/tmp/bench_pd4.log")
-        gp.fit(opt=False, show=False)
-        struc = read_db(
-            "/root/reference/examples/database/pd4-RBF.db")[0]["atoms"]
-
-        def t_pred(std):
-            gp.predict_structure(struc, return_std=std)   # warm compile
-            ts = []
-            for _ in range(3):
-                t0 = time.time()
-                gp.predict_structure(struc, return_std=std)
-                ts.append(time.time() - t0)
-            return round(min(ts) * 1e3, 1)
-
-        serve["predict_pd4_ms"] = t_pred(False)
-        serve["predict_pd4_std_ms"] = t_pred(True)
-        print(f"# serve: pd4 predict {serve['predict_pd4_ms']} ms, "
-              f"with std {serve['predict_pd4_std_ms']} ms", file=sys.stderr)
-    except Exception as exc:
-        print(f"# pd4 serving bench skipped: {type(exc).__name__}: "
-              f"{str(exc)[:160]}", file=sys.stderr)
-
-    # 2+3. the headline on-the-fly NEB loop (serial dispatch with full
-    #      counts, then the batched evaluator's per-step latency)
+    # 1+2. the headline on-the-fly NEB loop FIRST (serial dispatch with
+    #      full counts, then the batched evaluator's per-step latency):
+    #      the dispatch-count record is the reference-protocol analogue
+    #      (round-3 VERDICT item 3) and must land even if the budget
+    #      later truncates the pd4 serving point
     init = "/root/reference/examples/database/initial.traj"
     final = "/root/reference/examples/database/final.traj"
     if os.path.exists(init) and not _over_budget("on-the-fly NEB"):
@@ -493,6 +467,40 @@ def bench_serve():
                 print(f"# batched NEB bench failed: "
                       f"{type(exc).__name__}: {str(exc)[:200]}",
                       file=sys.stderr)
+
+    # 3. warm per-structure serving latency against the bundled
+    #    pd4-RBF artifact (real 220-atom periodic cell, 100 structures).
+    #    This model auto-demotes to exact f64 serving (tight legacy
+    #    noise floor), so each call costs ~10 s on the f64-emulated
+    #    chip: 2 samples per variant keeps the section ~1 min.
+    if _over_budget("pd4 serving point"):
+        return serve, neb_counts
+    try:
+        from gpr_calculator_tpu import GP
+        from gpr_calculator_tpu.io.ase_db import read_db
+        gp = GP.load("/root/reference/examples/database/pd4-RBF.json",
+                     N_max=100, row_chunk=32,
+                     log_file="/tmp/bench_pd4.log")
+        gp.fit(opt=False, show=False)
+        struc = read_db(
+            "/root/reference/examples/database/pd4-RBF.db")[0]["atoms"]
+
+        def t_pred(std):
+            gp.predict_structure(struc, return_std=std)   # warm compile
+            ts = []
+            for _ in range(2):
+                t0 = time.time()
+                gp.predict_structure(struc, return_std=std)
+                ts.append(time.time() - t0)
+            return round(min(ts) * 1e3, 1)
+
+        serve["predict_pd4_ms"] = t_pred(False)
+        serve["predict_pd4_std_ms"] = t_pred(True)
+        print(f"# serve: pd4 predict {serve['predict_pd4_ms']} ms, "
+              f"with std {serve['predict_pd4_std_ms']} ms", file=sys.stderr)
+    except Exception as exc:
+        print(f"# pd4 serving bench skipped: {type(exc).__name__}: "
+              f"{str(exc)[:160]}", file=sys.stderr)
     return serve, neb_counts
 
 

@@ -80,8 +80,12 @@ def _miller(lmax: int, z, n_extra: int = 40):
         if l - 1 <= lmax:
             outs[l - 1] = fm
         fp, fc = fc, fm
-        # keep the unnormalised sequence in range
-        scale = jnp.where(jnp.abs(fm) > big, small, 1.0)
+        # keep the unnormalised sequence in range (branches must carry
+        # z.dtype: a literal-vs-literal where is f64 under x64 and would
+        # silently promote the whole recurrence)
+        scale = jnp.where(jnp.abs(fm) > big,
+                          jnp.asarray(small, z.dtype),
+                          jnp.asarray(1.0, z.dtype))
         fp = fp * scale
         fc = fc * scale
         outs = [None if o is None else o * scale for o in outs]
@@ -126,8 +130,10 @@ def scaled_in(lmax: int, z: jnp.ndarray, n_extra: int = 40):
     l_idx = jnp.arange(lmax + 1)
     b_lim = jnp.where(l_idx == 0, 1.0 - zf[..., None],
                       jnp.where(l_idx == 1, zf[..., None] / 3.0, 0.0))
-    db_lim = jnp.where(l_idx == 0, zf[..., None] / 3.0,
-                       jnp.where(l_idx == 1, 1.0 / 3.0, 0.0))
+    third = jnp.asarray(1.0 / 3.0, zf.dtype)   # literal-vs-literal where
+    db_lim = jnp.where(l_idx == 0, zf[..., None] / 3.0,   # is f64 under
+                       jnp.where(l_idx == 1, third, 0.0))  # x64
+
     b = jnp.where(small[..., None], b_lim.astype(b.dtype), b)
     db = jnp.where(small[..., None], db_lim.astype(b.dtype), db)
 

@@ -129,6 +129,12 @@ def _so3_core(rij, weights, pair_center, pair_seq, pair_Ri, pair_Rj,
       G0 (nmax,NQ)
     """
     fdt = rij.dtype
+    # rcut/alpha often arrive as numpy f64 scalars, which are NOT weakly
+    # typed: left alone they promote the whole radial/Bessel chain to
+    # f64 inside the f32 serving program (emulated f64 on TPU, and one
+    # step from the fatal f64->c128 convert the x64 rewriter rejects).
+    rcut = jnp.asarray(rcut, fdt)
+    alpha = jnp.asarray(alpha, fdt)
     P = rij.shape[0]
     NQ = q.shape[0]
     ncoef = nmax * (nmax + 1) // 2 * (lmax + 1)

@@ -44,6 +44,12 @@ def ylm_all(lmax: int, pos: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
         complex array (N, lmax+1, 2*lmax+1) indexed [n, l, lmax + m]
         (entries with |m| > l are zero).
     """
+    # All numpy coefficient vectors below are pinned to the input's real
+    # dtype: under jax_enable_x64 a bare jnp.asarray(np.float64) would
+    # promote the complex planes to complex128, and TPU's x64 rewriter
+    # has no f64 -> c128 expansion (hard compiler abort on-device; see
+    # tests/test_so3.py::test_f32_descriptor_jaxpr_stays_f32).
+    rdt = pos.dtype
     x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
     ct = z / r                       # cos(theta)
     rho = jnp.sqrt(x * x + y * y)
@@ -51,7 +57,8 @@ def ylm_all(lmax: int, pos: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     # e^{i phi}; at the pole (rho == 0) sin(theta) == 0 kills every m != 0
     # term, so the azimuth value is irrelevant -- guard to avoid 0/0.
     safe = jnp.where(rho > 0, rho, 1.0)
-    eip = jnp.where(rho > 0, (x + 1j * y) / safe, 1.0 + 0j)
+    phase = (x + 1j * y) / safe
+    eip = jnp.where(rho > 0, phase, jnp.asarray(1.0 + 0j, phase.dtype))
 
     L1 = lmax + 1
     m_idx = jnp.arange(L1)
@@ -83,8 +90,8 @@ def ylm_all(lmax: int, pos: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
                      / np.maximum(l * l - mv * mv, 1e-300), 1.0)), 0.0)
         b = np.sqrt(np.where(valid, ((l - 1.0) ** 2 - mv * mv)
                              / (4.0 * (l - 1.0) ** 2 - 1.0), 0.0))
-        row = (jnp.asarray(a) * (ct[:, None] * P_prev1)
-               - jnp.asarray(a * b) * P_prev2)
+        row = (jnp.asarray(a, dtype=rdt) * (ct[:, None] * P_prev1)
+               - jnp.asarray(a * b, dtype=rdt) * P_prev2)
         row = jnp.where(m_idx == l - 1,
                         math.sqrt(2 * l + 1) * ct[:, None]
                         * Pmm[:, l - 1:l], row)
@@ -97,7 +104,7 @@ def ylm_all(lmax: int, pos: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
         [jnp.ones_like(eip)[:, None],
          jnp.broadcast_to(eip[:, None], (eip.shape[0], lmax))], axis=1),
         axis=1)                                         # (N, lmax+1)
-    sign = jnp.asarray((-1.0) ** np.arange(1, L1))
+    sign = jnp.asarray((-1.0) ** np.arange(1, L1), dtype=rdt)
     planes = []
     for row in rows:
         pos_m = row.astype(E.dtype) * E                 # m = 0..lmax
@@ -121,6 +128,7 @@ def ylm_gradients(lmax: int, ylms_ext: jnp.ndarray,
     the extended Y planes with numpy coefficient vectors over the whole
     m axis -- no per-(l, m) scatter ops (see ylm_all)."""
     W = 2 * lmax + 1
+    rdt = ylms_ext.real.dtype         # see ylm_all: no f64 -> c128 on TPU
     inv_r = (1.0 / r)[:, None]
     s2 = 1.0 / math.sqrt(2.0)
     # output m value at each column of the W-wide axis
@@ -160,12 +168,12 @@ def ylm_gradients(lmax: int, ylms_ext: jnp.ndarray,
         # column mid + q via the slice offsets below (Mid - mid = 1)
         Yp = ylms_ext[:, l + 1, :]                      # (N, W + 2)
         Ym = ylms_ext[:, l - 1, :]
-        x0 = (jnp.asarray(c0a) * Yp[:, 1:-1]
-              + jnp.asarray(c0b) * Ym[:, 1:-1]) * inv_r
-        xp = (jnp.asarray(cpa) * Yp[:, 2:]
-              + jnp.asarray(cpb) * Ym[:, 2:]) * inv_r
-        xm = (jnp.asarray(cma) * Yp[:, :-2]
-              + jnp.asarray(cmb) * Ym[:, :-2]) * inv_r
+        x0 = (jnp.asarray(c0a, dtype=rdt) * Yp[:, 1:-1]
+              + jnp.asarray(c0b, dtype=rdt) * Ym[:, 1:-1]) * inv_r
+        xp = (jnp.asarray(cpa, dtype=rdt) * Yp[:, 2:]
+              + jnp.asarray(cpb, dtype=rdt) * Ym[:, 2:]) * inv_r
+        xm = (jnp.asarray(cma, dtype=rdt) * Yp[:, :-2]
+              + jnp.asarray(cmb, dtype=rdt) * Ym[:, :-2]) * inv_r
         gx = s2 * (xm - xp)
         gy = 1j * s2 * (xm + xp)
         planes.append(jnp.stack([gx, gy, x0], axis=-1))  # (N, W, 3)

@@ -381,3 +381,49 @@ def test_scaled_bessel_b1_small_z_vs_scipy():
         ref_b1 = float(np.exp(-z) * sp.spherical_in(1, z))
         np.testing.assert_allclose(float(b[0, 0]), ref_b0, rtol=1e-12)
         np.testing.assert_allclose(float(db[0, 0]), ref_b1, rtol=5e-10)
+
+
+def test_f32_descriptor_jaxpr_stays_f32():
+    """The f32 device-descriptor program must not contain ANY non-scalar
+    f64 or any complex128 value when x64 is globally enabled (the
+    production default): numpy f64 coefficient constants / numpy scalar
+    params promote silently, and TPU's x64 rewriter has no f64 -> c128
+    expansion -- the convert is a hard compiler abort on the chip
+    (measured: 'Unsupported CVT X64 expansion from f64[5] to c128[5]'
+    killing the on-the-fly NEB serving path).  The TPU lane cannot catch
+    this (it runs x64-off), so pin the invariant on the jaxpr here."""
+    import jax
+    import gpr_calculator_tpu.ops.so3 as so3_mod
+
+    assert jax.config.jax_enable_x64, "suite must run with x64 on"
+    pos = np.random.RandomState(0).rand(4, 3) * 3.0
+    at = Atoms(symbols=["Au"] * 4, positions=pos,
+               cell=np.eye(3) * 6.0, pbc=True)
+    orig = so3_mod._so3_core
+    for stress in (False, True):
+        # np.float64 rcut on purpose: the numpy-scalar promotion path
+        d = SO3(nmax=3, lmax=4, rcut=np.float64(4.5), stress=stress)
+        captured = []
+
+        def probing(*args, **kw):
+            jaxpr = str(jax.make_jaxpr(
+                lambda *a: orig(*a, **kw))(*args))
+            captured.append(jaxpr)
+            raise _JaxprDone
+
+        class _JaxprDone(Exception):
+            pass
+
+        so3_mod._so3_core = probing
+        try:
+            d.calculate_device(at, dtype=np.float32)
+        except _JaxprDone:
+            pass
+        finally:
+            so3_mod._so3_core = orig
+        assert captured, "probe never reached _so3_core"
+        bad = [ln.strip() for ln in captured[0].splitlines()
+               if "c128" in ln
+               or "f64[" in ln.replace("f64[]", "")]  # f64[] scalar args ok
+        assert not bad, f"stress={stress}: f64/c128 leaked into the " \
+                        f"f32 descriptor program:\n" + "\n".join(bad[:12])
