@@ -150,7 +150,12 @@ class Atoms:
         return self.positions.copy()
 
     def set_positions(self, positions, apply_constraint: bool = True):
-        positions = np.asarray(positions, float).reshape(len(self), 3)
+        # always copy (ASE parity: np.array, not asarray) -- asarray can
+        # return a view of the caller's buffer, and adjust_positions below
+        # would then write the old fixed coordinates INTO the caller's
+        # array (e.g. a.set_positions(b.positions) corrupting b), besides
+        # aliasing self.positions to it
+        positions = np.array(positions, float).reshape(len(self), 3)
         if apply_constraint:
             # ASE parity: constraints clamp position updates (ase
             # Atoms.set_positions -> constraint.adjust_positions); the

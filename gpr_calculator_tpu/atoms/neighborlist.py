@@ -94,7 +94,11 @@ def _numpy_pairs(positions, cell, pbc, rcut):
     S = len(offsets)
     budget = 64 * 1024 * 1024            # f64 elements per chunk block
     chunk = max(1, min(n, int(budget // max(S * n * 3, 1))))
-    outs_i, outs_j, outs_r = [], [], []
+    # seed with empties: n == 0 produces no chunks, and bare
+    # np.concatenate([]) raises
+    outs_i = [np.zeros(0, np.intp)]
+    outs_j = [np.zeros(0, np.intp)]
+    outs_r = [np.zeros((0, 3), float)]
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
         # rij[s, i-lo, j] = r_j + off_s - r_i

@@ -49,21 +49,27 @@ class GPR(Calculator):
 
     def freeze(self):
         """Disable base-calculator fallback AND refits (NEB endpoint /
-        reporting mode, calculator.py:40-46).  unfreeze() restores the
-        calculator's previous update_gpr (per-image NEB copies only
-        update the GP on image 1 -- an unconditional True would break
-        that)."""
-        if getattr(self, "_is_frozen", False):
-            return                      # idempotent: nested freeze()
-        self._is_frozen = True
-        self.allow_base = False
-        self._frozen_update_gpr = self.update_gpr
-        self.update_gpr = False
+        reporting mode, calculator.py:40-46).  freeze/unfreeze nest: the
+        outermost unfreeze() restores the calculator's pre-freeze
+        allow_base/update_gpr (per-image NEB copies only update the GP on
+        image 1, and reporting helpers like neb.plot_progress pair their
+        own freeze/unfreeze -- an unconditional restore-to-True would
+        silently unfreeze a calculator the caller had frozen)."""
+        depth = getattr(self, "_freeze_depth", 0)
+        if depth == 0:
+            self._frozen_state = (self.allow_base, self.update_gpr)
+            self.allow_base = False
+            self.update_gpr = False
+        self._freeze_depth = depth + 1
 
     def unfreeze(self):
-        self._is_frozen = False
-        self.allow_base = True
-        self.update_gpr = getattr(self, "_frozen_update_gpr", True)
+        depth = getattr(self, "_freeze_depth", 0)
+        if depth > 1:
+            self._freeze_depth = depth - 1
+            return
+        self._freeze_depth = 0
+        self.allow_base, self.update_gpr = getattr(
+            self, "_frozen_state", (True, True))
 
     def _policy(self):
         from .dispatch import DispatchPolicy

@@ -14,26 +14,28 @@ def read(filename, index=-1, format=None):
     import os as _os
     name = str(filename)
     base = _os.path.basename(name)
-    if format == "traj" or (format is None and name.endswith(".traj")):
-        pass     # fall through to the traj branch below
-    elif format == "db" or (format is None and name.endswith(".db")):
-        pass     # fall through to the db branch below
-    elif format == "vasp" or (format is None and (
-            name.endswith((".vasp",))
-            or base.startswith(("POSCAR", "CONTCAR")))):
-        from .vasp import read_vasp
-        return read_vasp(name)
-    if format in ("traj", None) and name.endswith(".traj"):
+    if format is None:
+        if name.endswith(".traj"):
+            format = "traj"
+        elif name.endswith(".db"):
+            format = "db"
+        elif name.endswith(".vasp") or base.startswith(("POSCAR",
+                                                        "CONTCAR")):
+            format = "vasp"
+    if format == "traj":
         from .ulm import read_traj
         frames = read_traj(name)
         if index == ":" or isinstance(index, slice):
             return frames
         return frames[index]
-    if name.endswith(".db"):
+    if format == "db":
         from .ase_db import read_db
         rows = read_db(name)
         atoms_list = [r["atoms"] for r in rows]
         if index == ":":
             return atoms_list
         return atoms_list[index]
+    if format == "vasp":
+        from .vasp import read_vasp
+        return read_vasp(name)
     raise ValueError(f"unsupported file format: {filename}")

@@ -1674,6 +1674,13 @@ class GP:
                 e_off_v, f_off_v, _ = self.compute_base_potential(strucs[k])
                 E += e_off_v
                 F += f_off_v
+                if len(free_ids) < natoms:
+                    # consistent with predict_structure and
+                    # dispatch.evaluate_base: fixed rows report zero
+                    # force on EVERY serving path (a convergence check
+                    # must not flip between them)
+                    fixed = np.setdiff1d(np.arange(natoms), free_ids)
+                    F[fixed] = 0.0
             if return_std:
                 E_std = std[k]
                 rs = std[pe.m + 3 * f_off: pe.m + 3 * (f_off + len(free_ids))]

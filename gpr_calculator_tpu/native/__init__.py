@@ -17,8 +17,26 @@ _TRIED = False
 
 
 def _host_tag() -> str:
+    """ISA fingerprint for the -march=native cache guard.
+
+    platform.processor() is empty on typical Linux, so the tag also
+    hashes the CPU feature flags (/proc/cpuinfo): a .so built with
+    AVX-512 on one host must NOT be loaded on a host without it --
+    that SIGILLs uncatchably.  Missing /proc falls back to the model
+    name via platform alone (conservative: any doubt -> rebuild)."""
+    import hashlib
     import platform
-    return f"{platform.machine()}-{platform.processor()}"
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    digest = hashlib.sha256(flags.encode()).hexdigest()[:16]
+    return f"{platform.machine()}-{platform.processor()}-{digest}"
 
 
 def _build() -> Path | None:

@@ -124,3 +124,35 @@ def test_dispatch_policy_unit():
     assert pol.refit_if_due()
     # fits counter went 0,1,2 -> opt on fits%3==0 only
     assert gp.fit_calls == [True, False, False]
+
+
+def test_batched_zeroes_base_forces_on_fixed_rows():
+    """With a base_potential AND FixAtoms, the batched serving path must
+    report zero force on fixed rows, exactly like predict_structure and
+    dispatch.evaluate_base (a convergence check must not flip between
+    the serial and batched evaluators of the same geometry)."""
+    from gpr_calculator_tpu import LJ
+    from gpr_calculator_tpu.atoms.constraints import FixAtoms
+    from gpr_calculator_tpu.models import RBF
+    from gpr_calculator_tpu.ops.so3 import SO3
+
+    structs = make_structs(n=4, natoms=5, seed=23)
+    for s in structs:
+        s.set_constraint(FixAtoms(indices=[0, 2]))
+    calc = EMT()
+    base = LJ({"rc": 4.0, "sigma": 2.2, "epsilon": 0.1})
+    gp = GP(kernel=RBF(para=[1.0, 1.0]),
+            descriptor=SO3(nmax=2, lmax=2, rcut=4.0),
+            base_potential=base, noise_e=0.01, noise_f=0.1,
+            log_file="/tmp/batched_fix.log")
+    for s in structs[:3]:
+        gp.add_structure((s, calc.get_potential_energy(s),
+                          calc.get_forces(s)))
+    gp.fit(show=False, opt=False)
+
+    batch = gp.predict_structures(structs, return_std=True)
+    for s, (E, F, E_std, F_std) in zip(structs, batch):
+        np.testing.assert_array_equal(F[[0, 2]], 0.0)
+        E1, F1, _, _, _ = gp.predict_structure(s, return_std=True)
+        np.testing.assert_allclose(E, E1, rtol=1e-10)
+        np.testing.assert_allclose(F, F1, rtol=1e-8, atol=1e-12)

@@ -210,3 +210,72 @@ def test_read_dispatch_not_hijacked_by_poscar_dirname(tmp_path):
     w.close()
     frames = read(path, index=":")
     assert len(frames) == 1 and frames[0].numbers[0] == 29
+
+
+def test_read_explicit_format_wins_over_extension(tmp_path):
+    """read(path, format='traj') must honor the explicit format even
+    when the filename extension disagrees (io/__init__.py docstring)."""
+    import numpy as np
+    from gpr_calculator_tpu.atoms import Atoms
+    from gpr_calculator_tpu.io import read
+    from gpr_calculator_tpu.io.trajectory import TrajectoryWriter
+
+    path = str(tmp_path / "snapshot.ulm")
+    w = TrajectoryWriter(path, mode="w")
+    a = Atoms(numbers=[29], positions=[[0, 0, 0]], cell=np.eye(3) * 8,
+              pbc=True)
+    w.write(a)
+    w.close()
+    frames = read(path, index=":", format="traj")
+    assert len(frames) == 1 and frames[0].numbers[0] == 29
+
+
+def test_set_positions_does_not_mutate_source():
+    """set_positions on a constrained Atoms must not write the old
+    fixed coordinates back into the CALLER's array, nor alias it."""
+    import numpy as np
+    from gpr_calculator_tpu.atoms import Atoms
+    from gpr_calculator_tpu.atoms.constraints import FixAtoms
+
+    a = Atoms(numbers=[29, 29], positions=[[0, 0, 0], [2, 0, 0]])
+    a.set_constraint(FixAtoms(indices=[0]))
+    b = Atoms(numbers=[29, 29], positions=[[1, 1, 1], [3, 1, 1]])
+    src = b.positions
+    before = src.copy()
+    a.set_positions(src)
+    np.testing.assert_array_equal(src, before)      # caller untouched
+    assert a.positions is not src                   # no aliasing
+    # fixed row kept a's old coordinate, free row took b's
+    np.testing.assert_array_equal(a.positions[0], [0, 0, 0])
+    np.testing.assert_array_equal(a.positions[1], [3, 1, 1])
+
+
+def test_freeze_unfreeze_nesting_preserves_outer_freeze():
+    """A paired freeze/unfreeze inside a reporting helper must not
+    cancel the caller's own freeze, nor clobber pre-freeze state."""
+    from gpr_calculator_tpu.calculator import GPR
+
+    calc = GPR(base=None, ff=None)
+    calc.update_gpr = False                 # caller's deliberate state
+    calc.freeze()                           # caller freezes
+    calc.freeze()                           # helper freezes...
+    calc.unfreeze()                         # ...and unfreezes
+    assert calc.allow_base is False         # still frozen for caller
+    assert calc.update_gpr is False
+    calc.unfreeze()                         # caller unfreezes
+    assert calc.allow_base is True
+    assert calc.update_gpr is False         # pre-freeze state restored
+    calc.unfreeze()                         # extra unfreeze: harmless
+    assert calc.allow_base is True
+
+
+def test_neighbor_pairs_empty_structure():
+    """Zero-atom structures must return empty pair arrays (the chunked
+    NumPy fallback used to np.concatenate an empty list)."""
+    import numpy as np
+    from gpr_calculator_tpu.atoms import Atoms
+    from gpr_calculator_tpu.atoms.neighborlist import _numpy_pairs
+
+    i, j, rij = _numpy_pairs(np.zeros((0, 3)), np.eye(3) * 8,
+                             np.array([True] * 3), 4.0)
+    assert i.shape == (0,) and j.shape == (0,) and rij.shape == (0, 3)
