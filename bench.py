@@ -38,7 +38,7 @@ SMALL = _SCALE == "small"
 # else (extra impls, per-iteration NLL timings, the 2x-scale point) is
 # skipped once the budget is spent so the JSON line is always printed.
 _T0 = time.time()
-_BUDGET_S = float(os.environ.get("GPR_BENCH_BUDGET_S", "600"))
+_BUDGET_S = float(os.environ.get("GPR_BENCH_BUDGET_S", "1200"))
 
 
 def _over_budget(phase):
@@ -547,20 +547,19 @@ def main():
            "vs_baseline": rec["vs_baseline"]}
     out.update({k: v for k, v in rec.items()
                 if k not in ("value", "vs_baseline")})
-    # serve/NEB workload BEFORE the 2x-scale point: the on-the-fly loop
-    # is the reference's headline workload (round-3 VERDICT item 3), the
-    # large-scale point is headroom demonstration
-    if (_SCALE == "full" and os.environ.get("GPR_BENCH_SERVE", "1") != "0"
-            and not _over_budget("serve/NEB workload")):
-        try:
-            serve, neb_counts = bench_serve()
-            if serve:
-                out["serve"] = serve
-            if neb_counts:
-                out["neb_counts"] = neb_counts
-        except Exception as exc:
-            print(f"# serve bench skipped: {type(exc).__name__}: "
-                  f"{str(exc)[:160]}", file=sys.stderr)
+    # if the driver's outer timeout lands mid-phase (the on-the-fly NEB
+    # below runs ~10 min end-to-end), still emit what was measured:
+    # timeout(1) sends SIGTERM before SIGKILL
+    import signal
+
+    def _emit_partial(signum, frame):
+        out.pop("_baseline_single_ms", None)
+        out["truncated_by_signal"] = int(signum)
+        print(json.dumps(out), flush=True)
+        sys.exit(0)
+
+    for _sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(_sig, _emit_partial)
     if (_SCALE == "full" and os.environ.get("GPR_BENCH_SKIP_LARGE") != "1"
             and not _over_budget("large-scale point")):
         # the 2x-scale point, in-process (same TPU client; a subprocess
@@ -579,6 +578,21 @@ def main():
             out["large_scale"].pop("_baseline_single_ms", None)
         except Exception as exc:
             print(f"# large-scale point skipped: {type(exc).__name__}: "
+                  f"{str(exc)[:160]}", file=sys.stderr)
+    # serve/NEB workload LAST: it is the longest phase (~10 min for the
+    # serial + batched on-the-fly loops), and the quick 2x-scale point
+    # above must land even when the NEB eats the remaining budget; the
+    # SIGTERM handler covers a driver kill mid-NEB
+    if (_SCALE == "full" and os.environ.get("GPR_BENCH_SERVE", "1") != "0"
+            and not _over_budget("serve/NEB workload")):
+        try:
+            serve, neb_counts = bench_serve()
+            if serve:
+                out["serve"] = serve
+            if neb_counts:
+                out["neb_counts"] = neb_counts
+        except Exception as exc:
+            print(f"# serve bench skipped: {type(exc).__name__}: "
                   f"{str(exc)[:160]}", file=sys.stderr)
     out.pop("_baseline_single_ms", None)
     print(json.dumps(out))

@@ -1247,11 +1247,28 @@ class GP:
             pe, pf, te, tf, params, self.alpha_, K_inv_arg, *kk,
             self._serving_chunk(pf, tf, True), True, True, rows=rows,
             mesh=self._mesh_arg())
-        m_full, _ = _predict_packed(
-            pe, pf, te, tf, params, self.alpha_, K_inv_arg, *kk,
-            self._serving_chunk(pf, tf, False), False, True, rows=rows,
-            mesh=self._mesh_arg())
-        delta = float(jnp.abs(m_mixed - m_full).max())
+        if self._serve_on_host(False, pf, tf):
+            # the exact-f64 reference side runs on the host CPU backend
+            # (native f64; _serve_on_host) -- op-order differences vs an
+            # emulated on-device f64 program are ~1e-13, orders below
+            # the ~1e-7 f32-rounding deltas being measured
+            cpu = jax.devices("cpu")[0]
+            te_h, tf_h, alpha_h, L_h, rows_h = self._host_serve_operands()
+            pe_h, pf_h, params_h = jax.device_put((pe, pf, params), cpu)
+            with jax.default_device(cpu):
+                m_full, _ = _predict_packed(
+                    pe_h, pf_h, te_h, tf_h, params_h, alpha_h, L_h, *kk,
+                    self._serving_chunk(pf, tf, False), False, True,
+                    rows=rows_h)
+        else:
+            m_full, _ = _predict_packed(
+                pe, pf, te, tf, params, self.alpha_, K_inv_arg, *kk,
+                self._serving_chunk(pf, tf, False), False, True, rows=rows,
+                mesh=self._mesh_arg())
+        # compare on host: m_mixed/m_full may be committed to different
+        # devices (TPU vs the host-CPU serving route)
+        delta = float(np.abs(np.asarray(m_mixed)
+                             - np.asarray(m_full)).max())
         self._mixed_measured = delta
         if delta >= 0.5 * self.noise_e:
             self.logging.info(
@@ -1329,6 +1346,89 @@ class GP:
         mixed = self._serve_mixed()
         return self._serving_chunk(pf, tf, mixed), mixed
 
+    # measured f64 kernel-build env-pair rates (pd4-RBF slab, 1.74e8
+    # env pairs: 42.8 s on one host core, ~6.5 s under the TPU's f64
+    # emulation + ~0.25 s dispatch/transfer overhead).  The host route
+    # wins only when enough host cores amortize the build -- on a
+    # production TPU VM (dozens of cores) small legacy models serve in
+    # milliseconds; on a 1-core host the device keeps everything.
+    _HOST_PAIR_RATE = 4.0e6      # env pairs / s / core, native f64
+    _DEV_PAIR_RATE = 2.7e7       # env pairs / s, f64-emulated device
+    _DEV_FIXED_S = 0.25          # device dispatch + tunnel overhead
+
+    def _serve_on_host(self, mixed: bool, pf: ForceData = None,
+                       tf: ForceData = None) -> bool:
+        """True when exact-f64 serving should execute on the host CPU
+        backend: on an accelerator XLA emulates f64 as f32 pairs (~25x),
+        and for small builds with enough host cores native-f64 CPU wins
+        (cost model above, measured on the pd4-RBF legacy artifact).
+        Meshes keep the accelerator path (sharded training operands
+        must not be pulled onto one host device).
+        GPR_CALC_TPU_SERVE_HOST: 0 = never, force = skip the cost
+        model, auto (default) = measured cost model."""
+        if mixed or config.dtype() != jnp.float64:
+            return False
+        if jax.default_backend() == "cpu" or self._mesh_arg() is not None:
+            return False
+        mode = os.environ.get("GPR_CALC_TPU_SERVE_HOST", "auto")
+        if mode == "0":
+            return False
+        if mode != "force":
+            if pf is None or tf is None:
+                return False
+            # one-time factor transfer bound: past ~16k f64 rows the
+            # n^2 device->host copy stops being negligible
+            if self.N_energy + 3 * self.N_forces > 16384:
+                return False
+            pairs = (float(pf.m * pf.x.shape[1])
+                     * float(tf.m * tf.x.shape[1]))
+            cores = os.cpu_count() or 1
+            host_s = pairs / (self._HOST_PAIR_RATE * cores)
+            dev_s = pairs / self._DEV_PAIR_RATE + self._DEV_FIXED_S
+            if host_s >= dev_s:
+                return False
+        try:
+            return bool(jax.devices("cpu"))
+        except RuntimeError:
+            return False
+
+    def _host_serve_operands(self):
+        """Host-CPU copies of the per-fit serving operands (train view,
+        alpha, factor, gather rows), cached on the fit serial so the
+        device->host transfer happens once per refit, not per call."""
+        key = self._fit_serial
+        cached = getattr(self, "_host_serve_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        cpu = jax.devices("cpu")[0]
+        te, tf, _, _ = self._train_view()
+        L_fac, rows = self._serve_factor()
+        ops = jax.device_put((te, tf, self.alpha_, L_fac, rows), cpu)
+        self._host_serve_cache = (key, ops)
+        return ops
+
+    def _serve_packed(self, pe, pf, te, tf, return_std,
+                      allow_pallas: bool = True):
+        """One serving invocation of _predict_packed with the per-mode
+        operand placement (accelerator for f32/mixed, host CPU for
+        exact f64 -- see _serve_on_host)."""
+        chunk, mixed = self._serving_args(pf, tf)
+        params = self.kernel.jax_params()
+        kk = (self.kernel.kind, self.kernel.zeta)
+        if self._serve_on_host(mixed, pf, tf):
+            cpu = jax.devices("cpu")[0]
+            te, tf, alpha, K_inv_arg, rows = self._host_serve_operands()
+            pe, pf, params = jax.device_put((pe, pf, params), cpu)
+            with jax.default_device(cpu):
+                return _predict_packed(
+                    pe, pf, te, tf, params, alpha, K_inv_arg, *kk,
+                    return_std, chunk, mixed, allow_pallas, rows=rows)
+        K_inv_arg, rows = self._serve_factor()
+        return _predict_packed(
+            pe, pf, te, tf, params, self.alpha_, K_inv_arg, *kk,
+            return_std, chunk, mixed, allow_pallas, rows=rows,
+            mesh=self._mesh_arg())
+
     def _predict_points(self, energy_pts, force_pts, return_std=False,
                         total_E=False):
         """Predict means (and stds) for explicit descriptor points.
@@ -1347,12 +1447,7 @@ class GP:
         ncart = force_pts[0][1].shape[2] if force_pts else 3
         pf = pack_force(force_pts, d=d, ncart=ncart,
                         b_pad=bucket_size(b_max, 4))
-        K_inv_arg, rows = self._serve_factor()
-        mean, std = _predict_packed(
-            pe, pf, te, tf, self.kernel.jax_params(), self.alpha_,
-            K_inv_arg, self.kernel.kind, self.kernel.zeta,
-            return_std, *self._serving_args(pf, tf), rows=rows,
-            mesh=self._mesh_arg())
+        mean, std = self._serve_packed(pe, pf, te, tf, return_std)
         mean, std = _fetch_mean_std(mean, std)
         nE, nF = len(energy_pts), len(force_pts)
         mean_e = mean[:nE]
@@ -1475,12 +1570,7 @@ class GP:
             b_max = max((p[0].shape[0] for p in force_pts), default=1)
             pf = pack_force(force_pts, d=te.d, ncart=9 if stress else 3,
                             b_pad=bucket_size(b_max, 4))
-        K_inv_arg, rows = self._serve_factor()
-        mean, std = _predict_packed(
-            pe, pf, te, tf, self.kernel.jax_params(), self.alpha_,
-            K_inv_arg, self.kernel.kind, self.kernel.zeta, return_std,
-            *self._serving_args(pf, tf), rows=rows,
-            mesh=self._mesh_arg())
+        mean, std = self._serve_packed(pe, pf, te, tf, return_std)
         mean, std = _fetch_mean_std(mean, std)
         ncart = 9 if stress else 3
         E = mean[0] * n_atoms
@@ -1655,12 +1745,7 @@ class GP:
             b_max = max((p[0].shape[0] for p in force_pts), default=1)
             pf = pack_force(force_pts, d=te.d,
                             b_pad=bucket_size(b_max, 4))
-        K_inv_arg, rows = self._serve_factor()
-        mean, std = _predict_packed(
-            pe, pf, te, tf, self.kernel.jax_params(), self.alpha_,
-            K_inv_arg, self.kernel.kind, self.kernel.zeta, return_std,
-            *self._serving_args(pf, tf), rows=rows,
-            mesh=self._mesh_arg())
+        mean, std = self._serve_packed(pe, pf, te, tf, return_std)
         mean, std = _fetch_mean_std(mean, std if return_std else None)
 
         out = []

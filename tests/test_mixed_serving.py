@@ -141,3 +141,65 @@ def test_runtime_measurement_keeps_healthy_models_fast(healthy_gp,
     assert gp._mixed_measured is not None
     assert gp._mixed_measured < 0.5 * gp.noise_e
     assert gp._serve_mixed()
+
+
+def test_host_serving_route_matches_device(tight_gp, monkeypatch):
+    """Exact-f64 serving on an accelerator executes on the host CPU
+    backend (gp._serve_on_host): same program, native f64 instead of
+    the ~25x on-device emulation.  Parity is bitwise-tight (both sides
+    are exact f64; only op scheduling differs)."""
+    import gpr_calculator_tpu.models.gp as gpmod
+
+    gp, structs = tight_gp
+    s = structs[-1]
+    ref = gp.predict_structure(s, return_std=True)
+    # pretend an accelerator default backend so the host route arms
+    # (serve_precision=auto demotes tight-noise models to exact f64,
+    # but the measurement needs the fake backend too -- pin f64)
+    monkeypatch.setattr(gp, "serve_precision", "f64")
+    monkeypatch.setattr(gpmod.jax, "default_backend", lambda: "tpu")
+    # force past the measured cost model (this CI host has 1 core, so
+    # "auto" would keep the device path -- the route itself is what is
+    # under test here)
+    monkeypatch.setenv("GPR_CALC_TPU_SERVE_HOST", "force")
+    gp._host_serve_cache = None
+    assert gp._serve_on_host(mixed=False)
+    out = gp.predict_structure(s, return_std=True)
+    assert getattr(gp, "_host_serve_cache", None) is not None
+    for a, b in zip(ref, out):
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-12)
+    # cache is reused on the second call (same fit serial)
+    cache = gp._host_serve_cache
+    gp.predict_structure(s, return_std=False)
+    assert gp._host_serve_cache is cache
+
+
+def test_host_serving_cost_model_gates_on_cores(tight_gp, monkeypatch):
+    """The host route arms only when the measured cost model says the
+    host cores beat the emulated device build (pd4 measurement: 1.74e8
+    env pairs = 42.8 s on one core vs ~6.7 s on device)."""
+    import os
+
+    import gpr_calculator_tpu.models.gp as gpmod
+    from gpr_calculator_tpu.ops.packing import pack_force
+
+    gp, structs = tight_gp
+    monkeypatch.setattr(gp, "serve_precision", "f64")
+    monkeypatch.setattr(gpmod.jax, "default_backend", lambda: "tpu")
+    te, tf, _, _ = gp._train_view()
+    # pd4-scale prediction block: 216 force points x 72 envs
+    big_pf = pack_force([(np.zeros((72, te.d)), np.zeros((72, te.d, 3)),
+                          np.zeros(72, int))] * 216, d=te.d)
+    small_pf = pack_force([(np.zeros((4, te.d)), np.zeros((4, te.d, 3)),
+                            np.zeros(4, int))], d=te.d)
+    monkeypatch.setattr(os, "cpu_count", lambda: 1)
+    assert not gp._serve_on_host(False, big_pf, tf)
+    monkeypatch.setattr(os, "cpu_count", lambda: 96)
+    assert gp._serve_on_host(False, big_pf, tf)
+    # tiny build: fixed device overhead dominates, host wins on 1 core
+    monkeypatch.setattr(os, "cpu_count", lambda: 1)
+    assert gp._serve_on_host(False, small_pf, tf)
