@@ -46,23 +46,32 @@ class DispatchPolicy:
     # -- base fallback (calculator.py:79-99) --------------------------------
     def evaluate_base(self, atoms):
         """Run the base calculator on ``atoms``; returns (energy, forces)
-        with constrained rows zeroed.  Grows the training set."""
+        with constrained rows zeroed.  Grows the training set with the
+        RAW (unconstrained) forces: constraint-zeroed rows are dynamics
+        bookkeeping, not physics -- training on them would give
+        fixed-atom environments the label 0 (and, after add_structure's
+        base-potential subtraction, -f_base), corrupting the model."""
         fix_ids = (atoms.fixed_indices()
                    if hasattr(atoms, "fixed_indices") else [])
         prev_calc = getattr(atoms, "calc", None)
         atoms.calc = self.base
         try:
             eng = atoms.get_potential_energy()
-            forces = atoms.get_forces().copy()
+            try:
+                raw = np.array(atoms.get_forces(apply_constraint=False),
+                               float)
+            except TypeError:     # calculator facade without the kwarg
+                raw = np.array(atoms.get_forces(), float)
         finally:
             # an exception from the base evaluation must not leave the
             # base calculator attached (every later step would silently
             # bypass the GPR dispatcher)
             atoms.calc = prev_calc
+        forces = raw.copy()
         if len(fix_ids):
             forces[np.asarray(fix_ids, int)] = 0.0
         self.gp.use_base += 1
-        self.gp.add_structure((atoms.copy(), eng, forces))
+        self.gp.add_structure((atoms.copy(), eng, raw))
         return eng, forces
 
     # -- log-line protocol (parse-compatible with the reference) ------------

@@ -25,6 +25,23 @@ def find_mic(d, cell, pbc):
         if pbc[i]:
             frac[..., i] -= np.round(frac[..., i])
     dm = frac @ cell
+    # per-axis fractional rounding is the exact minimum image only for
+    # orthogonal cells; in a skewed cell the nearest image can need a
+    # combined +/-1 shift across axes (ase.geometry.find_mic runs a
+    # full image search for this reason).  Refine over the neighbour
+    # images of the rounded solution on the periodic axes.
+    gram = cell @ cell.T
+    off = np.abs(gram - np.diag(np.diag(gram))).max()
+    if off > 1e-10 * np.abs(gram).max():
+        ranges = [(-1.0, 0.0, 1.0) if pbc[i] else (0.0,)
+                  for i in range(3)]
+        shifts = np.array([[a, b, c] for a in ranges[0]
+                           for b in ranges[1] for c in ranges[2]]) @ cell
+        cand = dm[..., None, :] + shifts             # (..., S, 3)
+        norms = np.linalg.norm(cand, axis=-1)
+        best = np.argmin(norms, axis=-1)
+        dm = np.take_along_axis(
+            cand, best[..., None, None], axis=-2)[..., 0, :]
     return dm, np.linalg.norm(dm, axis=-1)
 
 
@@ -66,7 +83,11 @@ class NEB:
             d, _ = find_mic(d, first.get_cell(), first.pbc)
         for i in range(1, self.nimages - 1):
             t = i / (self.nimages - 1)
-            self.images[i].set_positions(first.positions + t * d)
+            # honor the caller's flag (ASE parity: NEB.interpolate
+            # defaults to apply_constraint=False); set_positions would
+            # otherwise clamp fixed rows unconditionally
+            self.images[i].set_positions(first.positions + t * d,
+                                         apply_constraint=apply_constraint)
         if method == "idpp":
             self._idpp_interpolate(mic=mic)
 

@@ -503,6 +503,28 @@ def _pack_on_device(xs, dxs, rdxs, e_idx, ele_e, counts, nreal_e,
     return pe, pf
 
 
+def _group_force_points(d, ele, sel, stress: bool = False):
+    """Force prediction/training points for the atoms in ``sel``: group
+    the descriptor's seq rows by target atom and gather (x_envs,
+    dxdr_rows, ele_envs), appending the 6 strain columns when stress is
+    requested.  The ONE host-side grouping shared by predict_structure,
+    predict_structures and convert_train_data -- padding/ordering fixes
+    must not drift between the serving paths."""
+    seq = d["seq"]
+    pts = []
+    for i in sel:
+        ids = np.flatnonzero(seq[:, 1] == i)
+        _i = seq[ids, 0]
+        if stress:
+            rd = d["rdxdr"][ids].reshape(len(ids), -1, 9)
+            rd = rd[:, :, list(_STRESS_COLS)]
+            dx = np.concatenate((d["dxdr"][ids], rd), axis=2)
+        else:
+            dx = d["dxdr"][ids]
+        pts.append((d["x"][_i], dx, ele[_i]))
+    return pts
+
+
 def _serve_gather_meta(descs, numbers_list, sel_lists, a_pad=None,
                        b_pad=None):
     """Host-side index maps for _pack_on_device (small int arrays only).
@@ -515,7 +537,13 @@ def _serve_gather_meta(descs, numbers_list, sel_lists, a_pad=None,
     n_struc = len(descs)
     natoms_tot = sum(len(z) for z in numbers_list)
     if a_pad is None:
-        a_pad = max(len(z) for z in numbers_list)
+        # round up (grow=1: no hysteresis margin -- this is the serving
+        # hot path, where a 25% pad would be real per-step compute);
+        # without ANY bucketing every distinct structure size recompiles
+        # _pack_on_device + _predict_packed (seconds each on TPU)
+        a_pad = bucket_size(max(len(z) for z in numbers_list), 4,
+                            grow=1.0)
+    m_e_pad = bucket_size(n_struc, 4, grow=1.0)
     # per-structure env grouping: seq rows sorted by target atom j
     groups = []          # (struc_idx, atom_i, seq_row_ids, center_ids)
     for s, d in enumerate(descs):
@@ -540,18 +568,22 @@ def _serve_gather_meta(descs, numbers_list, sel_lists, a_pad=None,
         [int(d["dxdr"].shape[0]) for d in descs])])[:-1]
     x_zero = natoms_tot                     # appended zero row of x_ext
 
-    e_idx = np.full((n_struc, a_pad), x_zero, np.int32)
-    ele_e = np.zeros((n_struc, a_pad), np.int32)
-    counts = np.ones((n_struc,), np.float64)
+    e_idx = np.full((m_e_pad, a_pad), x_zero, np.int32)
+    ele_e = np.zeros((m_e_pad, a_pad), np.int32)
+    counts = np.ones((m_e_pad,), np.float64)
     for s, z in enumerate(numbers_list):
         n = len(z)
         e_idx[s, :n] = x_off[s] + np.arange(n)
         ele_e[s, :n] = z
         counts[s] = n
 
-    centers = np.full((max(m_f, 1), b_pad), x_zero, np.int32)
-    rows = np.zeros((max(m_f, 1), b_pad), np.int32)
-    ele_f = np.zeros((max(m_f, 1), b_pad), np.int32)
+    m_f_pad = bucket_size(max(m_f, 1), 8, grow=1.0)
+    centers = np.full((m_f_pad, b_pad), x_zero, np.int32)
+    # pad groups (and pad columns) gather structure 0's zeroed
+    # seq-bucket tail, never real dxdr rows
+    rows = np.full((m_f_pad, b_pad),
+                   dx_off[0] + int(descs[0]["nseq"]), np.int32)
+    ele_f = np.zeros((m_f_pad, b_pad), np.int32)
     for k, (s, i, ids, cen) in enumerate(groups):
         n = len(ids)
         # pad rows -> this structure's zeroed seq-bucket tail (row nseq;
@@ -1553,19 +1585,7 @@ class GP:
             ele = np.asarray([ATOMIC_NUMBERS[s] for s in d["elements"]],
                              int)
             energy_pts = [(d["x"], ele)]
-            force_pts = []
-            seq = d["seq"]
-            for i in sel:
-                ids = np.flatnonzero(seq[:, 1] == i)
-                _i = seq[ids, 0]
-                if stress:
-                    rd = d["rdxdr"][ids].reshape(len(ids), -1, 9)
-                    rd = rd[:, :, [0, 4, 8, 1, 2, 5]]
-                    force_pts.append((d["x"][_i], np.concatenate(
-                        (d["dxdr"][ids], rd), axis=2), ele[_i]))
-                else:
-                    force_pts.append((d["x"][_i], d["dxdr"][ids], ele[_i]))
-
+            force_pts = _group_force_points(d, ele, sel, stress=stress)
             pe = pack_energy(energy_pts, d=te.d)
             b_max = max((p[0].shape[0] for p in force_pts), default=1)
             pf = pack_force(force_pts, d=te.d, ncart=9 if stress else 3,
@@ -1678,14 +1698,11 @@ class GP:
         for (struc, energy, forces) in data:
             d = self.descriptor.calculate(struc)
             ele = np.asarray([ATOMIC_NUMBERS[s] for s in d["elements"]], int)
-            f_ids = []
-            for i in range(len(struc)):
-                if len(force_data) < N_force:
-                    ids = np.flatnonzero(d["seq"][:, 1] == i)
-                    _i = d["seq"][ids, 0]
-                    force_data.append((d["x"][_i], d["dxdr"][ids],
-                                       forces[i], ele[_i]))
-                    f_ids.append(i)
+            f_ids = list(range(len(struc)))[
+                :max(0, N_force - len(force_data))]
+            for i, (x, dx, el) in zip(
+                    f_ids, _group_force_points(d, ele, f_ids)):
+                force_data.append((x, dx, forces[i], el))
             energy_data.append((d["x"], energy / len(struc), ele))
             db_data.append((struc, energy, forces, True, f_ids))
         return {"energy": energy_data, "force": force_data, "db": db_data}
@@ -1733,12 +1750,7 @@ class GP:
                 free_ids = [i for i in range(len(struc))
                             if i not in fix_ids]
                 energy_pts.append((d["x"], ele))
-                seq = d["seq"]
-                for i in free_ids:
-                    ids = np.flatnonzero(seq[:, 1] == i)
-                    _i = seq[ids, 0]
-                    force_pts.append((d["x"][_i], d["dxdr"][ids],
-                                      ele[_i]))
+                force_pts.extend(_group_force_points(d, ele, free_ids))
                 meta.append((len(struc), free_ids))
 
             pe = pack_energy(energy_pts, d=te.d)

@@ -17,6 +17,27 @@ from .mep import NEB, find_mic
 from .optimize import BFGS, FIRE
 
 
+def _endpoint_energy(gp, image, idx):
+    """Full physical energy of an endpoint image from the GP's stored
+    training label (NEB.py:64-74 pins endpoints to training energies).
+
+    train_y["energy"] is per-atom AND base-subtracted (add_structure,
+    models/gp.py) -- the band's interior energies include the base
+    offset, so it must be re-added here or the tangent/barrier math
+    mixes two energy zeros.  Falls back to a surrogate prediction when
+    the label index doesn't exist (a reloaded model trained on a
+    different chain)."""
+    n_at = len(image)
+    try:
+        e = float(gp.train_y["energy"][idx]) * n_at
+    except (KeyError, IndexError, TypeError):
+        return float(gp.predict_structure(image)[0])
+    if getattr(gp, "base_potential", None) is not None:
+        e_off, _, _ = gp.compute_base_potential(image)
+        e += float(e_off)
+    return e
+
+
 class OnTheFlyBatchedNEB(NEB):
     """NEB whose interior images are evaluated by ONE batched GPR device
     program per optimizer step, with the reference's per-image dispatch
@@ -37,9 +58,9 @@ class OnTheFlyBatchedNEB(NEB):
                                      ignore_E_std=ignore_E_std)
         # pin endpoint energies to the stored training labels (the first
         # and last images are the first/last entries of train_images)
-        n_at = len(images[0])
-        self.energies[0] = gp.train_y["energy"][0] * n_at
-        self.energies[-1] = gp.train_y["energy"][len(images) - 1] * n_at
+        self.energies[0] = _endpoint_energy(gp, images[0], 0)
+        self.energies[-1] = _endpoint_energy(gp, images[-1],
+                                             len(images) - 1)
 
     def _interior_results(self):
         interior = self.images[1:-1]
@@ -127,7 +148,7 @@ def neb_calc(images, calculator=None, algo: str = "BFGS",
         if getattr(image.calc, "name", "") == "gpr":
             if i in (0, len(images) - 1):
                 gp = image.calc.parameters.ff
-                neb.energies[i] = gp.train_y["energy"][i] * len(image)
+                neb.energies[i] = _endpoint_energy(gp, image, i)
             else:
                 image.calc.freeze()
                 neb.energies[i] = image.get_potential_energy()
@@ -249,8 +270,8 @@ def plot_progress(trajectory, calc, N_images, start=0, interval=50,
         print(f"Processing step {snap} of {n_snap}")
         chain = frames[snap * N_images:(snap + 1) * N_images]
         energies = np.empty(len(chain))
-        energies[0] = gp.train_y["energy"][0] * len(chain[0])
-        energies[-1] = gp.train_y["energy"][N_images - 1] * len(chain[-1])
+        energies[0] = _endpoint_energy(gp, chain[0], 0)
+        energies[-1] = _endpoint_energy(gp, chain[-1], N_images - 1)
         for image in chain[1:-1]:
             image.calc = calc
         # frozen: rendering a figure must not dispatch to the base

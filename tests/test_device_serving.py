@@ -106,3 +106,30 @@ def test_predict_structures_batched_parity(gp_and_struc, monkeypatch):
         for a, b in zip(hrec, drec):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-12, atol=1e-12)
+
+
+def test_serve_gather_meta_buckets_shapes():
+    """Gather-meta shapes must be bucketed: without it every distinct
+    (n_struc, natoms, n_groups) combination retraces _pack_on_device and
+    _predict_packed (seconds per compile on TPU) in mixed-size serving
+    workloads."""
+    from gpr_calculator_tpu.models.gp import _serve_gather_meta
+
+    def fake(natoms, nseq):
+        seq = np.stack([np.arange(nseq) % natoms,
+                        np.arange(nseq) % natoms], axis=1)
+        return {"seq": seq, "nseq": nseq,
+                "dxdr": np.zeros((nseq + 4, 3, 3))}
+
+    def shapes(natoms_list):
+        descs = [fake(n, 2 * n) for n in natoms_list]
+        numbers = [np.full(n, 29) for n in natoms_list]
+        sels = [list(range(n)) for n in natoms_list]
+        m = _serve_gather_meta(descs, numbers, sels)
+        return {k: v.shape for k, v in m.items()
+                if hasattr(v, "shape")}
+
+    # nearby atom counts share one shape set (a_pad / group buckets)
+    assert shapes([30]) == shapes([31])
+    # mixed-size batches with nearby totals share one shape set
+    assert shapes([30, 31, 32, 30]) == shapes([31, 31, 31, 31])

@@ -146,8 +146,9 @@ def test_runtime_measurement_keeps_healthy_models_fast(healthy_gp,
 def test_host_serving_route_matches_device(tight_gp, monkeypatch):
     """Exact-f64 serving on an accelerator executes on the host CPU
     backend (gp._serve_on_host): same program, native f64 instead of
-    the ~25x on-device emulation.  Parity is bitwise-tight (both sides
-    are exact f64; only op scheduling differs)."""
+    the ~25x on-device emulation.  Both sides are exact f64; they may
+    differ by summation order (the two routes pack/pad differently), so
+    parity is ~1e-9 absolute -- orders below any noise floor."""
     import gpr_calculator_tpu.models.gp as gpmod
 
     gp, structs = tight_gp
@@ -171,7 +172,7 @@ def test_host_serving_route_matches_device(tight_gp, monkeypatch):
             assert b is None
             continue
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-12, atol=1e-12)
+                                   rtol=1e-9, atol=1e-9)
     # cache is reused on the second call (same fit serial)
     cache = gp._host_serve_cache
     gp.predict_structure(s, return_std=False)

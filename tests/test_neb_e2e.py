@@ -178,3 +178,117 @@ def test_batched_use_ref_returns_reference_energies():
     # endpoints mirror the pinned NEB energies
     assert ref_engs[0] == neb.energies[0]
     assert ref_engs[-1] == neb.energies[-1]
+
+
+def test_evaluate_base_trains_on_raw_forces():
+    """The dispatcher must feed RAW (unconstrained) base forces into the
+    training set: constraint-zeroed rows are dynamics bookkeeping, and
+    training on them gives fixed-atom environments the label 0 (or
+    -f_base after base-potential subtraction)."""
+    from gpr_calculator_tpu.atoms import Atoms
+    from gpr_calculator_tpu.atoms.constraints import FixAtoms
+    from gpr_calculator_tpu.dispatch import DispatchPolicy
+
+    a = 2.55
+    atoms = Atoms(numbers=[29] * 4,
+                  positions=[[0, 0, 0], [a, 0, 0], [0, a, 0],
+                             [0.4 * a, 0.4 * a, 0.5 * a]],
+                  cell=np.eye(3) * 12, pbc=False)
+    atoms.set_constraint(FixAtoms(indices=[0]))
+
+    class RecordingGP:
+        use_base = 0
+        noise_e = 0.01
+        noise_f = 0.1
+
+        def add_structure(self, data):
+            self.recorded = data
+
+    gp = RecordingGP()
+    pol = DispatchPolicy(gp, EMT(), verbose=False)
+    eng, forces = pol.evaluate_base(atoms)
+    # returned (dynamics) forces: fixed row zeroed
+    np.testing.assert_array_equal(forces[0], 0.0)
+    # trained labels: the RAW base force on the fixed row (nonzero here)
+    _, _, trained = gp.recorded
+    assert np.abs(trained[0]).max() > 1e-3
+    np.testing.assert_allclose(trained[1:], forces[1:], rtol=0, atol=0)
+
+
+def test_endpoint_energy_readds_base_offset():
+    """Endpoint pinning must return FULL physical energies: train_y is
+    per-atom and base-subtracted, while interior NEB energies include
+    the base offset -- mixing the two energy zeros breaks tangents."""
+    from gpr_calculator_tpu import LJ
+    from gpr_calculator_tpu.models import RBF
+    from gpr_calculator_tpu.neb import _endpoint_energy
+    from gpr_calculator_tpu.ops.so3 import SO3
+    from test_gp import make_structs
+
+    structs = make_structs(n=3, natoms=4, seed=9)
+    calc = EMT()
+    base = LJ({"rc": 4.0, "sigma": 2.2, "epsilon": 0.1})
+    gp = GP(kernel=RBF(para=[1.0, 1.0]),
+            descriptor=SO3(nmax=2, lmax=2, rcut=4.0),
+            base_potential=base, noise_e=0.01, noise_f=0.1,
+            log_file="/tmp/neb_ep.log")
+    full_energies = []
+    for s in structs:
+        e = calc.get_potential_energy(s)
+        full_energies.append(e)
+        gp.add_structure((s, e, calc.get_forces(s)))
+    gp.fit(show=False, opt=False)
+    for idx in (0, 2):
+        np.testing.assert_allclose(
+            _endpoint_energy(gp, structs[idx], idx),
+            full_energies[idx], rtol=0, atol=1e-9)
+    # out-of-range label index: falls back to a surrogate prediction
+    # instead of raising
+    e_fb = _endpoint_energy(gp, structs[0], 99)
+    assert np.isfinite(e_fb)
+
+
+def test_find_mic_skewed_cell():
+    """Per-axis fractional rounding is not the minimum image in a
+    skewed cell; find_mic must match a brute-force image search."""
+    from gpr_calculator_tpu.mep import find_mic
+
+    cell = np.array([[10.0, 0, 0], [9.0, 10.0, 0], [0, 0, 20.0]])
+    pbc = np.array([True, True, False])
+    rng = np.random.RandomState(7)
+    d = rng.uniform(-15, 15, (32, 3))
+    d[:, 2] = rng.uniform(-5, 5, 32)
+    dm, norms = find_mic(d, cell, pbc)
+    shifts = np.array([[a, b, 0.0] for a in range(-3, 4)
+                       for b in range(-3, 4)]) @ cell
+    brute = np.linalg.norm(d[:, None, :] + shifts, axis=-1).min(axis=1)
+    np.testing.assert_allclose(norms, brute, rtol=0, atol=1e-10)
+
+
+def test_interpolate_honors_apply_constraint():
+    """NEB.interpolate(apply_constraint=False) must interpolate fixed
+    rows too (ASE parity); True clamps them via set_positions."""
+    from gpr_calculator_tpu.atoms import Atoms
+    from gpr_calculator_tpu.atoms.constraints import FixAtoms
+    from gpr_calculator_tpu.mep import NEB
+
+    def chain():
+        first = Atoms(numbers=[29, 29],
+                      positions=[[0, 0, 0], [3, 0, 0]])
+        last = Atoms(numbers=[29, 29],
+                     positions=[[2, 0, 0], [3, 2, 0]])
+        mids = [first.copy() for _ in range(2)]
+        ims = [first] + mids + [last]
+        for im in ims:
+            im.set_constraint(FixAtoms(indices=[0]))
+        return ims
+
+    ims = chain()
+    NEB(ims).interpolate(apply_constraint=False)
+    # fixed atom 0 moves 0 -> 2 across the band: interior at 2/3, 4/3
+    np.testing.assert_allclose(ims[1].positions[0], [2 / 3, 0, 0],
+                               atol=1e-12)
+    ims2 = chain()
+    NEB(ims2).interpolate(apply_constraint=True)
+    np.testing.assert_allclose(ims2[1].positions[0], [0, 0, 0],
+                               atol=1e-12)
