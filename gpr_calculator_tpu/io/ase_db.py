@@ -147,12 +147,16 @@ def write_db(filename: str, rows: List[dict], permission: str = "w"):
                 vol = float(abs(np.linalg.det(cell)))
             except Exception:
                 pass
+            # ASE stores ctime/mtime in YEARS SINCE 2000 (ase.db.core:
+            # now() = (time()-T2000)/YEAR), not Unix seconds -- rows
+            # written in seconds show absurd ages in real ASE tooling
+            ase_now = (time.time() - 946681200.0) / 31557600.0
             con.execute(
                 "INSERT INTO systems (unique_id, ctime, mtime, username, "
                 "numbers, positions, cell, pbc, constraints, "
                 "key_value_pairs, data, natoms, volume) "
                 "VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?)",
-                (f"gct-{time.time():.6f}-{k}", time.time(), time.time(),
+                (f"gct-{time.time():.6f}-{k}", ase_now, ase_now,
                  os.environ.get("USER", "gct"),
                  _blob(numbers), _blob(positions), _blob(cell), pbc,
                  constraints, kvp, data_blob, len(numbers), vol))

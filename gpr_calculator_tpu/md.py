@@ -16,6 +16,14 @@ FS = 0.09822694750253231
 KB = 8.617330337217213e-05  # eV / K
 
 
+def _fixed(atoms) -> np.ndarray:
+    """Constrained atom ids, tolerant of foreign atoms objects (ase.Atoms
+    has no fixed_indices -- every md entry point must share this guard)."""
+    if hasattr(atoms, "fixed_indices"):
+        return np.asarray(atoms.fixed_indices(), int)
+    return np.zeros(0, int)
+
+
 class VelocityVerlet:
     def __init__(self, atoms, timestep_fs: float = 1.0,
                  trajectory: Optional[str] = None):
@@ -41,8 +49,7 @@ class VelocityVerlet:
         return float(0.5 * np.sum(self.masses * v * v))
 
     def temperature(self) -> float:
-        n_fixed = len(self.atoms.fixed_indices()) \
-            if hasattr(self.atoms, "fixed_indices") else 0
+        n_fixed = len(_fixed(self.atoms))
         n_free = len(self.atoms) - n_fixed
         # COM momentum is conserved only for free dynamics without
         # constraints; a thermostat (Langevin) or FixAtoms breaks it
@@ -54,7 +61,7 @@ class VelocityVerlet:
     def run(self, steps: int):
         atoms = self.atoms
         f = atoms.get_forces()
-        fixed = atoms.fixed_indices()
+        fixed = _fixed(atoms)
         for _ in range(steps):
             v = self.velocities
             v += 0.5 * self.dt * f / self.masses
@@ -85,7 +92,7 @@ class Langevin(VelocityVerlet):
     def run(self, steps: int):
         atoms = self.atoms
         f = atoms.get_forces()
-        fixed = atoms.fixed_indices()
+        fixed = _fixed(atoms)
         c1 = np.exp(-self.friction * self.dt)
         c2 = np.sqrt((1 - c1 ** 2) * self.kT / self.masses)
         for _ in range(steps):
@@ -117,10 +124,9 @@ def maxwell_boltzmann_velocities(atoms, temperature_K: float,
     # remove the CENTER-OF-MASS momentum (mass-weighted -- a plain mean
     # leaves net momentum for mixed-mass systems and the cell drifts)
     v -= (m * v).sum(axis=0) / m.sum()
-    fixed = atoms.fixed_indices() if hasattr(atoms, "fixed_indices") \
-        else []
+    fixed = _fixed(atoms)
     if len(fixed):
-        v[np.asarray(fixed, int)] = 0.0
+        v[fixed] = 0.0
     atoms.arrays["velocities"] = v
     return v
 

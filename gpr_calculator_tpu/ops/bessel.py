@@ -64,9 +64,10 @@ def _upward(lmax: int, z):
     return jnp.stack(seq[: lmax + 1], axis=-1)
 
 
-def _miller(lmax: int, z, n_extra: int = 40):
+def _miller(lmax: int, z, n_extra: int = 40, lstart: int = None):
     assert n_extra >= 1, "Miller recurrence needs >= 1 guard index"
-    lstart = lmax + n_extra
+    if lstart is None:
+        lstart = lmax + n_extra
     # dtype-aware seed/renormalisation bounds (1e-280 underflows in f32)
     if z.dtype == jnp.float32:
         tiny, big, small = 1e-30, 1e30, 1e-30
@@ -108,12 +109,20 @@ def scaled_in(lmax: int, z: jnp.ndarray, n_extra: int = 40):
     small = zf < z_cut
     zsafe = jnp.where(small, 1.0, zf)
 
-    z_switch = float(lmax + 1)
+    # upward recurrence is stable only for z comfortably ABOVE the
+    # order: at z ~ lmax the contamination grows exponentially with
+    # lmax (measured f64 error vs scipy at z = lmax+1, l = lmax:
+    # 3e-10 at lmax=16, 3e-7 at 24, 4e-4 at 32 with the old
+    # z_switch = lmax+1).  Switch at 2*lmax+2 and extend Miller's
+    # start order past the largest z it now covers (downward
+    # recurrence needs lstart above the turning point ~z).
+    z_switch = float(2 * lmax + 2)
     use_up = zsafe >= z_switch
     z_up = jnp.maximum(zsafe, z_switch)    # clamp so the inactive branch
     z_dn = jnp.minimum(zsafe, z_switch)    # stays finite
     b = jnp.where(use_up[..., None], _upward(lmax, z_up),
-                  _miller(lmax, z_dn, n_extra))
+                  _miller(lmax, z_dn, n_extra,
+                          lstart=int(z_switch) + n_extra))
 
     # derivative: i_l' = i_{l-1} - (l+1)/z i_l  (l >= 1);  i_0' = i_1
     if lmax >= 1:

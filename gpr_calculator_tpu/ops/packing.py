@@ -129,7 +129,11 @@ def pack_energy(
             counts=jnp.ones((m_pad,), config.dtype()),
             nreal=jnp.asarray(0, config.int_dtype()),
         )
-    d = points[0][0].shape[1]
+    d_data = points[0][0].shape[1]
+    assert d is None or d == d_data, (
+        f"declared descriptor width d={d} but the points carry "
+        f"{d_data} (model and prediction descriptors disagree?)")
+    d = d_data
     max_a = max(int(p[0].shape[0]) for p in points)
     m_pad = m_pad or n
     a_pad = a_pad or max_a

@@ -247,8 +247,18 @@ def _descriptor_device(dt):
     if dt == jnp.float64 and jax.default_backend() != "cpu":
         try:
             return jax.default_device(jax.devices("cpu")[0])
-        except RuntimeError:
-            pass
+        except RuntimeError as exc:
+            # falling through would place the f64 program on the
+            # accelerator: the complex Ylm chain hits a hard compiler
+            # abort there and the 1e-280 Miller seeds NaN under
+            # emulated f64 -- fail with a diagnosis instead
+            raise RuntimeError(
+                "the f64 descriptor needs a host CPU backend and none "
+                "is registered (f64 on an accelerator is unsupported: "
+                "complex128 aborts the compiler). Set "
+                "GPR_CALC_TPU_X64=0 for the f32 production mode, or "
+                "enable the cpu platform (JAX_PLATFORMS=cpu,<accel>)."
+            ) from exc
     return contextlib.nullcontext()
 
 
@@ -288,9 +298,14 @@ class SO3:
         self.cutoff_function = cutoff_function
         self.weight_on = weight_on
         self._type = "SO3"
+        # keep the quadrature constants at full f64 (numpy) and cast per
+        # call: storing them truncated to the CONSTRUCTION-time
+        # config.dtype() would silently poison a later f64 calculate()
+        # on a descriptor built under f32 config (measured 4.9e-7
+        # relative error on an 'exact f64' result)
         q, G0 = radial_quadrature(nmax, lmax, self.rcut, self.alpha)
-        self._q = jnp.asarray(q, config.dtype())
-        self._G0 = jnp.asarray(G0, config.dtype())
+        self._q = np.asarray(q, np.float64)
+        self._G0 = np.asarray(G0, np.float64)
 
     # -- persistence (SO3.py:45-65) --
     def save_dict(self):
@@ -443,7 +458,7 @@ class SO3:
                 jnp.asarray(self_seq),
                 jnp.asarray(ids_arr.astype(np.int32)),
                 jnp.asarray(seq_center),
-                self._q.astype(dt), self._G0.astype(dt),
+                jnp.asarray(self._q, dt), jnp.asarray(self._G0, dt),
                 nmax=self.nmax, lmax=self.lmax, natoms=natoms,
                 nseq=nseq_pad, rcut=self.rcut, alpha=self.alpha,
                 derivative=self.derivative, stress=self.stress,

@@ -103,7 +103,12 @@ def convert_struc(db_file, des, ids=None, N=None, stress=False, ncpu=1):
         train_Y["energy"].append(row["data"]["energy"])
         train_Y["forces"].append(np.asarray(row["data"]["force"]))
         if stress:
-            train_Y["stress"].append(np.asarray(row["data"].get("stress")))
+            sv = row["data"].get("stress")
+            # keep None for energy/forces-only rows (same guard as
+            # get_train_data -- np.asarray(None) is a dtype=object
+            # scalar that poisons downstream stacking)
+            train_Y["stress"].append(None if sv is None
+                                     else np.asarray(sv))
         if N is not None and len(structures) == N:
             break
     xs = [des.calculate(s) for s in structures]

@@ -103,3 +103,26 @@ def test_md_preserves_initial_velocities():
     m = atoms.get_masses()[:, None]
     p = (m * dyn.velocities).sum(axis=0)
     np.testing.assert_allclose(p, 0.0, atol=1e-12)
+
+
+def test_md_accepts_foreign_atoms_without_fixed_indices():
+    """run() must tolerate duck-typed atoms objects lacking
+    fixed_indices (ase.Atoms parity), like the helpers already did."""
+    from gpr_calculator_tpu.atoms import Atoms
+    from gpr_calculator_tpu.calculators import EMT
+    from gpr_calculator_tpu.md import (VelocityVerlet,
+                                       maxwell_boltzmann_velocities)
+
+    class ForeignAtoms(Atoms):
+        # hide the framework-specific accessor
+        fixed_indices = property(doc="hidden")
+
+    a = 2.55
+    atoms = ForeignAtoms(numbers=[29] * 4,
+                         positions=[[0, 0, 0], [a, 0, 0], [0, a, 0],
+                                    [0.55 * a, 0.55 * a, 0.55 * a]],
+                         cell=np.eye(3) * 12, pbc=False)
+    assert not hasattr(atoms, "fixed_indices")
+    atoms.calc = EMT()
+    maxwell_boltzmann_velocities(atoms, 100.0, rng=np.random.RandomState(3))
+    VelocityVerlet(atoms, timestep_fs=0.5).run(3)

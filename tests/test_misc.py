@@ -279,3 +279,56 @@ def test_neighbor_pairs_empty_structure():
     i, j, rij = _numpy_pairs(np.zeros((0, 3)), np.eye(3) * 8,
                              np.array([True] * 3), 4.0)
     assert i.shape == (0,) and j.shape == (0,) and rij.shape == (0, 3)
+
+
+def test_pack_energy_rejects_width_mismatch():
+    """pack_energy must fail loudly on a descriptor-width mismatch like
+    pack_force does (it used to silently overwrite the declared d)."""
+    import numpy as np
+    import pytest
+    from gpr_calculator_tpu.ops.packing import pack_energy
+
+    pts = [(np.zeros((2, 12)), np.zeros(2, int))]
+    with pytest.raises(AssertionError, match="descriptor width"):
+        pack_energy(pts, d=30)
+
+
+def test_write_db_timestamps_in_ase_units(tmp_path):
+    """ASE stores ctime/mtime as years since 2000, not Unix seconds
+    (ase.db.core.now()); rows written in seconds show absurd ages in
+    real ASE tooling."""
+    import sqlite3
+    import time
+
+    import numpy as np
+    from gpr_calculator_tpu.atoms import Atoms
+    from gpr_calculator_tpu.io.ase_db import write_db
+
+    a = Atoms(numbers=[29], positions=[[0, 0, 0]], cell=np.eye(3) * 8,
+              pbc=True)
+    path = str(tmp_path / "t.db")
+    write_db(path, [{"atoms": a, "data": {"energy": -1.0,
+                                          "force": np.zeros((1, 3))}}])
+    (ctime,) = sqlite3.connect(path).execute(
+        "SELECT ctime FROM systems").fetchone()
+    now_ase = (time.time() - 946681200.0) / 31557600.0
+    assert abs(ctime - now_ase) < 0.01, ctime   # ~3.5 days of slack
+
+
+def test_convert_struc_keeps_none_stress(tmp_path):
+    """Energy/forces-only rows must yield stress=None, not a
+    dtype=object scalar array (same guard as get_train_data)."""
+    import numpy as np
+    from gpr_calculator_tpu.atoms import Atoms
+    from gpr_calculator_tpu.io.ase_db import write_db
+    from gpr_calculator_tpu.ops.so3 import SO3
+    from gpr_calculator_tpu.utils import convert_struc
+
+    a = Atoms(numbers=[29, 29], positions=[[0, 0, 0], [2.5, 0, 0]],
+              cell=np.eye(3) * 8, pbc=True)
+    path = str(tmp_path / "s.db")
+    write_db(path, [{"atoms": a, "data": {"energy": -1.0,
+                                          "force": np.zeros((2, 3))}}])
+    _, train_Y, _ = convert_struc(path, SO3(nmax=2, lmax=1, rcut=4.0),
+                                  stress=True)
+    assert train_Y["stress"] == [None]

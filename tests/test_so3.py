@@ -427,3 +427,60 @@ def test_f32_descriptor_jaxpr_stays_f32():
                or "f64[" in ln.replace("f64[]", "")]  # f64[] scalar args ok
         assert not bad, f"stress={stress}: f64/c128 leaked into the " \
                         f"f32 descriptor program:\n" + "\n".join(bad[:12])
+
+
+def test_scaled_bessel_high_lmax_near_switch():
+    """The upward/Miller switch must sit well above lmax: upward
+    recurrence at z ~ l is exponentially contaminated (the old
+    z_switch = lmax+1 gave 4.4e-4 relative error at lmax=32)."""
+    from scipy.special import spherical_in
+
+    for lmax in (16, 32):
+        zs = np.concatenate([np.linspace(0.5, 4 * lmax + 8, 200),
+                             [lmax + 1.0, 2 * lmax + 1.9,
+                              2 * lmax + 2.1]])
+        b, _ = scaled_in(lmax, jnp.asarray(zs, jnp.float64))
+        b = np.asarray(b)
+        ref = np.stack([spherical_in(l, zs) * np.exp(-zs)
+                        for l in range(lmax + 1)], -1)
+        mask = np.abs(ref) > 1e-12
+        rel = np.abs(b - ref)[mask] / np.abs(ref)[mask]
+        assert rel.max() < 1e-8, (lmax, rel.max())
+
+
+def test_so3_constants_not_truncated_by_construction_dtype():
+    """A descriptor CONSTRUCTED under f32 config must still produce
+    exact-f64 output when calculate(dtype=float64) is requested (the
+    quadrature constants used to be stored pre-truncated)."""
+    from gpr_calculator_tpu import config
+
+    atoms = _make_cluster(seed=3, n=5)
+    old = config.dtype()
+    try:
+        config.set_dtype(jnp.float32)
+        des32 = SO3(nmax=3, lmax=2, rcut=4.0)
+        config.set_dtype(jnp.float64)
+        des64 = SO3(nmax=3, lmax=2, rcut=4.0)
+        x_from32 = np.asarray(
+            des32.calculate(atoms, dtype=np.float64)["x"])
+        x_ref = np.asarray(des64.calculate(atoms,
+                                           dtype=np.float64)["x"])
+        np.testing.assert_allclose(x_from32, x_ref, rtol=1e-13,
+                                   atol=1e-15)
+    finally:
+        config.set_dtype(old)
+
+
+def test_f64_descriptor_without_cpu_backend_raises(monkeypatch):
+    """When no host CPU backend is registered, placing the f64
+    descriptor on an accelerator must fail with a diagnosis, not fall
+    through to the documented compiler abort."""
+    import gpr_calculator_tpu.ops.so3 as so3mod
+
+    def no_cpu(platform=None):
+        raise RuntimeError("no cpu backend")
+
+    monkeypatch.setattr(so3mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(so3mod.jax, "devices", no_cpu)
+    with pytest.raises(RuntimeError, match="f32 production mode"):
+        so3mod._descriptor_device(jnp.float64)
