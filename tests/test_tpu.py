@@ -536,3 +536,32 @@ def test_analytic_nll_blocked_trace_on_tpu():
     g_ad = _fetch(grad_ad)
     scale = max(np.abs(g_ad).max(), 1e-3)
     assert np.abs(g - g_ad).max() < 2e-2 * scale, (g, g_ad)
+
+
+@skip_off_tpu
+def test_blocked_variance_solve_wide_on_chip():
+    """blocked_solve_lower (the serving-variance route for wide query
+    stripes against big factors) COMPILED on hardware at a shape above
+    the auto-route threshold (n >= 8192, k >= 256).  XLA's native
+    TriangularSolve crashed the compile helper at (20k, 3072) and staged
+    5.5 GiB of temps at k=512 -- this forward-only blocked MXU sweep is
+    what _predict_packed dispatches to instead; checked by residual
+    ||L X - B|| (no XLA-solve reference on purpose: it is the program
+    being replaced)."""
+    import jax
+    import jax.numpy as jnp
+    from gpr_calculator_tpu.ops.linalg import blocked_solve_lower
+
+    n, k = 8192, 512
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    # well-conditioned lower factor built on device (a 256 MB host
+    # transfer through the tunnel would dominate the test)
+    L = (jnp.tril(0.001 * jax.random.normal(k1, (n, n), jnp.float32))
+         + jnp.eye(n, dtype=jnp.float32))
+    B = jax.random.normal(k2, (n, k), jnp.float32)
+    X = blocked_solve_lower(L, B)
+    resid = _fetch(jnp.abs(L @ X - B).max())
+    scale = float(_fetch(jnp.abs(B).max()))
+    assert np.isfinite(resid)
+    assert resid < 5e-5 * scale, (resid, scale)
