@@ -399,27 +399,33 @@ def bench_serve():
     examples ship) -- and the batched-NEB per-step latency."""
     serve, neb_counts = {}, {}
 
-    # 1+2. the headline on-the-fly NEB loop FIRST (serial dispatch with
-    #      full counts, then the batched evaluator's per-step latency):
-    #      the dispatch-count record is the reference-protocol analogue
-    #      (round-3 VERDICT item 3) and must land even if the budget
-    #      later truncates the pd4 serving point
+    # 1. the headline on-the-fly NEB loop FIRST (serial dispatch with
+    #    full counts): the dispatch-count record is the reference-
+    #    protocol analogue (round-3 VERDICT item 3) and must land even
+    #    if the budget later truncates the other serve points.  The GP's
+    #    reference-compatible log protocol prints to stdout; bench
+    #    stdout must stay one JSON line, so the workload runs under
+    #    redirect_stdout into the log file.
+    import contextlib
     init = "/root/reference/examples/database/initial.traj"
     final = "/root/reference/examples/database/final.traj"
     if os.path.exists(init) and not _over_budget("on-the-fly NEB"):
         from gpr_calculator_tpu import EMT, GP, GPR, get_images, neb_calc
 
         def run_neb(batched):
-            images = get_images(init, final, num_images=5)
-            gp = GP.set_GPR(images, EMT(), noise_e=0.05 / 13,
-                            noise_f=0.05)
-            calc = GPR(base=EMT(), ff=gp, save=False)
-            t0 = time.time()
-            neb = neb_calc(images, calc, fmax=0.05, steps=150,
-                           batched=batched)
-            wall = time.time() - t0
+            with open("/tmp/bench_neb.log", "a") as lf, \
+                    contextlib.redirect_stdout(lf):
+                images = get_images(init, final, num_images=5)
+                gp = GP.set_GPR(images, EMT(), noise_e=0.05 / 13,
+                                noise_f=0.05)
+                calc = GPR(base=EMT(), ff=gp, save=False)
+                t0 = time.time()
+                neb = neb_calc(images, calc, fmax=0.05, steps=150,
+                               batched=batched)
+                wall = time.time() - t0
             return neb, gp, wall
 
+        neb = None
         try:
             neb, gp, wall = run_neb(batched=False)
             barrier = float(np.nanmax(neb.energies) - neb.energies[0])
@@ -445,6 +451,37 @@ def bench_serve():
         except Exception as exc:
             print(f"# on-the-fly NEB bench failed: {type(exc).__name__}: "
                   f"{str(exc)[:200]}", file=sys.stderr)
+
+        # 2. warm batched per-step serving latency on the converged
+        #    path: ONE predict_structures program over all interior
+        #    images -- the steady-state cost of a batched-NEB optimizer
+        #    step (the full batched loop below also pays per-bucket
+        #    compiles, which through the remote-chip tunnel dominate its
+        #    wall; the warm number is the deployment-relevant one)
+        if neb is not None:
+            try:
+                interior = neb.images[1:-1]
+                gp.predict_structures(interior, return_std=True)  # warm
+                ts = []
+                for _ in range(2):
+                    t0 = time.time()
+                    gp.predict_structures(interior, return_std=True)
+                    ts.append(time.time() - t0)
+                serve["batched_step_warm_ms"] = round(min(ts) * 1e3, 1)
+                print(f"# batched serving, warm: "
+                      f"{serve['batched_step_warm_ms']} ms per step "
+                      f"({len(interior)} images)", file=sys.stderr)
+            except Exception as exc:
+                print(f"# warm batched serving point failed: "
+                      f"{type(exc).__name__}: {str(exc)[:160]}",
+                      file=sys.stderr)
+
+    # 3. warm per-structure serving latency against the bundled
+    #    pd4-RBF artifact -- BEFORE the full batched NEB loop, which is
+    #    compile-heavy and can eat the remaining budget
+    _pd4_serving_point(serve)
+
+    if os.path.exists(init) and neb_counts:
         if not _over_budget("batched NEB"):
             try:
                 neb_b, gp_b, wall_b = run_neb(batched=True)
@@ -468,20 +505,30 @@ def bench_serve():
                       f"{type(exc).__name__}: {str(exc)[:200]}",
                       file=sys.stderr)
 
-    # 3. warm per-structure serving latency against the bundled
-    #    pd4-RBF artifact (real 220-atom periodic cell, 100 structures).
-    #    This model auto-demotes to exact f64 serving (tight legacy
-    #    noise floor), so each call costs ~10 s on the f64-emulated
-    #    chip: 2 samples per variant keeps the section ~1 min.
+    return serve, neb_counts
+
+
+def _pd4_serving_point(serve):
+    """Warm per-structure serving latency against the bundled pd4-RBF
+    artifact (real 220-atom periodic cell, 100 structures).  This model
+    auto-demotes to exact f64 serving (tight legacy noise floor), so
+    each call costs ~10 s on the f64-emulated chip: 2 samples per
+    variant keeps the section ~1 min."""
     if _over_budget("pd4 serving point"):
-        return serve, neb_counts
+        return
+    import contextlib
     try:
         from gpr_calculator_tpu import GP
         from gpr_calculator_tpu.io.ase_db import read_db
-        gp = GP.load("/root/reference/examples/database/pd4-RBF.json",
-                     N_max=100, row_chunk=32,
-                     log_file="/tmp/bench_pd4.log")
-        gp.fit(opt=False, show=False)
+        with open("/tmp/bench_pd4_stdout.log", "a") as lf, \
+                contextlib.redirect_stdout(lf):
+            # GP.load / fit print the reference-compatible log protocol
+            # to stdout; bench stdout must stay one JSON line
+            gp = GP.load(
+                "/root/reference/examples/database/pd4-RBF.json",
+                N_max=100, row_chunk=32,
+                log_file="/tmp/bench_pd4.log")
+            gp.fit(opt=False, show=False)
         struc = read_db(
             "/root/reference/examples/database/pd4-RBF.db")[0]["atoms"]
 
@@ -501,7 +548,6 @@ def bench_serve():
     except Exception as exc:
         print(f"# pd4 serving bench skipped: {type(exc).__name__}: "
               f"{str(exc)[:160]}", file=sys.stderr)
-    return serve, neb_counts
 
 
 def _backend_reachable(timeout_s: float = 240.0) -> bool:

@@ -28,11 +28,6 @@ import jax
 import jax.numpy as jnp
 
 
-@jax.jit
-def chol_solve_lower(L: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    return jax.scipy.linalg.cho_solve((L, True), y)
-
-
 # ---------------------------------------------------------------------------
 # Blocked wide triangular solves (MXU substitution)
 #
