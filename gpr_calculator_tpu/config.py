@@ -42,10 +42,16 @@ def _host_fingerprint() -> str:
 
 
 if os.environ.get("GPR_CALC_TPU_COMPILE_CACHE", "1") != "0":
-    _cache_dir = os.environ.get(
+    # The fingerprint is appended even when the user points
+    # JAX_COMPILATION_CACHE_DIR somewhere explicit: an externally-shared
+    # cache dir is exactly the scenario where a stale XLA:CPU executable
+    # from another machine gets reloaded (the round-4 bench run hit the
+    # resulting feature-mismatch warning storm).  The env var picks the
+    # *root*; the per-host leaf keeps CPU entries host-local.
+    _cache_root = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.expanduser("~/.cache/gpr_calculator_tpu"),
-                     "jax-" + _host_fingerprint()))
+        os.path.expanduser("~/.cache/gpr_calculator_tpu"))
+    _cache_dir = os.path.join(_cache_root, "jax-" + _host_fingerprint())
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

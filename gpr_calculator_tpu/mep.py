@@ -33,7 +33,16 @@ def find_mic(d, cell, pbc):
     gram = cell @ cell.T
     off = np.abs(gram - np.diag(np.diag(gram))).max()
     if off > 1e-10 * np.abs(gram).max():
-        ranges = [(-1.0, 0.0, 1.0) if pbc[i] else (0.0,)
+        # +/-1 covers every Lagrange/Minkowski-reduced cell; for strongly
+        # skewed non-reduced cells (a row's projection onto another
+        # exceeding half its length) the true minimum image can need a
+        # wider shift, so widen the window adaptively instead of assuming
+        # reduction (ASE runs a full image search for the same reason).
+        diag = np.diag(gram)
+        skew = np.abs(gram - np.diag(diag)) > 0.5 * np.minimum(
+            diag[:, None], diag[None, :])
+        width = 2.0 if skew.any() else 1.0
+        ranges = [tuple(np.arange(-width, width + 1)) if pbc[i] else (0.0,)
                   for i in range(3)]
         shifts = np.array([[a, b, c] for a in ranges[0]
                            for b in ranges[1] for c in ranges[2]]) @ cell

@@ -906,6 +906,18 @@ class GP:
                     chol_mode=_resolve_chol_mode(self._mesh_arg(),
                                                  e.m + 3 * f.m))
         else:
+            if self._mesh_arg() is not None:
+                # The autodiff objective has no mesh plumbing: GSPMD still
+                # partitions the sharded operands, but via the ~90-collective
+                # all-to-all plan PARALLELISM.md documents as the cautionary
+                # tale.  Warn loudly rather than silently running it.
+                import warnings
+                warnings.warn(
+                    "GPR_CALC_TPU_NLL=autodiff ignores the device mesh: the "
+                    "autodiff NLL runs without shard_map and GSPMD resharding "
+                    "dominates (see PARALLELISM.md). Unset the env var to use "
+                    "the mesh-aware analytic-gradient NLL.",
+                    RuntimeWarning, stacklevel=3)
             def call(theta, e, f, y, noise_fixed, f_coef, noise_opt):
                 return _nll_value_and_grad(theta, e, f, y, noise_fixed,
                                            f_coef, self.kernel.kind,
@@ -1384,9 +1396,14 @@ class GP:
     # wins only when enough host cores amortize the build -- on a
     # production TPU VM (dozens of cores) small legacy models serve in
     # milliseconds; on a 1-core host the device keeps everything.
-    _HOST_PAIR_RATE = 4.0e6      # env pairs / s / core, native f64
-    _DEV_PAIR_RATE = 2.7e7       # env pairs / s, f64-emulated device
-    _DEV_FIXED_S = 0.25          # device dispatch + tunnel overhead
+    # overridable for materially different hardware via
+    # GPR_CALC_TPU_HOST_PAIR_RATE / _DEV_PAIR_RATE / _DEV_FIXED_S
+    _HOST_PAIR_RATE = float(os.environ.get(
+        "GPR_CALC_TPU_HOST_PAIR_RATE", 4.0e6))  # env pairs/s/core, native f64
+    _DEV_PAIR_RATE = float(os.environ.get(
+        "GPR_CALC_TPU_DEV_PAIR_RATE", 2.7e7))   # env pairs/s, f64-emu device
+    _DEV_FIXED_S = float(os.environ.get(
+        "GPR_CALC_TPU_DEV_FIXED_S", 0.25))      # dispatch + tunnel overhead
 
     def _serve_on_host(self, mixed: bool, pf: ForceData = None,
                        tf: ForceData = None) -> bool:
@@ -1872,8 +1889,14 @@ class GP:
     # -- sparsification (gaussianprocess.py:1004-1023, 1165-1182) -------------
     def sparsify(self, e_tol=1e-10, f_tol=1e-10):
         e, f = self._pack(self.N_energy, self.N_forces)
+        # Memory-bounded like every other covariance build: the unchunked
+        # XLA path compile-OOMs at 20k+ rows (_fit_chunk docstring), and a
+        # mesh shards the Pallas schedule rather than replicating it.
         K = np.asarray(K_ops.k_self(e, f, self.kernel.jax_params(),
-                                    self.kernel.kind, self.kernel.zeta))
+                                    self.kernel.kind, self.kernel.zeta,
+                                    row_chunk=self._fit_chunk(e, f),
+                                    symmetric=True,
+                                    mesh=self._mesh_arg()))
         N_e, N_f = self.N_energy, self.N_forces
         Kee = K[:N_e, :N_e]
         Kff = K[e.m:e.m + 3 * N_f, e.m:e.m + 3 * N_f]
@@ -1934,6 +1957,13 @@ class GP:
 
     @classmethod
     def load(cls, filename, N_max=None, device="tpu", **kwargs):
+        """Load a model JSON + its training database.
+
+        ``device`` is an API-parity shim (the reference's load takes
+        device='cpu'/'gpu', gaussianprocess.py:688): placement here is
+        governed by the JAX platform and the ``mesh`` kwarg, so the value
+        is accepted and ignored.
+        """
         with open(filename, "r") as fp:
             dict0 = json.load(fp)
         instance = cls.load_from_dict(dict0, device=device, **kwargs)

@@ -70,7 +70,7 @@ def main():
                 "dispatcher's decisions depend only on model state); "
                 "wall times here are the 2-device virtual-CPU run -- "
                 "TPU walls land in BENCH_{}.json's neb_counts via "
-                "bench_serve".format(tag.upper()),
+                "bench_serve".format(tag),
         "runs": runs,
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
