@@ -28,15 +28,28 @@ def _host_fingerprint() -> str:
     import hashlib
     import platform
     tag = platform.machine()
+    # Hash the CPU MODEL NAME as well as the feature flags: XLA:CPU's
+    # AOT tuning bakes in model-keyed preferences (e.g. znver4 gets
+    # +prefer-no-scatter/+prefer-no-gather) that differ between hosts
+    # whose /proc/cpuinfo flag sets are identical -- observed as a
+    # cpu_aot_loader feature-mismatch storm when a flags-only
+    # fingerprint collided across machines (round-4 bench tail).
+    parts = []
     try:
         with open("/proc/cpuinfo") as fh:
             for line in fh:
-                if line.startswith(("flags", "Features")):
-                    tag += hashlib.sha1(
-                        " ".join(sorted(line.split()[2:]))
-                        .encode()).hexdigest()[:12]
+                if line.startswith(("flags", "Features")) \
+                        and len(parts) < 2:
+                    parts.append(" ".join(sorted(line.split()[2:])))
+                elif line.startswith("model name") and len(parts) < 2:
+                    parts.append(line.split(":", 1)[-1].strip())
+                if len(parts) == 2:
                     break
     except OSError:
+        pass
+    if parts:
+        tag += hashlib.sha1("|".join(sorted(parts)).encode()).hexdigest()[:12]
+    else:
         tag += platform.processor() or "unknown"
     return tag
 
@@ -55,6 +68,33 @@ if os.environ.get("GPR_CALC_TPU_COMPILE_CACHE", "1") != "0":
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    # Belt over the fingerprint: on virtualised hosts /proc/cpuinfo can
+    # report a generic model ("Intel(R) Xeon(R) Processor @ 2.10GHz")
+    # identical across machines whose real microarchitectures differ, so
+    # fingerprint collisions remain possible and a reloaded XLA:CPU AOT
+    # executable then risks SIGILL (its tuning bakes in the compile
+    # machine's detected CPU model).  In accelerator sessions the cache's
+    # value is the expensive remote TPU compiles; CPU programs there are
+    # small host-side glue -- skip persistent caching of CPU executables
+    # entirely (pure-CPU sessions, e.g. the test suite, keep it: they
+    # rewrite their own entries).  GPR_CALC_TPU_CPU_CACHE=1 restores the
+    # old behaviour.
+    if os.environ.get("GPR_CALC_TPU_CPU_CACHE", "0") != "1":
+        from jax._src import compilation_cache as _cc
+
+        _orig_is_cache_used = _cc.is_cache_used
+
+        def _is_cache_used(backend):
+            if backend.platform == "cpu":
+                try:
+                    if jax.default_backend() != "cpu":
+                        return False
+                except Exception:
+                    pass
+            return _orig_is_cache_used(backend)
+
+        _cc.is_cache_used = _is_cache_used
 
 # Enable x64 unless explicitly disabled.  Must happen before any jnp array is
 # created, hence at package import time (config is imported from __init__).
