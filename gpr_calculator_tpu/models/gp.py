@@ -1375,16 +1375,20 @@ class GP:
         """Serve through the device-resident descriptor + gather pack
         (_pack_from_device_descs): active whenever the descriptor
         program runs on the DEFAULT backend -- f32/mixed modes on an
-        accelerator, or any mode on CPU.  The f64-on-TPU exile case
-        (complex128 unsupported; so3._descriptor_device) keeps the host
-        path, where the arrays live host-side anyway.
+        accelerator, any mode on CPU, and (since the complex-free Ylm
+        rewrite) f64 on an accelerator too, unless the f64 host exile
+        is forced via GPR_CALC_TPU_F64_DESC=host (then the arrays live
+        host-side and the host pack is the right path).
         GPR_CALC_TPU_DEVICE_PACK=0 forces the host path (debug/parity).
         """
         if os.environ.get("GPR_CALC_TPU_DEVICE_PACK", "1") == "0":
             return False
         dt = self._serve_descriptor_dtype()
         eff = jnp.dtype(dt) if dt is not None else config.dtype()
-        return eff != jnp.float64 or jax.default_backend() == "cpu"
+        if eff != jnp.float64 or jax.default_backend() == "cpu":
+            return True
+        from ..ops.so3 import _f64_descriptor_on_host
+        return not _f64_descriptor_on_host()
 
     def _serving_args(self, pf: ForceData, tf: ForceData):
         mixed = self._serve_mixed()

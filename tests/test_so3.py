@@ -471,16 +471,39 @@ def test_so3_constants_not_truncated_by_construction_dtype():
         config.set_dtype(old)
 
 
-def test_f64_descriptor_without_cpu_backend_raises(monkeypatch):
-    """When no host CPU backend is registered, placing the f64
-    descriptor on an accelerator must fail with a diagnosis, not fall
-    through to the documented compiler abort."""
+def test_f64_descriptor_runs_on_device_by_default(monkeypatch):
+    """Since the complex-free Ylm rewrite the f64 descriptor runs on the
+    accelerator (narrow-range Bessel under the f64 emulation); the host
+    exile is opt-in via GPR_CALC_TPU_F64_DESC=host, and degrades
+    gracefully to on-device when no CPU backend exists."""
+    import contextlib
     import gpr_calculator_tpu.ops.so3 as so3mod
+
+    monkeypatch.setattr(so3mod.jax, "default_backend", lambda: "tpu")
+    # default: no exile -- nullcontext even with no cpu backend
+    monkeypatch.delenv("GPR_CALC_TPU_F64_DESC", raising=False)
+    assert isinstance(so3mod._descriptor_device(jnp.float64),
+                      contextlib.nullcontext)
+    # exile requested but no cpu backend: fall back to on-device
+    monkeypatch.setenv("GPR_CALC_TPU_F64_DESC", "host")
 
     def no_cpu(platform=None):
         raise RuntimeError("no cpu backend")
 
-    monkeypatch.setattr(so3mod.jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(so3mod.jax, "devices", no_cpu)
-    with pytest.raises(RuntimeError, match="f32 production mode"):
-        so3mod._descriptor_device(jnp.float64)
+    assert isinstance(so3mod._descriptor_device(jnp.float64),
+                      contextlib.nullcontext)
+
+
+def test_narrow_range_bessel_matches_wide():
+    """The narrow-range Miller constants (f32-exponent-range-safe, used
+    under the TPU's f64 emulation) agree with the wide f64 constants to
+    f64 rounding on representative arguments."""
+    zs = jnp.asarray(np.concatenate([
+        np.geomspace(1e-5, 60.0, 40), [1e-7, 0.0]]), jnp.float64)
+    b_w, db_w = scaled_in(6, zs)
+    b_n, db_n = scaled_in(6, zs, narrow_range=True)
+    np.testing.assert_allclose(np.asarray(b_n), np.asarray(b_w),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(db_n), np.asarray(db_w),
+                               rtol=1e-12, atol=1e-13)
