@@ -392,26 +392,19 @@ class SO3:
             "seq": out["seq"],
         }
 
-    def calculate_device(self, atoms, atom_ids=None, use_mpi: bool = False,
-                         dtype=None):
-        """Device-resident descriptor (the serving fast path).
+    def _prep_structure(self, atoms, atom_ids=None):
+        """Host-side neighbour/seq prep for ONE structure, UNPADDED.
 
-        Same math as :meth:`calculate`, but the output arrays stay jax
-        device buffers so a downstream jitted pack/predict program can
-        gather from them without a device->host->device round trip per
-        NEB/MD step (SURVEY 7(e)).  Contract:
-
-          x     (natoms, ncoef) jax
-          dxdr  (nseq_pad, ncoef, 3) jax -- rows >= nseq are ZERO (the
-                seq axis is bucket-padded), so nseq is a safe zero row
-                for gather padding
-          rdxdr (nseq_pad, ncoef, 3, 3) jax or None, already scaled by
-                -1/volume (the reference's convention, SO3.py:306)
-          seq   (nseq, 2) host numpy; 'elements' list; 'nseq' int
+        Returns raw numpy arrays ready for offset-concatenation
+        (:meth:`calculate_many`) or single-structure padding
+        (:meth:`calculate_device`): pair arrays (rij, w, pair_center,
+        pair_seq, Ri, Rj) with pair_seq = -1 for pairs whose center is
+        outside ``atom_ids`` (callers map -1 to their garbage segment),
+        self rows (self_seq, self_ids), seq metadata (seq, nseq) and the
+        structure's natoms/elements.
         """
         from ..atoms.neighborlist import neighbor_pairs
 
-        del use_mpi  # parallelism is handled by XLA sharding, not MPI
         positions = np.asarray(atoms.positions, float)
         numbers = np.asarray(atoms.numbers, int)
         natoms = len(numbers)
@@ -450,31 +443,69 @@ class SO3:
         uniq = np.unique(keys)
         seq = np.stack([uniq // stride, uniq % stride], axis=1)
         nseq = len(seq)
-        # bucket the seq axis so the jitted core is reused as the neighbour
-        # topology fluctuates along a trajectory
-        from .packing import bucket_size
-        nseq_pad = bucket_size(nseq, multiple=16)
         pair_seq = np.searchsorted(uniq, key_pairs).astype(np.int32)
         if in_sel is not None:
             # pairs whose center is outside atom_ids carry no seq row:
             # route them to the dropped garbage segment (the reference's
             # dict lookup would KeyError here; subset calls never hit it)
-            pair_seq = np.where(in_sel, pair_seq, nseq_pad).astype(np.int32)
+            pair_seq = np.where(in_sel, pair_seq, -1).astype(np.int32)
         self_seq = np.searchsorted(uniq, key_self).astype(np.int32)
+        Ri = positions[pi]
+        Rj = Ri + rij
+        elements = list(getattr(atoms, "symbols", [])) or [
+            CHEMICAL_SYMBOLS[int(zz)] for zz in numbers]
+        return {
+            "rij": rij, "w": w, "pair_center": pi.astype(np.int32),
+            "pair_seq": pair_seq, "Ri": Ri, "Rj": Rj,
+            "self_seq": self_seq,
+            "self_ids": ids_arr.astype(np.int32),
+            "seq": seq, "nseq": nseq, "natoms": natoms,
+            "elements": elements,
+        }
+
+    def calculate_device(self, atoms, atom_ids=None, use_mpi: bool = False,
+                         dtype=None):
+        """Device-resident descriptor (the serving fast path).
+
+        Same math as :meth:`calculate`, but the output arrays stay jax
+        device buffers so a downstream jitted pack/predict program can
+        gather from them without a device->host->device round trip per
+        NEB/MD step (SURVEY 7(e)).  Contract:
+
+          x     (natoms, ncoef) jax
+          dxdr  (nseq_pad, ncoef, 3) jax -- rows >= nseq are ZERO (the
+                seq axis is bucket-padded), so nseq is a safe zero row
+                for gather padding
+          rdxdr (nseq_pad, ncoef, 3, 3) jax or None, already scaled by
+                -1/volume (the reference's convention, SO3.py:306)
+          seq   (nseq, 2) host numpy; 'elements' list; 'nseq' int
+        """
+        del use_mpi  # parallelism is handled by XLA sharding, not MPI
+        prep = self._prep_structure(atoms, atom_ids)
+        natoms, nseq, seq = prep["natoms"], prep["nseq"], prep["seq"]
+
+        # bucket the seq axis so the jitted core is reused as the neighbour
+        # topology fluctuates along a trajectory
+        from .packing import bucket_size
+        nseq_pad = bucket_size(nseq, multiple=16)
+        pair_seq = np.where(prep["pair_seq"] < 0, nseq_pad,
+                            prep["pair_seq"]).astype(np.int32)
         seq_center = np.concatenate([
             seq[:, 0], np.full(nseq_pad - nseq, natoms)]).astype(np.int32)
 
         # pad the pair axis to a bucket for shape reuse
-        P = len(pi)
+        P = len(pair_seq)
         P_pad = bucket_size(max(P, 1), multiple=64)
         pad = P_pad - P
-        rij_p = np.concatenate([rij, np.tile([[1.0, 0, 0]], (pad, 1))])
-        w_p = np.concatenate([w, np.zeros(pad)])
-        pc_p = np.concatenate([pi.astype(np.int32),
+        rij_p = np.concatenate(
+            [prep["rij"], np.tile([[1.0, 0, 0]], (pad, 1))])
+        w_p = np.concatenate([prep["w"], np.zeros(pad)])
+        pc_p = np.concatenate([prep["pair_center"],
                                np.full(pad, natoms, np.int32)])
         ps_p = np.concatenate([pair_seq, np.full(pad, nseq_pad, np.int32)])
-        Ri = positions[np.concatenate([pi, np.zeros(pad, int)])]
+        Ri = np.concatenate([prep["Ri"], np.zeros((pad, 3))])
         Rj = Ri + rij_p
+        self_seq, ids_arr = prep["self_seq"], prep["self_ids"]
 
         dt = jnp.dtype(dtype) if dtype is not None else config.dtype()
         # The core is complex-free (real Ylm pairs), so f64 runs
@@ -501,8 +532,7 @@ class SO3:
         out = {
             "x": x,
             "dxdr": dxdr,
-            "elements": list(getattr(atoms, "symbols", [])) or [
-                CHEMICAL_SYMBOLS[int(zz)] for zz in numbers],
+            "elements": prep["elements"],
             "seq": seq if self.derivative else None,
             "nseq": nseq,
         }
@@ -511,6 +541,114 @@ class SO3:
             out["rdxdr"] = -pstress / vol
         else:
             out["rdxdr"] = None
+        return out
+
+    def calculate_many(self, atoms_list, dtype=None,
+                       pair_budget: int = 262144):
+        """Batched training-side descriptor ingest: ONE ``_so3_core``
+        device program per GROUP of structures instead of one per
+        structure (replaces the reference's MPI scatter over ranks, P8,
+        gaussianprocess.py:726-821 -- here the batch axis is the
+        concatenated pair/seq list with per-structure atom and seq-row
+        offsets, which the core's segment_sums handle natively).
+
+        Returns a list of host dicts matching :meth:`calculate`
+        (x, dxdr, rdxdr, elements, seq), one per input structure.
+
+        ``pair_budget`` bounds the pairs per device call (memory: the
+        (P, NQ, lmax+1) radial intermediates); groups are closed when
+        exceeding it, so arbitrarily long databases stream through a
+        few compiled shapes (all batch axes are bucket-padded).
+        """
+        from .packing import bucket_size
+
+        preps = [self._prep_structure(atoms) for atoms in atoms_list]
+        # greedy grouping under the pair budget (>= 1 structure/group)
+        groups, cur, cur_pairs = [], [], 0
+        for i, p in enumerate(preps):
+            npairs = len(p["pair_seq"])
+            if cur and cur_pairs + npairs > pair_budget:
+                groups.append(cur)
+                cur, cur_pairs = [], 0
+            cur.append(i)
+            cur_pairs += npairs
+        if cur:
+            groups.append(cur)
+
+        dt = jnp.dtype(dtype) if dtype is not None else config.dtype()
+        narrow = (dt == jnp.float64 and jax.default_backend() != "cpu"
+                  and not _f64_descriptor_on_host())
+        out = [None] * len(preps)
+        for grp in groups:
+            ps = [preps[i] for i in grp]
+            natoms_tot = sum(p["natoms"] for p in ps)
+            nseq_tot = sum(p["nseq"] for p in ps)
+            # bucket every batch axis so consecutive groups of similar
+            # size share one compiled program
+            natoms_pad = bucket_size(natoms_tot, multiple=16)
+            nseq_pad = bucket_size(nseq_tot, multiple=64)
+            ao = np.cumsum([0] + [p["natoms"] for p in ps])
+            so = np.cumsum([0] + [p["nseq"] for p in ps])
+            rij = np.concatenate([p["rij"] for p in ps])
+            w = np.concatenate([p["w"] for p in ps])
+            pc = np.concatenate(
+                [p["pair_center"] + ao[k] for k, p in enumerate(ps)])
+            # full-selection ingest: no -1 (out-of-selection) entries
+            pseq = np.concatenate(
+                [p["pair_seq"] + so[k] for k, p in enumerate(ps)])
+            Ri = np.concatenate([p["Ri"] for p in ps])
+            self_seq = np.concatenate(
+                [p["self_seq"] + so[k] for k, p in enumerate(ps)])
+            self_ids = np.concatenate(
+                [p["self_ids"] + ao[k] for k, p in enumerate(ps)])
+            seq_center = np.concatenate(
+                [p["seq"][:, 0] + ao[k] for k, p in enumerate(ps)]
+                + [np.full(nseq_pad - nseq_tot, natoms_pad)]
+            ).astype(np.int32)
+
+            P = len(pc)
+            P_pad = bucket_size(max(P, 1), multiple=256)
+            pad = P_pad - P
+            rij_p = np.concatenate([rij, np.tile([[1.0, 0, 0]], (pad, 1))])
+            w_p = np.concatenate([w, np.zeros(pad)])
+            pc_p = np.concatenate(
+                [pc, np.full(pad, natoms_pad, np.int32)]).astype(np.int32)
+            ps_p = np.concatenate(
+                [pseq, np.full(pad, nseq_pad, np.int32)]).astype(np.int32)
+            Ri_p = np.concatenate([Ri, np.zeros((pad, 3))])
+            Rj_p = Ri_p + rij_p
+
+            with _descriptor_device(dt):
+                x, dxdr, pstress = _so3_core(
+                    jnp.asarray(rij_p, dt), jnp.asarray(w_p, dt),
+                    jnp.asarray(pc_p), jnp.asarray(ps_p),
+                    jnp.asarray(Ri_p, dt), jnp.asarray(Rj_p, dt),
+                    jnp.asarray(self_seq.astype(np.int32)),
+                    jnp.asarray(self_ids.astype(np.int32)),
+                    jnp.asarray(seq_center),
+                    jnp.asarray(self._q, dt), jnp.asarray(self._G0, dt),
+                    nmax=self.nmax, lmax=self.lmax, natoms=natoms_pad,
+                    nseq=nseq_pad, rcut=self.rcut, alpha=self.alpha,
+                    derivative=self.derivative, stress=self.stress,
+                    cutoff=self.cutoff_function, narrow_range=narrow)
+            x = np.asarray(x)
+            dxdr = None if dxdr is None else np.asarray(dxdr)
+            pstress = None if pstress is None else np.asarray(pstress)
+            for k, i in enumerate(grp):
+                p = ps[k]
+                d = {
+                    "x": x[ao[k]:ao[k] + p["natoms"]],
+                    "dxdr": None if dxdr is None
+                    else dxdr[so[k]:so[k] + p["nseq"]],
+                    "elements": p["elements"],
+                    "seq": p["seq"] if self.derivative else None,
+                }
+                if self.stress and pstress is not None:
+                    vol = atoms_list[i].get_volume()
+                    d["rdxdr"] = -pstress[so[k]:so[k] + p["nseq"]] / vol
+                else:
+                    d["rdxdr"] = None
+                out[i] = d
         return out
 
 

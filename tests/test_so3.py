@@ -507,3 +507,62 @@ def test_narrow_range_bessel_matches_wide():
                                rtol=1e-12, atol=1e-13)
     np.testing.assert_allclose(np.asarray(db_n), np.asarray(db_w),
                                rtol=1e-12, atol=1e-13)
+
+
+def test_calculate_many_matches_per_structure():
+    """Batched ingest (one concatenated _so3_core program for a group of
+    structures) is numerically identical to per-structure calculate()
+    for mixed sizes/species, including stress and periodic cells."""
+    strucs = [_make_cluster(seed=s, n=n)
+              for s, n in [(0, 4), (1, 7), (2, 5), (3, 6)]]
+    # make two of them periodic with different volumes (per-structure
+    # -1/vol scaling of rdxdr must not leak across the batch)
+    for k, scale in [(1, 9.0), (3, 11.0)]:
+        strucs[k].pbc = np.array([True] * 3)
+        strucs[k].cell.array[:] = np.eye(3) * scale
+    des = SO3(nmax=3, lmax=3, rcut=4.0, derivative=True, stress=True)
+    batched = des.calculate_many(strucs)
+    for atoms, d_b in zip(strucs, batched):
+        d_s = des.calculate(atoms)
+        np.testing.assert_allclose(d_b["x"], d_s["x"],
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_array_equal(d_b["seq"], d_s["seq"])
+        np.testing.assert_allclose(d_b["dxdr"], d_s["dxdr"],
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(d_b["rdxdr"], d_s["rdxdr"],
+                                   rtol=1e-12, atol=1e-14)
+        assert d_b["elements"] == d_s["elements"]
+
+
+def test_calculate_many_pair_budget_grouping():
+    """A tiny pair_budget forces multiple device groups; results are
+    unchanged and ordering is preserved."""
+    strucs = [_make_cluster(seed=s, n=5) for s in range(5)]
+    des = SO3(nmax=2, lmax=2, rcut=4.0, derivative=True)
+    one = des.calculate_many(strucs)                      # one group
+    split = des.calculate_many(strucs, pair_budget=1)     # one per group
+    for a, b in zip(one, split):
+        np.testing.assert_allclose(a["x"], b["x"], rtol=1e-13, atol=0)
+        np.testing.assert_allclose(a["dxdr"], b["dxdr"],
+                                   rtol=1e-13, atol=0)
+
+
+def test_calculate_many_fewer_device_programs():
+    """The batched ingest issues ONE core call for a whole group (the
+    5x GP.load speedup mechanism): count _so3_core invocations."""
+    import gpr_calculator_tpu.ops.so3 as so3mod
+    strucs = [_make_cluster(seed=s, n=5) for s in range(6)]
+    des = SO3(nmax=2, lmax=2, rcut=4.0, derivative=True)
+    calls = []
+    orig = so3mod._so3_core
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    so3mod._so3_core = counting
+    try:
+        des.calculate_many(strucs)
+    finally:
+        so3mod._so3_core = orig
+    assert len(calls) == 1
