@@ -476,11 +476,12 @@ def bench_serve():
                       f"{type(exc).__name__}: {str(exc)[:160]}",
                       file=sys.stderr)
 
-    # 3. warm per-structure serving latency against the bundled
-    #    pd4-RBF artifact -- BEFORE the full batched NEB loop, which is
-    #    compile-heavy and can eat the remaining budget
-    _pd4_serving_point(serve)
-
+    # 3. the batched on-the-fly NEB IMMEDIATELY after the unbatched
+    #    record (round-4 VERDICT item 3: in r04 it sat behind the pd4
+    #    point, whose 650 s artifact load spent the budget; the batched
+    #    wall is the framework's headline beyond-reference number and
+    #    must land on chip).  The pd4 point follows -- it is cheap now
+    #    (batched ingest + split-channel serving).
     if os.path.exists(init) and neb_counts:
         if not _over_budget("batched NEB"):
             try:
@@ -504,6 +505,10 @@ def bench_serve():
                 print(f"# batched NEB bench failed: "
                       f"{type(exc).__name__}: {str(exc)[:200]}",
                       file=sys.stderr)
+
+    # 4. warm per-structure serving latency against the bundled
+    #    pd4-RBF artifact (tight-energy-noise legacy regime)
+    _pd4_serving_point(serve)
 
     return serve, neb_counts
 
@@ -533,18 +538,38 @@ def _pd4_serving_point(serve):
             "/root/reference/examples/database/pd4-RBF.db")[0]["atoms"]
 
         def t_pred(std):
-            gp.predict_structure(struc, return_std=std)   # warm compile
+            out = gp.predict_structure(struc, return_std=std)  # + compile
             ts = []
             for _ in range(2):
                 t0 = time.time()
-                gp.predict_structure(struc, return_std=std)
+                out = gp.predict_structure(struc, return_std=std)
                 ts.append(time.time() - t0)
-            return round(min(ts) * 1e3, 1)
+            return round(min(ts) * 1e3, 1), out
 
-        serve["predict_pd4_ms"] = t_pred(False)
-        serve["predict_pd4_std_ms"] = t_pred(True)
-        print(f"# serve: pd4 predict {serve['predict_pd4_ms']} ms, "
-              f"with std {serve['predict_pd4_std_ms']} ms", file=sys.stderr)
+        serve["pd4_serve_mode_auto"] = gp._serve_mode()
+        serve["predict_pd4_ms"], _ = t_pred(False)
+        serve["predict_pd4_std_ms"], ref_out = t_pred(True)
+        # the split-channel record (round-4 VERDICT item 1): exact-f64
+        # energy rows + f32 force rows; per-channel deltas vs exact f64
+        # against the artifact's own noise floors
+        os.environ["GPR_CALC_TPU_SERVE"] = "f64"
+        _, out64 = t_pred(True)
+        os.environ["GPR_CALC_TPU_SERVE"] = "split"
+        ms_split, out_sp = t_pred(True)
+        os.environ.pop("GPR_CALC_TPU_SERVE", None)
+        serve["predict_pd4_split_std_ms"] = ms_split
+        serve["pd4_split_dE_eV"] = float(abs(out_sp[0] - out64[0]))
+        serve["pd4_split_dF_eVA"] = float(
+            np.abs(np.asarray(out_sp[1]) - np.asarray(out64[1])).max())
+        serve["pd4_split_dE_gate"] = 0.5 * gp.noise_e
+        serve["pd4_split_dF_gate"] = 0.5 * gp.noise_f
+        serve["pd4_measured_dE"] = getattr(gp, "_mixed_measured", None)
+        serve["pd4_measured_dF"] = getattr(gp, "_mixed_measured_f", None)
+        print(f"# serve: pd4 predict {serve['predict_pd4_ms']} ms "
+              f"(auto={serve['pd4_serve_mode_auto']}), "
+              f"with std {serve['predict_pd4_std_ms']} ms; split "
+              f"{ms_split} ms dE={serve['pd4_split_dE_eV']:.2e} "
+              f"dF={serve['pd4_split_dF_eVA']:.2e}", file=sys.stderr)
     except Exception as exc:
         print(f"# pd4 serving bench skipped: {type(exc).__name__}: "
               f"{str(exc)[:160]}", file=sys.stderr)

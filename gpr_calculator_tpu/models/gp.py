@@ -23,6 +23,7 @@ import functools
 import json
 import logging
 import os
+import time
 from copy import deepcopy
 from typing import Dict, List, Optional, Tuple
 
@@ -390,12 +391,12 @@ def _cast_floats(tree, dt):
 
 @functools.partial(jax.jit,
                    static_argnames=("kind", "zeta", "return_std",
-                                    "row_chunk", "mixed", "allow_pallas",
+                                    "row_chunk", "mode", "allow_pallas",
                                     "mesh"))
 def _predict_packed(pe: EnergyData, pf: ForceData, te: EnergyData,
                     tf: ForceData, params, alpha, L_fac,
                     kind: str, zeta: int, return_std: bool,
-                    row_chunk: int = 0, mixed: bool = False,
+                    row_chunk: int = 0, mode="f64",
                     allow_pallas: bool = True, rows=None, mesh=None):
     """Cross covariance + GEMV (+ variance) in one device program
     (replaces predict_structure's kernel/GEMV/variance chain,
@@ -407,20 +408,48 @@ def _predict_packed(pe: EnergyData, pf: ForceData, te: EnergyData,
     diag - ||L^-1 k||^2, which is backward stable where an explicit
     K^-1 GEMM amplifies the factor's accumulated rounding by cond(K).
 
-    mixed=True serves f64 models with an f32 cross-covariance build (the
-    O(n_train x n_pred) env-pair hot loop -- the part that is ~25x slower
-    under f64 emulation on TPU) and an f64 GEMV tail against the f64
-    alpha.  The kernel entries carry ~1e-7 relative error, far below
-    GPR noise floors; parity vs the full-f64 path is asserted in
-    tests/test_mixed_serving.py."""
+    mode (GP._serve_mode; bools accepted for back-compat):
+      'f64'   -- everything at the model dtype.
+      'mixed' -- f32 cross-covariance build (the O(n_train x n_pred)
+                 env-pair hot loop, ~25x slower under f64 emulation on
+                 TPU) + f64 GEMV tail; kernel entries carry ~1e-7
+                 relative error (tests/test_mixed_serving.py).
+      'split' -- per-CHANNEL precision: the ENERGY rows (k_erows) and
+                 the solve tail run exact f64, the FORCE rows (k_frows,
+                 ~3*natoms times more env pairs) run f32.  For
+                 tight-energy-noise legacy artifacts (pd4-class:
+                 noise_e 2.5e-4 but noise_f 0.08) the f32 energy GEMV
+                 error is ||alpha||_1-amplified ~4 orders past its
+                 floor while the force channel sits INSIDE its own
+                 floor (measured: dE 6.9 eV(!) vs dF 0.033 < 0.04) --
+                 so the channels get split, not the arithmetic."""
+    if mode is True:
+        mode = "mixed"
+    elif mode is False or mode is None:
+        mode = "f64"
+    mixed = mode == "mixed"
     if mixed:
         pe32, pf32, te32, tf32, params32 = _cast_floats(
             (pe, pf, te, tf, params), jnp.float32)
     else:
         pe32, pf32, te32, tf32, params32 = pe, pf, te, tf, params
-    Kt = K_ops.k_block(pe32, pf32, te32, tf32, params32, kind, zeta,
-                       row_chunk=row_chunk, allow_pallas=allow_pallas,
-                       mesh=mesh).astype(alpha.dtype)
+    if mode == "split":
+        pe32, pf32, te32, tf32, params32 = _cast_floats(
+            (pe, pf, te, tf, params), jnp.float32)
+        Kt_E = K_ops.k_erows(pe, te, tf, params, kind, zeta,
+                             row_chunk=row_chunk).astype(alpha.dtype)
+        Kt_F = K_ops.k_frows(pf32, te32, tf32, params32, kind, zeta,
+                             row_chunk=row_chunk,
+                             allow_pallas=allow_pallas,
+                             acc_dtype=alpha.dtype).astype(alpha.dtype)
+        Kt = jnp.concatenate([Kt_E, Kt_F], axis=0)
+        # restore f64 views for the diag below (split's variance tail is
+        # exact f64; only the force-row BUILD was f32)
+        pe32, pf32, params32 = pe, pf, params
+    else:
+        Kt = K_ops.k_block(pe32, pf32, te32, tf32, params32, kind, zeta,
+                           row_chunk=row_chunk, allow_pallas=allow_pallas,
+                           mesh=mesh).astype(alpha.dtype)
     mean = Kt @ alpha
     if not return_std:
         return mean, None
@@ -432,12 +461,16 @@ def _predict_packed(pe: EnergyData, pf: ForceData, te: EnergyData,
         Ktf = Kt
     else:
         # L_fac is the insertion-order capacity buffer (ops/linalg
-        # chol_append_buf, unit-diag tail): gather the factor columns
+        # chol_append_buf, unit-diag tail): scatter the factor columns
         # of Kt into a zero-padded stripe so the full-buffer triangular
-        # solve is exact -- no (n, n) slice copy per serve
+        # solve is exact -- no (n, n) slice copy per serve.  rows is
+        # the (padded-column, factor-position) pair; ghost positions
+        # (k-bucket padding) keep zero columns, which solve to zero
+        # against their unit factor rows.
+        cols, pos = rows
         cap = L_fac.shape[0]
         Ktf = jnp.zeros((Kt.shape[0], cap), Kt.dtype).at[
-            :, :rows.shape[0]].set(Kt[:, rows])
+            :, pos].set(Kt[:, cols])
     # mixed mode solves the variance in f32: its tolerance is the noise
     # floor (orders above f32 rounding) and an emulated-f64 triangular
     # solve would undo the mixed speedup
@@ -668,11 +701,17 @@ class GP:
         with the force-point (kernel-row) axis sharded over it, replacing
         the reference's MPI row decompositions (SURVEY.md P1-P5).
 
-        serve_precision: "auto" (mixed f32 kernel build + f64 solve tail
-        on accelerators, full f64 on CPU), "mixed", or "f64".  Mixed
-        serving makes legacy sub-mEV-noise artifacts (e.g. the bundled
-        pd4-RBF model) serveable on TPU without the ~25x f64-emulation
-        penalty; GPR_CALC_TPU_SERVE overrides."""
+        serve_precision: "auto" (fastest per-channel-safe route on
+        accelerators, full f64 on CPU), "mixed" (all-f32 build + f64
+        solve tail), "split" (exact-f64 ENERGY rows + f32 force rows +
+        f64 tail), or "f64".  Mixed/split serving make legacy
+        sub-mEV-noise artifacts (e.g. the bundled pd4-RBF model)
+        serveable on TPU without the ~25x f64-emulation penalty: auto
+        picks mixed when even the energy channel's f32 error clears its
+        noise floor, split when only the (||alpha||_1-amplified) energy
+        channel busts while forces stay inside 0.5*noise_f (both gated
+        by per-refit measurements, _refresh_mixed_measurement);
+        GPR_CALC_TPU_SERVE overrides."""
         self.log_file = log_file
         # per-instance named logger: clearing the ROOT logger's handlers
         # (the old behavior) hijacked the host application's logging on
@@ -736,6 +775,11 @@ class GP:
         self.fits = 0
         self.use_base = 0
         self.use_surrogate = 0
+        # per-path refit telemetry (BASELINE config #4: the full-vs-
+        # incremental split is the O(n^3) vs O(n^2 k) story): counts and
+        # accumulated wall ms of the factorisation step of fit()
+        self.refit_stats = {"full": 0, "incremental": 0,
+                            "full_ms": 0.0, "incremental_ms": 0.0}
         self.logging.info(self)
 
     # -- reference-compatible train_x/train_y views -------------------------
@@ -1003,7 +1047,11 @@ class GP:
                 self.kernel.update(params)
 
         dt = config.dtype()
+        t_fac = time.time()
         if (not opt) and self._try_incremental_fit(e, f):
+            self.refit_stats["incremental"] += 1
+            self.refit_stats["incremental_ms"] += (time.time()
+                                                   - t_fac) * 1e3
             self.logging.info("Cholesky rank-update complete")
         else:
             L, alpha = _factorize(
@@ -1026,6 +1074,8 @@ class GP:
             self._fit_serial += 1
             self._fit_snapshot = (e, f, self.N_energy, self.N_forces)
             self._record_full_factor(e, f)
+            self.refit_stats["full"] += 1
+            self.refit_stats["full_ms"] += (time.time() - t_fac) * 1e3
             self.logging.info("Cholesky decomposition complete")
 
         self._refresh_mixed_measurement()
@@ -1045,14 +1095,17 @@ class GP:
 
     def _factor_perm(self, groups, NE_total):
         """Canonical real-row index for each factor row, given the
-        insertion-order groups [(kE, kF), ...]."""
+        insertion-order groups [(kE, kF, n_ghost), ...]; GHOST factor
+        rows (k-bucket padding of the dynamic-shape append program,
+        ops/linalg.chol_append_buf) get -1."""
         perm = []
         e_off = f_off = 0
-        for (ke, kf) in groups:
+        for (ke, kf, pad) in groups:
             perm.extend(range(e_off, e_off + ke))
             for j in range(f_off, f_off + kf):
                 base = NE_total + 3 * j
                 perm.extend((base, base + 1, base + 2))
+            perm.extend([-1] * pad)
             e_off += ke
             f_off += kf
         return np.asarray(perm, dtype=np.int64)
@@ -1090,16 +1143,18 @@ class GP:
                .at[idx, idx].set(1.0)            # unit-diag tail
                .at[:n, :n].set(self.L_[rows[:, None], rows[None, :]]))
         self._inc = {"sig": self._params_signature(),
-                     "groups": [(nE, nF)], "nE": nE, "nF": nF,
+                     "groups": [(nE, nF, 0)], "nE": nE, "nF": nF,
                      "n": n, "L_buf": buf}
-        self._serve_rows = rows
+        self._serve_rows = (rows, jnp.arange(n))
         self._K_inv = None
         self.L_ = None
 
     def _serve_factor(self):
         """(L_fac, rows) for _predict_packed: the padded lower factor
-        when present (pre-incremental states), else the insertion-order
-        capacity buffer + factor-row gather indices."""
+        when present (pre-incremental states, rows None), else the
+        insertion-order capacity buffer + a (padded-column, factor-
+        position) gather/scatter index pair -- factor positions are NOT
+        contiguous once k-bucket ghost rows exist."""
         if self.L_ is not None:
             return self.L_, None
         if self._inc is None:
@@ -1108,26 +1163,35 @@ class GP:
 
     def _set_serving_state(self, e, f, alpha_fac, perm):
         """Point serving at the insertion-order factor: padded alpha
-        (an O(n) scatter) + the factor-row -> padded-column gather map.
+        (an O(n) scatter) + the factor-position <-> padded-column index
+        pair.  ``perm`` maps factor positions to canonical real rows
+        with -1 at ghost positions (whose alpha entries are zero by the
+        append invariant); ``alpha_fac`` is (cap,) factor-order.
         No covariance-scale copy is made."""
         nE, nF = self.N_energy, self.N_forces
         padded = self._padded_rows(nE, nF, e.m)
-        rows = jnp.asarray(padded[perm])
+        perm = np.asarray(perm)
+        pos = np.flatnonzero(perm >= 0)
+        cols = jnp.asarray(padded[perm[pos]])
+        pos = jnp.asarray(pos)
         n_pad = e.m + 3 * f.m
         dt = config.dtype()
-        self.alpha_ = jnp.zeros(n_pad, dt).at[rows].set(
-            alpha_fac.astype(dt))
+        self.alpha_ = jnp.zeros(n_pad, dt).at[cols].set(
+            alpha_fac[pos].astype(dt))
         self._fit_serial += 1
-        self._serve_rows = rows
+        self._serve_rows = (cols, pos)
         self._K_inv = None
         self.L_ = None
         self._fit_snapshot = (e, f, nE, nF)
 
     def _y_factor_order(self, perm):
+        """Labels in factor order; ghost positions (perm == -1) get 0."""
         y = np.concatenate([
             np.asarray(self._energy_y[:self.N_energy], float),
             np.asarray(self._force_y[:self.N_forces], float).reshape(-1)])
-        return jnp.asarray(y[perm], config.dtype())
+        perm = np.asarray(perm)
+        out = np.where(perm >= 0, y[np.maximum(perm, 0)], 0.0)
+        return jnp.asarray(out, config.dtype())
 
     def _try_incremental_fit(self, e: EnergyData, f: ForceData) -> bool:
         """Extend the factorisation with the newly appended points in
@@ -1144,13 +1208,13 @@ class GP:
         kE, kF = self.N_energy - nE0, self.N_forces - nF0
         if kE < 0 or kF < 0:
             return False
-        perm_new = self._factor_perm(st["groups"] + [(kE, kF)],
-                                     self.N_energy)
         if kE == 0 and kF == 0:
             # nothing appended; re-solve alpha against the existing factor
             perm0 = self._factor_perm(st["groups"], self.N_energy)
-            alpha_fac = linalg.chol_buf_solve(
-                st["L_buf"], self._y_factor_order(perm0), st["n"])
+            cap0 = st["L_buf"].shape[0]
+            y0 = jnp.zeros(cap0, config.dtype()).at[:st["n"]].set(
+                self._y_factor_order(perm0))
+            alpha_fac = linalg.chol_buf_solve(st["L_buf"], y0)
             self._set_serving_state(e, f, alpha_fac, perm0)
             return True
 
@@ -1188,17 +1252,32 @@ class GP:
             jnp.full(3 * kF, self.noise_f ** 2, dt)])
         C = C + jnp.diag(noise)
 
+        # k-bucket the append so ONE compiled program (per capacity)
+        # serves every refit: ghost columns carry zero B, identity C,
+        # zero y (ops/linalg.chol_append_buf invariants)
         n0, k = st["n"], int(B_fac.shape[1])
+        k_pad = ((k + 7) // 8) * 8
+        ghosts = k_pad - k
+        perm_new = self._factor_perm(st["groups"] + [(kE, kF, ghosts)],
+                                     self.N_energy)
         buf = st["L_buf"]
         st["L_buf"] = None          # sole reference -- enables donation
-        if n0 + k > buf.shape[0]:
-            cap = self._factor_capacity(n0 + k)
+        if n0 + k_pad > buf.shape[0]:
+            cap = self._factor_capacity(n0 + k_pad)
             idx = jnp.arange(cap)
             buf = (jnp.zeros((cap, cap), dt)
                    .at[idx, idx].set(1.0)
                    .at[:n0, :n0].set(buf[:n0, :n0]))
+        cap = buf.shape[0]
+        B_full = jnp.zeros((cap, k_pad), dt).at[:n0, :k].set(B_fac)
+        kidx = jnp.arange(k_pad)
+        C_pad = (jnp.zeros((k_pad, k_pad), dt)
+                 .at[kidx, kidx].set(1.0)
+                 .at[:k, :k].set(C))
+        y_full = jnp.zeros(cap, dt).at[:n0 + k_pad].set(
+            self._y_factor_order(perm_new))
         buf, alpha_fac, lc_diag = linalg.chol_append_buf(
-            buf, B_fac, C, self._y_factor_order(perm_new), n=n0, k=k)
+            buf, B_full, C_pad, y_full, n0)
         lc_diag = np.asarray(lc_diag)               # O(k) transfer only
         if not (np.all(np.isfinite(lc_diag)) and np.all(lc_diag > 0)):
             # the donated buffer is spent; drop the state so the caller
@@ -1206,10 +1285,10 @@ class GP:
             self._inc = None
             return False
 
-        groups = st["groups"] + [(kE, kF)]
+        groups = st["groups"] + [(kE, kF, ghosts)]
         self._inc = {"sig": st["sig"], "groups": groups,
                      "nE": self.N_energy, "nF": self.N_forces,
-                     "n": n0 + k, "L_buf": buf}
+                     "n": n0 + k_pad, "L_buf": buf}
         self._set_serving_state(e, f, alpha_fac, perm_new)
         return True
 
@@ -1239,45 +1318,72 @@ class GP:
         sigma = float(self.kernel.parameters()[0])
         return 1.2e-7 * sigma ** 2 * cached[1]
 
-    def _serve_mixed(self) -> bool:
+    def _serve_mode(self) -> str:
+        """Serving precision route: 'mixed' (all-f32 build + f64 tail),
+        'split' (f64 energy rows + f32 force rows + f64 tail), or 'f64'.
+
+        auto: fastest route whose per-CHANNEL rounding error is safely
+        below that channel's own noise floor -- mixed needs the energy
+        channel inside 0.5*noise_e; when only the energy channel busts
+        (pd4-class tight-energy legacy artifacts: the f32 energy GEMV
+        error is ||alpha||_1-amplified), split keeps the big force block
+        f32 while the cheap energy rows go exact f64, gated by the
+        MEASURED per-refit force-channel delta vs 0.5*noise_f
+        (_refresh_mixed_measurement).  No force measurement yet, or a
+        failing one, or a multi-device mesh (k_frows is single-program)
+        -> exact f64."""
         if config.dtype() != jnp.float64:
-            return False
+            return "f64"        # the model dtype IS f32: nothing to mix
         sp = os.environ.get("GPR_CALC_TPU_SERVE", self.serve_precision)
-        if sp == "mixed":
-            return True
+        if sp in ("mixed", "split"):
+            return sp
         if sp in ("f64", "full"):
-            return False
-        # auto: fast path only where its rounding error is safely below
-        # the model's own energy noise floor -- tight-noise legacy
-        # artifacts (pd4-class) stay on exact f64 automatically.  The
-        # static estimate is backstopped by the per-refit MEASURED
-        # f32-vs-f64 delta (_refresh_mixed_measurement): if the model
-        # class breaks the estimate's scaling constant, the measurement
-        # demotes serving to f64 at the next refit.
+            return "f64"
+        # auto.  The static estimate is backstopped by the per-refit
+        # MEASURED f32-vs-f64 delta: if the model class breaks the
+        # estimate's scaling constant, the measurement demotes serving
+        # at the next refit.
         if jax.default_backend() == "cpu":
-            return False
+            return "f64"
         est = self._mixed_error_estimate()
         meas = getattr(self, "_mixed_measured", None)
         if meas is not None:
             est = max(est, meas)
-        return est < 0.5 * self.noise_e
+        if est < 0.5 * self.noise_e:
+            return "mixed"
+        if self._mesh_arg() is not None:
+            return "f64"
+        meas_f = getattr(self, "_mixed_measured_f", None)
+        if meas_f is not None and meas_f < 0.5 * self.noise_f:
+            return "split"
+        return "f64"
+
+    def _serve_mixed(self) -> bool:
+        return self._serve_mode() == "mixed"
 
     def _refresh_mixed_measurement(self):
-        """Measure the actual mixed-vs-f64 serving delta on a few
-        training rows after each refit (round-2 VERDICT item 5): the
-        `1.2e-7 sigma^2 ||alpha||_1` estimate is one empirical constant,
-        and if it is optimistic for an unseen model class, "auto" would
-        silently serve beyond the noise floor.  Cost: two 2-point
-        predictions against the training set."""
+        """Measure the actual mixed-vs-f64 serving delta PER CHANNEL on
+        a few training rows after each refit (round-2 VERDICT item 5):
+        the `1.2e-7 sigma^2 ||alpha||_1` estimate is one empirical
+        constant, and if it is optimistic for an unseen model class,
+        "auto" would silently serve beyond the noise floor.  The energy
+        delta gates 'mixed'; the force delta (vs 0.5*noise_f) gates
+        'split' -- the channels' floors differ by orders of magnitude
+        on legacy artifacts (pd4: noise_e 2.5e-4, noise_f 0.08).
+        Cost: two 2-point predictions against the training set."""
         self._mixed_measured = None
+        self._mixed_measured_f = None
         if config.dtype() != jnp.float64 or self.alpha_ is None:
             return
         sp = os.environ.get("GPR_CALC_TPU_SERVE", self.serve_precision)
         if sp != "auto" or jax.default_backend() == "cpu":
             return
         te, tf, nE, nF = self._fit_snapshot
+        # 8 force points: the force-channel delta gates 'split' and a
+        # 2-point sample underestimated the serve-time max by ~3x on the
+        # pd4 artifact (measured 0.014 vs 0.048 actual)
         energy_pts = list(self._energy_pts[:min(2, nE)])
-        force_pts = list(self._force_pts[:min(2, nF)])
+        force_pts = list(self._force_pts[:min(8, nF)])
         if not energy_pts:
             return
         d = te.d
@@ -1311,13 +1417,19 @@ class GP:
                 mesh=self._mesh_arg())
         # compare on host: m_mixed/m_full may be committed to different
         # devices (TPU vs the host-CPU serving route)
-        delta = float(np.abs(np.asarray(m_mixed)
-                             - np.asarray(m_full)).max())
+        d = np.abs(np.asarray(m_mixed) - np.asarray(m_full))
+        delta = float(d[:pe.m].max())                  # energy channel
         self._mixed_measured = delta
+        self._mixed_measured_f = (float(d[pe.m:].max())
+                                  if d.shape[0] > pe.m else None)
         if delta >= 0.5 * self.noise_e:
+            mode = self._serve_mode()
             self.logging.info(
-                f"mixed serving demoted to f64: measured delta "
-                f"{delta:.3e} >= 0.5 * noise_e ({self.noise_e:.3e})")
+                f"mixed serving demoted to {mode}: measured energy "
+                f"delta {delta:.3e} >= 0.5 * noise_e "
+                f"({self.noise_e:.3e}); force delta "
+                f"{self._mixed_measured_f} vs 0.5 * noise_f "
+                f"({0.5 * self.noise_f:.3e})")
 
     def _fit_chunk(self, te, tf) -> int:
         """Training-build row chunk bounded by the env-pair memory model
@@ -1368,7 +1480,10 @@ class GP:
         the kernel inputs by ~1e-7 relative, the same order as the f32
         kernel rounding the mixed error budget already covers.  Training
         descriptors (add_structure/convert_train_data) always stay at
-        the model precision."""
+        the model precision.  Split serving keeps the f64 descriptor
+        (its EXACT energy rows need f64 inputs; since the complex-free
+        Ylm rewrite it runs on-device, ~23 ms at pd4 scale) and
+        downcasts for the f32 force rows inside _predict_packed."""
         return np.float32 if self._serve_mixed() else None
 
     def _device_pack_serving(self) -> bool:
@@ -1391,8 +1506,9 @@ class GP:
         return not _f64_descriptor_on_host()
 
     def _serving_args(self, pf: ForceData, tf: ForceData):
-        mixed = self._serve_mixed()
-        return self._serving_chunk(pf, tf, mixed), mixed
+        mode = self._serve_mode()
+        # the dominant (force-row) build is f32 in both mixed and split
+        return self._serving_chunk(pf, tf, mode != "f64"), mode
 
     # measured f64 kernel-build env-pair rates (pd4-RBF slab, 1.74e8
     # env pairs: 42.8 s on one host core, ~6.5 s under the TPU's f64
@@ -1409,7 +1525,7 @@ class GP:
     _DEV_FIXED_S = float(os.environ.get(
         "GPR_CALC_TPU_DEV_FIXED_S", 0.25))      # dispatch + tunnel overhead
 
-    def _serve_on_host(self, mixed: bool, pf: ForceData = None,
+    def _serve_on_host(self, serve_mode, pf: ForceData = None,
                        tf: ForceData = None) -> bool:
         """True when exact-f64 serving should execute on the host CPU
         backend: on an accelerator XLA emulates f64 as f32 pairs (~25x),
@@ -1419,7 +1535,9 @@ class GP:
         must not be pulled onto one host device).
         GPR_CALC_TPU_SERVE_HOST: 0 = never, force = skip the cost
         model, auto (default) = measured cost model."""
-        if mixed or config.dtype() != jnp.float64:
+        if serve_mode is True or serve_mode in ("mixed", "split"):
+            return False         # fast f32 builds stay on the device
+        if config.dtype() != jnp.float64:
             return False
         if jax.default_backend() == "cpu" or self._mesh_arg() is not None:
             return False
@@ -1463,23 +1581,23 @@ class GP:
     def _serve_packed(self, pe, pf, te, tf, return_std,
                       allow_pallas: bool = True):
         """One serving invocation of _predict_packed with the per-mode
-        operand placement (accelerator for f32/mixed, host CPU for
+        operand placement (accelerator for f32/mixed/split, host CPU for
         exact f64 -- see _serve_on_host)."""
-        chunk, mixed = self._serving_args(pf, tf)
+        chunk, mode = self._serving_args(pf, tf)
         params = self.kernel.jax_params()
         kk = (self.kernel.kind, self.kernel.zeta)
-        if self._serve_on_host(mixed, pf, tf):
+        if self._serve_on_host(mode, pf, tf):
             cpu = jax.devices("cpu")[0]
             te, tf, alpha, K_inv_arg, rows = self._host_serve_operands()
             pe, pf, params = jax.device_put((pe, pf, params), cpu)
             with jax.default_device(cpu):
                 return _predict_packed(
                     pe, pf, te, tf, params, alpha, K_inv_arg, *kk,
-                    return_std, chunk, mixed, allow_pallas, rows=rows)
+                    return_std, chunk, mode, allow_pallas, rows=rows)
         K_inv_arg, rows = self._serve_factor()
         return _predict_packed(
             pe, pf, te, tf, params, self.alpha_, K_inv_arg, *kk,
-            return_std, chunk, mixed, allow_pallas, rows=rows,
+            return_std, chunk, mode, allow_pallas, rows=rows,
             mesh=self._mesh_arg())
 
     def _predict_points(self, energy_pts, force_pts, return_std=False,
@@ -1562,11 +1680,16 @@ class GP:
         mean = Kt @ np.asarray(self.alpha_)
         if f_rows is None:
             Ktf = Kt
+            L_h = np.asarray(L_fac)
         else:
-            Ktf = Kt[:, np.asarray(f_rows)]
-        n = Ktf.shape[1]
-        V = sla.solve_triangular(np.asarray(L_fac)[:n, :n], Ktf.T,
-                                 lower=True)
+            # capacity-buffer factor: scatter Kt's factor columns into a
+            # zero-padded stripe (ghost/inactive positions keep zero
+            # columns, exact against the unit-diag tail)
+            cols, pos = (np.asarray(a) for a in f_rows)
+            L_h = np.asarray(L_fac)
+            Ktf = np.zeros((Kt.shape[0], L_h.shape[0]), Kt.dtype)
+            Ktf[:, pos] = Kt[:, cols]
+        V = sla.solve_triangular(L_h, Ktf.T, lower=True)
         cov = K_self_pred - V.T @ V
         nE, nF = len(energy_pts), len(force_pts)
         rows = np.r_[np.arange(nE), pe.m + np.arange(ncart * nF)]

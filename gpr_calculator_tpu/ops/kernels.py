@@ -213,13 +213,18 @@ def kee(e1: EnergyData, e2: EnergyData, params, kind: str = "rbf",
 # ---------------------------------------------------------------------------
 
 def kef(e1: EnergyData, f2: ForceData, params, kind: str = "rbf",
-        zeta: int = 2, row_chunk: int = 0) -> jnp.ndarray:
+        zeta: int = 2, row_chunk: int = 0, acc_dtype=None) -> jnp.ndarray:
     """Energy-force covariance block, (m1, 3*m2).
 
     Mirrors rbf_kef_many (rbf_kernel.cpp:102-171): the C loop accumulates
     -sum dk_dD * dD_dx2 . dx2dr, and the wrapper divides by N1
     (rbf_kernel.py:161).  row_chunk bounds the (chunk, N2env, d)
     intermediates by processing energy points in chunks.
+
+    acc_dtype: precision of the final rhs-env reduction (see
+    _kff_point_blocks; the lhs-env contraction T stays at the input
+    dtype -- widening it would put the O(pairs*d) einsum on the f64
+    emulation path, the cost split-channel serving exists to avoid).
     """
     u2, r2, ele2, v2, J2 = _flatten_force(f2)
     m2, B2 = f2.ele.shape
@@ -245,6 +250,7 @@ def kef(e1: EnergyData, f2: ForceData, params, kind: str = "rbf",
         R = jnp.einsum("paj,paj->pj", s3, c.reshape(mc, A1, -1))
         out2 = R[:, :, None] * Q2[None, :, :]
         out = -(out1 - out2) / esub.counts[:, None, None]
+        out = out.astype(acc_dtype or out.dtype)
         out = out.reshape(mc, m2, B2, ncart).sum(axis=2)
         return out.reshape(mc, m2 * ncart)
 
@@ -313,15 +319,23 @@ def _kff_env_blocks(u1, r1, v1, J1, u2, r2, v2, J2, pm, params, kind, zeta,
 
 
 def _kff_point_blocks(u1, r1, v1, J1, u2, r2, v2, J2, pm, params, kind,
-                      zeta, mc, B1, m2, B2):
+                      zeta, mc, B1, m2, B2, acc_dtype=None):
     """Reduced (mc*C1, m2*C2) point block, assembled plane-by-plane.
 
     Every large tensor here is 2D (env-pair planes) or 3D with a wide
     trailing dim; the 4D (N1, C1, N2, C2) env tensor of _kff_env_blocks
     tiles its 3-wide cart axis to 128 lanes when materialised (42x HBM
-    padding), which OOMs the f64 serving path at pd4-slab scale."""
+    padding), which OOMs the f64 serving path at pd4-slab scale.
+
+    acc_dtype (wider than the input dtype, e.g. f64 for an f32 build):
+    the env->point REDUCTIONS run at that precision.  The f32 summation
+    over B1*B2 env pairs per point accumulates coherent rounding
+    (~log2(B1*B2) * 2^-24 * sum|contribs|) which the ||alpha||_1 GEMV
+    then amplifies -- the dominant term of split-channel serving's
+    force error; per-pair PLANE values keep the fast dtype."""
     N1, d, C1 = J1.shape
     N2, _, C2 = J2.shape
+    acc = acc_dtype or u1.dtype
     c = u1 @ u2.T                                               # (N1, N2)
     _, A_c, B_c = _pair_coeffs(c, params, kind, zeta, grad_block=True)
     rr = 1.0 / (jnp.where(v1, r1, 1.0)[:, None]
@@ -342,14 +356,15 @@ def _kff_point_blocks(u1, r1, v1, J1, u2, r2, v2, J2, pm, params, kind,
             Muv = J1[:, :, u] @ J2[:, :, v].T
             env = (A_c * Muv - AQ1u * P2s[v]
                    + L1u * (B_c * P2s[v] - ABc * Q2[:, v][None, :]))
-            red = env.reshape(mc, B1, N2).sum(axis=1)           # (mc, N2)
+            red = env.astype(acc).reshape(mc, B1, N2).sum(axis=1)
             planes.append(red.reshape(mc, m2, B2).sum(axis=2))  # (mc, m2)
     out = jnp.stack(planes).reshape(C1, C2, mc, m2)
     return out.transpose(2, 0, 3, 1).reshape(mc * C1, m2 * C2)
 
 
 def kff(f1: ForceData, f2: ForceData, params, kind: str = "rbf",
-        zeta: int = 2, row_chunk: int = 0, fast: bool = False) -> jnp.ndarray:
+        zeta: int = 2, row_chunk: int = 0, fast: bool = False,
+        acc_dtype=None) -> jnp.ndarray:
     """Force-force covariance block, (C1*m1, 3*m2) with row = p*C1+u.
 
     Mirrors rbf_kff_many (rbf_kernel.cpp:342-473).  C1 is 3, or 9 when
@@ -387,7 +402,8 @@ def kff(f1: ForceData, f2: ForceData, params, kind: str = "rbf",
             env = red.reshape(mc, B1, C1, m2, C2).sum(axis=1)
             return env.reshape(mc * C1, m2 * C2)
         return _kff_point_blocks(u1, r1, v1, J1, u2, r2, v2, J2, pm,
-                                 params, kind, zeta, mc, B1, m2, B2)
+                                 params, kind, zeta, mc, B1, m2, B2,
+                                 acc_dtype=acc_dtype)
 
     row_chunk = _effective_chunk(m1, row_chunk)
     if row_chunk:
@@ -570,6 +586,50 @@ def k_block(e1: EnergyData, f1: ForceData, e2: EnergyData, f2: ForceData,
     top = jnp.concatenate([K_ee, K_ef], axis=1)
     bot = jnp.concatenate([K_fe, K_ff], axis=1)
     return jnp.concatenate([top, bot], axis=0)
+
+
+def k_erows(e1: EnergyData, e2: EnergyData, f2: ForceData, params,
+            kind: str = "rbf", zeta: int = 2,
+            row_chunk: int = 0) -> jnp.ndarray:
+    """[K_EE, K_EF] -- the ENERGY rows of the cross covariance only.
+
+    The exact-precision leg of split-channel serving (models/gp
+    _predict_packed mode='split'): energy rows cost ~1/(3*natoms) of the
+    force rows, so tight energy noise floors (pd4-class legacy
+    artifacts) get a full-f64 energy channel for ~zero extra wall while
+    the force block stays on the fast f32 build."""
+    K_ee = kee(e1, e2, params, kind, zeta, row_chunk=row_chunk)
+    K_ef = kef(e1, f2, params, kind, zeta, row_chunk=row_chunk)
+    return jnp.concatenate([K_ee, K_ef], axis=1)
+
+
+def k_frows(f1: ForceData, e2: EnergyData, f2: ForceData, params,
+            kind: str = "rbf", zeta: int = 2, row_chunk: int = 0,
+            allow_pallas: bool = True, acc_dtype=None) -> jnp.ndarray:
+    """[K_FE, K_FF] -- the FORCE rows of the cross covariance only
+    (the fast leg of split-channel serving; same Pallas gates as
+    k_block).  acc_dtype widens the env->point reductions (see
+    _kff_point_blocks) -- that route is XLA-only (the fused Pallas
+    kernels accumulate in f32, which is exactly the error term the
+    wider accumulation removes)."""
+    if acc_dtype is None and allow_pallas \
+            and _use_pallas_rect(e2, f1, e2, f2, kind) \
+            and not _foreign_sharded(f2, None) \
+            and not _foreign_sharded(f1, None):
+        from .kff_pallas import kef_pallas, kff_pallas
+        pk = "dot" if kind == "dot" else "rbf"
+        dg = kind == "rbf_dgamma"
+        interp = _pallas_interpret()
+        K_fe = kef_pallas(e2, f1, params, zeta=zeta, deriv=dg, kind=pk,
+                          interpret=interp).T
+        K_ff = kff_pallas(f1, f2, params, zeta=zeta, deriv=dg, kind=pk,
+                          interpret=interp)
+    else:
+        K_fe = kef(e2, f1, params, kind, zeta, row_chunk=row_chunk,
+                   acc_dtype=acc_dtype).T
+        K_ff = kff(f1, f2, params, kind, zeta, row_chunk=row_chunk,
+                   acc_dtype=acc_dtype)
+    return jnp.concatenate([K_fe, K_ff], axis=1)
 
 
 def k_self(e: EnergyData, f: ForceData, params, kind: str = "rbf",

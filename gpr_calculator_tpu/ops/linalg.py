@@ -26,6 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 # ---------------------------------------------------------------------------
@@ -166,14 +167,13 @@ def blocked_solve_lower(L: jnp.ndarray, B: jnp.ndarray,
     return _fwd_sweep(Lp, Bp, dinv, nb, 0)[:n, :]
 
 
-@functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("n", "k"))
-def chol_append_buf(Lbuf, B, C, y, *, n: int, k: int):
+@functools.partial(jax.jit, donate_argnums=(0,))
+def chol_append_buf(Lbuf, B_full, C_pad, y_full, n):
     """Extend the lower Cholesky factor IN PLACE inside a donated
-    capacity buffer when k rows/cols are appended:
+    capacity buffer when k_pad rows/cols are appended:
 
-        S   = L^-1 B              (triangular solve, n x k)
-        L_c = chol(C - S^T S)     (k x k)
+        S   = L^-1 B              (triangular solve, cap x k_pad)
+        L_c = chol(C - S^T S)     (k_pad x k_pad)
         L_new = [[L, 0], [S^T, L_c]]
 
     Numerics: the factor extension and the alpha re-solve are
@@ -181,6 +181,18 @@ def chol_append_buf(Lbuf, B, C, y, *, n: int, k: int):
     (An explicit-inverse Schur update was tried first and loses
     ~cond(K) digits in alpha: at GPR conditioning sigma^2/noise^2 ~
     1e9 that was a measured 8 meV energy error.)
+
+    ``n`` is a TRACED scalar and k_pad is a BUCKETED static width:
+    one compiled program serves every refit at a given (capacity,
+    k-bucket) instead of one per (n, k) pair -- an MD-cadence run used
+    to recompile this program on EVERY refit (tens of seconds each
+    through the remote TPU compiler), which inverted the whole
+    O(n^2 k)-vs-O(n^3) advantage.  Appends whose real width k < k_pad
+    carry GHOST columns: B ghost columns zero, C ghost block exactly
+    identity (no noise), y ghost entries zero -- the factor then gains
+    unit rows with zero coupling and zero weights, the same invariant
+    as the inactive tail, and lc_diag ghost entries are exactly 1 (the
+    PD check sees them as healthy).
 
     Invariants: ``Lbuf`` is (cap, cap) with the active factor in
     [:n, :n], UNIT diagonal on the inactive tail and zeros elsewhere --
@@ -191,33 +203,38 @@ def chol_append_buf(Lbuf, B, C, y, *, n: int, k: int):
     AND a padded eye-scatter copy, ~3x the covariance).
 
     Args:
-        Lbuf: (cap, cap) donated buffer, active [:n, :n], unit-diag tail
-        B:    (n, k) cross covariance K(old, new)
-        C:    (k, k) new self block with noise added
-        y:    (n + k,) labels in the extended insertion order
+        Lbuf:   (cap, cap) donated buffer, active [:n, :n], unit-diag
+                tail; the caller guarantees n + k_pad <= cap (a
+                dynamic_update_slice would silently CLAMP otherwise)
+        B_full: (cap, k_pad) cross covariance K(old, new) in rows [:n],
+                ZERO rows at and beyond n
+        C_pad:  (k_pad, k_pad) new self block with noise added; ghost
+                block exactly identity
+        y_full: (cap,) labels in extended factor order, zero at ghosts
+                and beyond n + k_pad
+        n:      active factor size BEFORE the append (traced scalar)
     Returns:
-        (Lbuf', alpha (n+k,), lc_diag (k,)); non-finite or <= 0 entries
-        of lc_diag signal a not-positive-definite extension (caller
-        falls back to a full refactorisation; the donated buffer is
-        then spent and must be rebuilt).
+        (Lbuf', alpha (cap,), lc_diag (k_pad,)); non-finite or <= 0
+        entries of lc_diag signal a not-positive-definite extension
+        (caller falls back to a full refactorisation; the donated
+        buffer is then spent and must be rebuilt).
     """
-    cap = Lbuf.shape[0]
-    dt = Lbuf.dtype
-    B_full = jnp.zeros((cap, k), dt).at[:n, :].set(B)
     S = jax.scipy.linalg.solve_triangular(Lbuf, B_full, lower=True)
-    Lc = jnp.linalg.cholesky(C - S.T @ S)           # S rows n: are zero
-    Lbuf = Lbuf.at[n:n + k, :n].set(S[:n, :].T)
-    Lbuf = Lbuf.at[n:n + k, n:n + k].set(Lc)
-    y_full = jnp.zeros((cap,), dt).at[:n + k].set(y)
-    alpha = jax.scipy.linalg.cho_solve((Lbuf, True), y_full)[:n + k]
+    Lc = jnp.linalg.cholesky(C_pad - S.T @ S)       # S rows n: are zero
+    # write the k_pad new factor rows: S^T covers columns [:n] (its
+    # entries at columns >= n are zero -- unit-diag tail x zero B rows),
+    # then the diagonal block overlays Lc at (n, n)
+    Lbuf = lax.dynamic_update_slice(Lbuf, S.T.astype(Lbuf.dtype), (n, 0))
+    Lbuf = lax.dynamic_update_slice(Lbuf, Lc.astype(Lbuf.dtype), (n, n))
+    alpha = jax.scipy.linalg.cho_solve((Lbuf, True), y_full)
     return Lbuf, alpha, jnp.diagonal(Lc)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def chol_buf_solve(Lbuf, y, n: int):
+@jax.jit
+def chol_buf_solve(Lbuf, y_full):
     """alpha = K^-1 y by two triangular solves against the active region
     of a capacity factor buffer (unit-diag-tail invariant, so the
-    full-buffer solve is exact)."""
-    cap = Lbuf.shape[0]
-    y_full = jnp.zeros((cap,), Lbuf.dtype).at[:n].set(y)
-    return jax.scipy.linalg.cho_solve((Lbuf, True), y_full)[:n]
+    full-buffer solve is exact: inactive/ghost rows of the zero-padded
+    ``y_full`` (cap,) solve to zero).  One compiled program per
+    capacity bucket -- no static active-size argument."""
+    return jax.scipy.linalg.cho_solve((Lbuf, True), y_full)

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import numpy as np
@@ -543,8 +544,25 @@ class SO3:
             out["rdxdr"] = None
         return out
 
+    def _default_pair_budget(self) -> int:
+        """Pairs per batched-ingest device call.
+
+        On an accelerator the derivative-path per-pair intermediates
+        (dc: (P, nmax, lmax+1, 2lmax+1, 3)) materialise with the 3-wide
+        cart axis LANE-PADDED to 128 (measured on chip: a 317k-pair pd4
+        batch staged one 39 GB copy = ~123 KB/pair = ~0.9 KB per
+        (n, l, m) plane per pair), so the budget is derived from the
+        descriptor geometry against an HBM allowance
+        (GPR_CALC_TPU_INGEST_BUDGET bytes, default 4e9).  Host CPU has
+        no lane padding: a flat generous cap applies."""
+        if jax.default_backend() == "cpu" or not self.derivative:
+            return 262144
+        per_pair = 1024 * self.nmax * (self.lmax + 1) * (2 * self.lmax + 1)
+        budget = float(os.environ.get("GPR_CALC_TPU_INGEST_BUDGET", 4e9))
+        return max(4096, int(budget / per_pair))
+
     def calculate_many(self, atoms_list, dtype=None,
-                       pair_budget: int = 262144):
+                       pair_budget: int = None):
         """Batched training-side descriptor ingest: ONE ``_so3_core``
         device program per GROUP of structures instead of one per
         structure (replaces the reference's MPI scatter over ranks, P8,
@@ -555,13 +573,16 @@ class SO3:
         Returns a list of host dicts matching :meth:`calculate`
         (x, dxdr, rdxdr, elements, seq), one per input structure.
 
-        ``pair_budget`` bounds the pairs per device call (memory: the
-        (P, NQ, lmax+1) radial intermediates); groups are closed when
-        exceeding it, so arbitrarily long databases stream through a
-        few compiled shapes (all batch axes are bucket-padded).
+        ``pair_budget`` bounds the pairs per device call (default: the
+        geometry-aware memory model, _default_pair_budget); groups are
+        closed when exceeding it, so arbitrarily long databases stream
+        through a few compiled shapes (all batch axes are
+        bucket-padded).
         """
         from .packing import bucket_size
 
+        if pair_budget is None:
+            pair_budget = self._default_pair_budget()
         preps = [self._prep_structure(atoms) for atoms in atoms_list]
         # greedy grouping under the pair budget (>= 1 structure/group)
         groups, cur, cur_pairs = [], [], 0
@@ -579,14 +600,23 @@ class SO3:
         narrow = (dt == jnp.float64 and jax.default_backend() != "cpu"
                   and not _f64_descriptor_on_host())
         out = [None] * len(preps)
+        # ONE compiled shape for the whole call: every group is padded
+        # to the bucketed maxima over groups (cold compiles through the
+        # remote TPU compiler cost tens of seconds EACH -- per-group
+        # shapes made a 100-structure pd4 load spend ~8 min compiling)
+        natoms_pad = bucket_size(max(
+            sum(preps[i]["natoms"] for i in g) for g in groups),
+            multiple=16)
+        nseq_pad = bucket_size(max(
+            sum(preps[i]["nseq"] for i in g) for g in groups),
+            multiple=64)
+        P_shared = bucket_size(max(
+            1, max(sum(len(preps[i]["pair_seq"]) for i in g)
+                   for g in groups)), multiple=256)
         for grp in groups:
             ps = [preps[i] for i in grp]
             natoms_tot = sum(p["natoms"] for p in ps)
             nseq_tot = sum(p["nseq"] for p in ps)
-            # bucket every batch axis so consecutive groups of similar
-            # size share one compiled program
-            natoms_pad = bucket_size(natoms_tot, multiple=16)
-            nseq_pad = bucket_size(nseq_tot, multiple=64)
             ao = np.cumsum([0] + [p["natoms"] for p in ps])
             so = np.cumsum([0] + [p["nseq"] for p in ps])
             rij = np.concatenate([p["rij"] for p in ps])
@@ -607,8 +637,7 @@ class SO3:
             ).astype(np.int32)
 
             P = len(pc)
-            P_pad = bucket_size(max(P, 1), multiple=256)
-            pad = P_pad - P
+            pad = P_shared - P
             rij_p = np.concatenate([rij, np.tile([[1.0, 0, 0]], (pad, 1))])
             w_p = np.concatenate([w, np.zeros(pad)])
             pc_p = np.concatenate(

@@ -21,46 +21,102 @@ def _unit_tail_buf(L0, cap):
     return buf
 
 
+def _append_args(buf0, B, C, y, n, k, cap):
+    """Pad raw (B (n,k), C (k,k), y (n+k,)) to the dynamic-shape
+    chol_append_buf contract with one ghost bucket column when k is not
+    a multiple of 8 (mirrors GP._try_incremental_fit)."""
+    k_pad = ((k + 7) // 8) * 8
+    dt = buf0.dtype
+    B_full = jnp.zeros((cap, k_pad), dt).at[:n, :k].set(B)
+    kidx = jnp.arange(k_pad)
+    C_pad = (jnp.zeros((k_pad, k_pad), dt)
+             .at[kidx, kidx].set(1.0).at[:k, :k].set(C))
+    y_full = jnp.zeros(cap, dt).at[:n + k].set(y)
+    return B_full, C_pad, y_full, k_pad
+
+
 def test_chol_append_buf_matches_full():
     """The production opt=False refit program (donated capacity buffer,
-    unit-diag tail) extends the factor and re-solves alpha exactly."""
+    unit-diag tail, dynamic active size, k-bucket ghost columns)
+    extends the factor and re-solves alpha exactly."""
     rng = np.random.RandomState(0)
-    n, k, cap = 8, 4, 16
+    n, k, cap = 8, 4, 32
     A = rng.randn(n + k, n + k + 8)
     K = A @ A.T + 0.5 * np.eye(n + k)
     y = rng.randn(n + k)
-    buf0 = _unit_tail_buf(np.linalg.cholesky(K[:n, :n]), cap)
-    buf, alpha, lcd = chol_append_buf(
-        jnp.asarray(buf0), jnp.asarray(K[:n, n:]), jnp.asarray(K[n:, n:]),
-        jnp.asarray(y), n=n, k=k)
+    buf0 = jnp.asarray(_unit_tail_buf(np.linalg.cholesky(K[:n, :n]), cap))
+    B_full, C_pad, y_full, k_pad = _append_args(
+        buf0, jnp.asarray(K[:n, n:]), jnp.asarray(K[n:, n:]),
+        jnp.asarray(y), n, k, cap)
+    assert k_pad > k          # exercises the ghost columns
+    buf, alpha, lcd = chol_append_buf(buf0, B_full, C_pad, y_full, n)
     L_full = np.linalg.cholesky(K)
     np.testing.assert_allclose(np.asarray(buf)[:n + k, :n + k], L_full,
                                rtol=1e-10, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(alpha), np.linalg.solve(K, y),
+    np.testing.assert_allclose(np.asarray(alpha)[:n + k],
+                               np.linalg.solve(K, y),
                                rtol=1e-9, atol=1e-11)
-    assert np.all(np.asarray(lcd) > 0)
+    np.testing.assert_array_equal(np.asarray(alpha)[n + k:], 0.0)
+    lcd = np.asarray(lcd)
+    assert np.all(lcd > 0)
+    # ghost factor rows are exactly unit
+    np.testing.assert_array_equal(lcd[k:], 1.0)
     # unit-diag tail invariant preserved past the new active region
     b = np.asarray(buf)
-    tail = b[n + k:, n + k:]
-    np.testing.assert_array_equal(tail, np.eye(cap - n - k))
-    np.testing.assert_array_equal(b[:n + k, n + k:], 0.0)
+    past = n + k_pad
+    np.testing.assert_array_equal(b[past:, past:], np.eye(cap - past))
+    np.testing.assert_array_equal(b[:past, past:], 0.0)
+    # ghost rows carry no coupling to real rows
+    np.testing.assert_array_equal(b[n + k:past, :n + k], 0.0)
 
 
 def test_chol_append_buf_flags_non_pd_extension():
     """A not-positive-definite extension must be SIGNALLED through
     lc_diag (non-finite / <= 0), the caller's refactorise trigger."""
     rng = np.random.RandomState(1)
-    n, k, cap = 8, 2, 16
+    n, k, cap = 8, 2, 32
     A = rng.randn(n, n + 4)
     K0 = A @ A.T + 0.5 * np.eye(n)
     B = rng.randn(n, k)
     C = -np.eye(k)            # violates PSD outright
-    buf0 = _unit_tail_buf(np.linalg.cholesky(K0), cap)
-    _, _, lcd = chol_append_buf(
-        jnp.asarray(buf0), jnp.asarray(B), jnp.asarray(C),
-        jnp.asarray(rng.randn(n + k)), n=n, k=k)
+    buf0 = jnp.asarray(_unit_tail_buf(np.linalg.cholesky(K0), cap))
+    B_full, C_pad, y_full, _ = _append_args(
+        buf0, jnp.asarray(B), jnp.asarray(C),
+        jnp.asarray(rng.randn(n + k)), n, k, cap)
+    _, _, lcd = chol_append_buf(buf0, B_full, C_pad, y_full, n)
     lcd = np.asarray(lcd)
     assert not (np.all(np.isfinite(lcd)) and np.all(lcd > 0)), lcd
+
+
+def test_chol_append_buf_one_compile_across_refits():
+    """The MD-cadence property the dynamic shapes buy: successive
+    appends at DIFFERENT active sizes n reuse one compiled program per
+    (capacity, k-bucket)."""
+    rng = np.random.RandomState(3)
+    cap, k = 64, 8
+    N = 24
+    A = rng.randn(N, N + 8)
+    K = A @ A.T + 0.5 * np.eye(N)
+    y = rng.randn(N)
+    n0 = 8
+    buf = jnp.asarray(_unit_tail_buf(np.linalg.cholesky(K[:n0, :n0]), cap))
+    before = chol_append_buf._cache_size()
+    n = n0
+    while n < N:
+        B_full, C_pad, y_full, _ = _append_args(
+            buf, jnp.asarray(K[:n, n:n + k]),
+            jnp.asarray(K[n:n + k, n:n + k]),
+            jnp.asarray(y[:n + k]), n, k, cap)
+        buf, alpha, lcd = chol_append_buf(buf, B_full, C_pad, y_full, n)
+        assert np.all(np.asarray(lcd) > 0)
+        n += k
+    assert chol_append_buf._cache_size() - before <= 1
+    np.testing.assert_allclose(np.asarray(buf)[:N, :N],
+                               np.linalg.cholesky(K),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(alpha)[:N],
+                               np.linalg.solve(K, y),
+                               rtol=1e-8, atol=1e-10)
 
 
 def test_incremental_fit_matches_full_refit():
@@ -176,10 +232,12 @@ def test_incremental_update_beats_refactorise_wallclock():
     buf0 = np.zeros((cap, cap))
     buf0[idx, idx] = 1.0
     buf0[:n, :n] = np.linalg.cholesky(K[:n, :n])
-    B = jnp.asarray(K[:n, n:])
-    C = jnp.asarray(K[n:, n:])
-    yj = jnp.asarray(y)
+    buf_master = jnp.asarray(buf0)
+    B_full, C_pad, y_full, _ = _append_args(
+        buf_master, jnp.asarray(K[:n, n:]), jnp.asarray(K[n:, n:]),
+        jnp.asarray(y), n, k, cap)
     Kj = jnp.asarray(K)
+    yj = jnp.asarray(y)
 
     @jax.jit
     def full(Kj, yj):
@@ -187,11 +245,9 @@ def test_incremental_update_beats_refactorise_wallclock():
         alpha = jax.scipy.linalg.cho_solve((L, True), yj)
         return L, alpha
 
-    buf_master = jnp.asarray(buf0)
-
     def run_inc():
         # device-side clone: donation spends the input each call
-        return chol_append_buf(buf_master.copy(), B, C, yj, n=n, k=k)
+        return chol_append_buf(buf_master.copy(), B_full, C_pad, y_full, n)
 
     # warm both compiles
     out_inc = run_inc()

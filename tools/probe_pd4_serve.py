@@ -34,14 +34,16 @@ def main():
             contextlib.redirect_stdout(lf):
         gp.fit(opt=False, show=False)
     print(f"# fit(opt=False): {time.time() - t0:.1f}s", flush=True)
-    print(f"# serve_mixed auto resolves to: {gp._serve_mixed()} "
-          f"(measured={getattr(gp, '_mixed_measured', None)})", flush=True)
+    print(f"# auto resolves to: {gp._serve_mode()} "
+          f"(measured e={getattr(gp, '_mixed_measured', None)} "
+          f"f={getattr(gp, '_mixed_measured_f', None)}; "
+          f"0.5*noise_f={0.5 * gp.noise_f})", flush=True)
 
     struc = read_db(
         "/root/reference/examples/database/pd4-RBF.db")[0]["atoms"]
 
     results = {}
-    for mode in ("f64", "mixed"):
+    for mode in ("f64", "split", "mixed"):
         os.environ["GPR_CALC_TPU_SERVE"] = mode
         t0 = time.time()
         out = gp.predict_structure(struc, return_std=True)
@@ -58,17 +60,18 @@ def main():
     os.environ.pop("GPR_CALC_TPU_SERVE")
 
     Ef, Ff, Esf, Fsf = results["f64"]
-    Em, Fm, Esm, Fsm = results["mixed"]
-    dE = abs(Em - Ef)
-    dF = np.abs(Fm - Ff).max()
-    dEs = abs(Esm - Esf)
-    dFs = np.abs(Fsm - Fsf).max()
-    print(f"# dE={dE:.3e} vs 0.5*noise_e={0.5*gp.noise_e:.3e}  "
-          f"ratio={dE/(0.5*gp.noise_e):.2f}", flush=True)
-    print(f"# dF={dF:.3e} vs 0.5*noise_f={0.5*gp.noise_f:.3e}  "
-          f"ratio={dF/(0.5*gp.noise_f):.2f}", flush=True)
-    print(f"# dE_std={dEs:.3e}  dF_std={dFs:.3e} "
-          f"(E_std itself: {Esf:.3e})", flush=True)
+    for mode in ("split", "mixed"):
+        Em, Fm, Esm, Fsm = results[mode]
+        dE = abs(Em - Ef)
+        dF = np.abs(Fm - Ff).max()
+        dEs = abs(Esm - Esf)
+        dFs = np.abs(Fsm - Fsf).max()
+        print(f"# {mode}: dE={dE:.3e} (gate {0.5*gp.noise_e:.3e}, "
+              f"ratio {dE/(0.5*gp.noise_e):.3f})  "
+              f"dF={dF:.3e} (gate {0.5*gp.noise_f:.3e}, "
+              f"ratio {dF/(0.5*gp.noise_f):.3f})", flush=True)
+        print(f"#   dE_std={dEs:.3e}  dF_std={dFs:.3e} "
+              f"(E_std itself: {Esf:.3e})", flush=True)
 
 
 if __name__ == "__main__":
