@@ -28,27 +28,43 @@ def _host_fingerprint() -> str:
     import hashlib
     import platform
     tag = platform.machine()
-    # Hash the CPU MODEL NAME as well as the feature flags: XLA:CPU's
-    # AOT tuning bakes in model-keyed preferences (e.g. znver4 gets
-    # +prefer-no-scatter/+prefer-no-gather) that differ between hosts
-    # whose /proc/cpuinfo flag sets are identical -- observed as a
-    # cpu_aot_loader feature-mismatch storm when a flags-only
-    # fingerprint collided across machines (round-4 bench tail).
-    parts = []
+    # Hash the cpuid FAMILY/MODEL/STEPPING alongside the model name and
+    # the feature flags: XLA:CPU AOT executables bake in the compile
+    # machine's full LLVM target features, virtualised hosts report one
+    # GENERIC marketing string ("Intel(R) Xeon(R) Processor @ 2.10GHz")
+    # across machines whose real microarchitectures differ, and loading
+    # an executable with genuinely unsupported ISA features is a SIGILL.
+    # The family/model/stepping lines carry the actual cpuid values
+    # LLVM's detection keys on.
+    #
+    # Note: cpu_aot_loader can still log a feature-"mismatch" warning
+    # for SAME-HOST reloads -- the compile-side list includes tuning
+    # PREFERENCES (+prefer-no-scatter/+prefer-no-gather, chosen from the
+    # detected CPU model) that the loader's host-feature enumeration
+    # never contains, so the warning fires even when the real ISA sets
+    # are identical (verified: entry written and reloaded on one
+    # Emerald-Rapids host warns; the executable is correct).  That noise
+    # is spurious and pure-CPU-session only: accelerator sessions skip
+    # persisting CPU entries altogether (is_cache_used gate below).
+    keys = {"flags", "Features", "model name", "cpu family", "model",
+            "stepping", "CPU implementer", "CPU part"}
+    parts = {}
     try:
         with open("/proc/cpuinfo") as fh:
             for line in fh:
-                if line.startswith(("flags", "Features")) \
-                        and len(parts) < 2:
-                    parts.append(" ".join(sorted(line.split()[2:])))
-                elif line.startswith("model name") and len(parts) < 2:
-                    parts.append(line.split(":", 1)[-1].strip())
-                if len(parts) == 2:
-                    break
+                if ":" not in line:
+                    continue
+                key = line.split(":", 1)[0].strip()
+                if key in keys and key not in parts:
+                    val = line.split(":", 1)[-1].strip()
+                    if key in ("flags", "Features"):
+                        val = " ".join(sorted(val.split()))
+                    parts[key] = val
     except OSError:
         pass
     if parts:
-        tag += hashlib.sha1("|".join(sorted(parts)).encode()).hexdigest()[:12]
+        blob = "|".join(f"{k}={parts[k]}" for k in sorted(parts))
+        tag += hashlib.sha1(blob.encode()).hexdigest()[:12]
     else:
         tag += platform.processor() or "unknown"
     return tag
