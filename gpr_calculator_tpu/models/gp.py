@@ -133,6 +133,53 @@ def _scan_diag_and_trace(L, n: int, trace_block):
     return kinv_diag, acc
 
 
+# -- stochastic (Hutchinson) NLL traces --------------------------------------
+# Every trace the analytic NLL gradients need -- tr(K^-1 dK/dgamma),
+# tr(K^-1 Nz), tr(K^-1 diag(dnz)) and the Dot EE-block trace -- is a
+# weighted trace of K^-1, so all of them come from ONE narrow probe
+# solve W = K^-1 Z with Rademacher Z (n, p):  tr(K^-1 A) ~ sum(W * (A Z))/p.
+# O(n^2 p) replaces the exact column scan's O(n^3); at n = 10k the scan
+# was ~45% of every L-BFGS iteration (BENCH_r04: 586 ms NLL vs 317 ms
+# fit -- round-4 VERDICT item 6).  Relative error ~ sqrt(2/(p n)) for
+# well-spread spectra (~0.2% at n=10k, p=64), far inside L-BFGS-B's
+# ftol=1e-2 / maxiter=10 regime; GP.fit additionally runs a MEASURED
+# bias gate (one exact-vs-hutch comparison at theta0 per optimise call)
+# and falls back to the exact scan if the gradients disagree.
+#
+# The probe block is FIXED (PRNGKey(0)): the estimator is a
+# deterministic smooth function of theta, so L-BFGS sees a consistent
+# gradient field across line-search evaluations (VERDICT r4 item 6's
+# other suggested fix, factor reuse, is subsumed -- value and gradient
+# already share one factorisation).  Padding rows are exact, not
+# estimated: K is the identity there (masked kernel + unit noise), and
+# Rademacher z_i^2 = 1 makes each padded row contribute its true 1.0.
+_HUTCH_MIN_N = 6144   # auto threshold: below this the exact scan is cheap
+                      # and the probe error bound is looser
+
+
+def _default_n_probe() -> int:
+    return int(os.environ.get("GPR_CALC_TPU_NLL_PROBES", "64"))
+
+
+def _hutch_solve(L, n_probe: int):
+    """(Z, K^-1 Z) for the fixed Rademacher probe block."""
+    n = L.shape[0]
+    Z = jax.random.rademacher(
+        jax.random.PRNGKey(0), (n, n_probe)).astype(L.dtype)
+    W = jax.scipy.linalg.cho_solve((L, True), Z)
+    return Z, W
+
+
+def _resolve_trace_mode(n: int) -> str:
+    """Host-side NLL trace-mode resolution (static jit arg).
+    GPR_CALC_TPU_NLL_TRACE: exact | hutch | auto (default: hutch at and
+    above _HUTCH_MIN_N rows, behind GP.fit's measured-bias gate)."""
+    mode = os.environ.get("GPR_CALC_TPU_NLL_TRACE", "auto")
+    if mode in ("exact", "hutch"):
+        return mode
+    return "hutch" if n >= _HUTCH_MIN_N else "exact"
+
+
 def _resolve_chol_mode(mesh, n: int) -> str:
     """Cholesky dispatch decision for the training factorisations,
     resolved HOST-SIDE (it becomes a static jit arg -- an env read
@@ -218,11 +265,13 @@ def _nll_value_and_grad(theta, e: EnergyData, f: ForceData, y,
 
 @functools.partial(jax.jit,
                    static_argnames=("zeta", "noise_opt", "row_chunk",
-                                    "mesh", "chol_mode"))
+                                    "mesh", "chol_mode", "trace_mode",
+                                    "n_probe"))
 def _nll_rbf_analytic(theta, e: EnergyData, f: ForceData, y,
                       noise_fixed, f_coef,
                       zeta: int, noise_opt: bool, row_chunk: int = 0,
-                      mesh=None, chol_mode: str = "replicated"):
+                      mesh=None, chol_mode: str = "replicated",
+                      trace_mode: str = "exact", n_probe: int = 64):
     """(-LML, grad) with ANALYTIC hyperparameter derivatives.
 
     0.5 tr((K^-1 - aa^T) dK/dtheta) with dK/dsigma = 2 K_kernel / sigma
@@ -256,16 +305,24 @@ def _nll_rbf_analytic(theta, e: EnergyData, f: ForceData, y,
            + jnp.sum(jnp.log(jnp.diagonal(L)))
            + 0.5 * n_real * jnp.log(2 * jnp.pi))
 
-    # diag(K^-1) and tr(K^-1 Kd): shared scan helper, trace term is
-    # this block's slice of Kd (round-3 VERDICT weak #7)
+    # tr(K^-1 Kd) and tr(K^-1 Nz): the exact column-blocked scan, or the
+    # Hutchinson probe estimate (see _hutch_solve; round-4 VERDICT item 6)
     n = K.shape[0]
-    kinv_diag, tr_kd = _scan_diag_and_trace(
-        L, n,
-        lambda X, cols: jnp.vdot(X, Kd[:, jnp.clip(cols, 0, n - 1)]))
+    if trace_mode == "hutch":
+        Zh, Wh = _hutch_solve(L, n_probe)
+        inv_p = 1.0 / n_probe
+        tr_kd = jnp.vdot(Wh, Kd @ Zh) * inv_p
+        kinv_nz = jnp.vdot(Wh, Zh * nz[:, None]) * inv_p
+        kinv_diag = None
+    else:
+        kinv_diag, tr_kd = _scan_diag_and_trace(
+            L, n,
+            lambda X, cols: jnp.vdot(X, Kd[:, jnp.clip(cols, 0, n - 1)]))
+        kinv_nz = jnp.sum(kinv_diag * nz)
 
     # tr(Kinv Kk) = n_pad - tr(Kinv Nz); a^T Kk a = a^T y - a^T Nz a
     # (padding rows cancel through the unit noise placed on them)
-    tr_kk = n - jnp.sum(kinv_diag * nz)
+    tr_kk = n - kinv_nz
     aKka = jnp.sum(y * alpha) - jnp.sum(nz * alpha * alpha)
     g_sigma = (tr_kk - aKka) / sigma
 
@@ -278,7 +335,11 @@ def _nll_rbf_analytic(theta, e: EnergyData, f: ForceData, y,
         dnz = jnp.concatenate([
             jnp.where(valid_e, 2.0 * noise_e, 0.0),
             jnp.where(valid_f, 2.0 * f_coef ** 2 * noise_e, 0.0)])
-        g_noise = 0.5 * jnp.sum((kinv_diag - alpha * alpha) * dnz)
+        if trace_mode == "hutch":
+            kinv_dnz = jnp.vdot(Wh, Zh * dnz[:, None]) * inv_p
+        else:
+            kinv_dnz = jnp.sum(kinv_diag * dnz)
+        g_noise = 0.5 * (kinv_dnz - jnp.sum(alpha * alpha * dnz))
         grad = jnp.stack([g_sigma, g_l, g_noise])
     else:
         grad = jnp.stack([g_sigma, g_l])
@@ -287,11 +348,13 @@ def _nll_rbf_analytic(theta, e: EnergyData, f: ForceData, y,
 
 @functools.partial(jax.jit,
                    static_argnames=("zeta", "noise_opt", "row_chunk",
-                                    "mesh", "chol_mode"))
+                                    "mesh", "chol_mode", "trace_mode",
+                                    "n_probe"))
 def _nll_dot_analytic(theta, e: EnergyData, f: ForceData, y,
                       noise_fixed, f_coef,
                       zeta: int, noise_opt: bool, row_chunk: int = 0,
-                      mesh=None, chol_mode: str = "replicated"):
+                      mesh=None, chol_mode: str = "replicated",
+                      trace_mode: str = "exact", n_probe: int = 64):
     """(-LML, grad) for the DOT kernel with ANALYTIC hyperparameter
     derivatives (the reference ships these in Dot_mb.k_total_with_grad,
     Dot_mb.py:121-148; round 2 left Dot on the ~10x-slower autodiff
@@ -326,19 +389,29 @@ def _nll_dot_analytic(theta, e: EnergyData, f: ForceData, y,
            + jnp.sum(jnp.log(jnp.diagonal(L)))
            + 0.5 * n_real * jnp.log(2 * jnp.pi))
 
-    # diag(K^-1) and the EE-block trace for d/dsigma0: shared scan
-    # helper; only columns inside the energy block contribute
+    # the EE-block trace for d/dsigma0 and tr(K^-1 Nz): the exact
+    # column-blocked scan, or the Hutchinson probe estimate (the
+    # zero-extended pair-count matrix is a weighted trace like any
+    # other: z^T K^-1 C~ z = W_h[:m_ee] . (C z[:m_ee]))
     n = K.shape[0]
     m_ee = e.m
 
-    def _ee_trace(X, cols):
-        Wc = jnp.where(cols[None, :] < m_ee,
-                       W[:, jnp.clip(cols, 0, m_ee - 1)], 0.0)
-        return jnp.vdot(X[:m_ee, :], Wc)
+    if trace_mode == "hutch":
+        Zh, Wh = _hutch_solve(L, n_probe)
+        inv_p = 1.0 / n_probe
+        tr_dee = jnp.vdot(Wh[:m_ee], W @ Zh[:m_ee]) * inv_p
+        kinv_nz = jnp.vdot(Wh, Zh * nz[:, None]) * inv_p
+        kinv_diag = None
+    else:
+        def _ee_trace(X, cols):
+            Wc = jnp.where(cols[None, :] < m_ee,
+                           W[:, jnp.clip(cols, 0, m_ee - 1)], 0.0)
+            return jnp.vdot(X[:m_ee, :], Wc)
 
-    kinv_diag, tr_dee = _scan_diag_and_trace(L, n, _ee_trace)
+        kinv_diag, tr_dee = _scan_diag_and_trace(L, n, _ee_trace)
+        kinv_nz = jnp.sum(kinv_diag * nz)
 
-    tr_kk = n - jnp.sum(kinv_diag * nz)
+    tr_kk = n - kinv_nz
     aKka = jnp.sum(y * alpha) - jnp.sum(nz * alpha * alpha)
     g_sigma = (tr_kk - aKka) / sigma
 
@@ -352,7 +425,11 @@ def _nll_dot_analytic(theta, e: EnergyData, f: ForceData, y,
         dnz = jnp.concatenate([
             jnp.where(valid_e, 2.0 * noise_e, 0.0),
             jnp.where(valid_f, 2.0 * f_coef ** 2 * noise_e, 0.0)])
-        g_noise = 0.5 * jnp.sum((kinv_diag - alpha * alpha) * dnz)
+        if trace_mode == "hutch":
+            kinv_dnz = jnp.vdot(Wh, Zh * dnz[:, None]) * inv_p
+        else:
+            kinv_dnz = jnp.sum(kinv_diag * dnz)
+        g_noise = 0.5 * (kinv_dnz - jnp.sum(alpha * alpha * dnz))
         grad = jnp.stack([g_sigma, g_sigma0, g_noise])
     else:
         grad = jnp.stack([g_sigma, g_sigma0])
@@ -780,6 +857,11 @@ class GP:
         # accumulated wall ms of the factorisation step of fit()
         self.refit_stats = {"full": 0, "incremental": 0,
                             "full_ms": 0.0, "incremental_ms": 0.0}
+        # measured-bias gate verdicts for the Hutchinson NLL traces,
+        # keyed by (kernel kind, padded rows, noise_opt); the mode the
+        # last optimise call actually ran is in _nll_trace_used
+        self._trace_gate_cache: Dict[tuple, str] = {}
+        self._nll_trace_used = "exact"
         self.logging.info(self)
 
     # -- reference-compatible train_x/train_y views -------------------------
@@ -928,10 +1010,14 @@ class GP:
             return self.mesh
         return None
 
-    def _nll_fn(self):
+    def _nll_fn(self, trace_mode: str = "exact"):
         """Analytic-gradient NLL (one extra dK/dgamma build per step for
         RBF; gradient-free builds only for Dot), autodiff fallback when
-        GPR_CALC_TPU_NLL=autodiff."""
+        GPR_CALC_TPU_NLL=autodiff.  ``trace_mode`` picks the gradient
+        trace machinery: "exact" (column-blocked scan -- the default for
+        the user-facing log_marginal_likelihood) or "hutch" (the
+        Hutchinson probe estimator; GP.fit resolves it per call behind
+        the measured-bias gate)."""
         analytic = os.environ.get("GPR_CALC_TPU_NLL", "") != "autodiff"
         if self.kernel.kind == "rbf" and analytic:
             def call(theta, e, f, y, noise_fixed, f_coef, noise_opt):
@@ -940,7 +1026,8 @@ class GP:
                     self.kernel.zeta, noise_opt, self._fit_chunk(e, f),
                     mesh=self._mesh_arg(),
                     chol_mode=_resolve_chol_mode(self._mesh_arg(),
-                                                 e.m + 3 * f.m))
+                                                 e.m + 3 * f.m),
+                    trace_mode=trace_mode, n_probe=_default_n_probe())
         elif self.kernel.kind == "dot" and analytic:
             def call(theta, e, f, y, noise_fixed, f_coef, noise_opt):
                 return _nll_dot_analytic(
@@ -948,7 +1035,8 @@ class GP:
                     self.kernel.zeta, noise_opt, self._fit_chunk(e, f),
                     mesh=self._mesh_arg(),
                     chol_mode=_resolve_chol_mode(self._mesh_arg(),
-                                                 e.m + 3 * f.m))
+                                                 e.m + 3 * f.m),
+                    trace_mode=trace_mode, n_probe=_default_n_probe())
         else:
             if self._mesh_arg() is not None:
                 # The autodiff objective has no mesh plumbing: GSPMD still
@@ -968,6 +1056,47 @@ class GP:
                                            self.kernel.zeta, noise_opt,
                                            self._fit_chunk(e, f))
         return call
+
+    _HUTCH_GATE_RTOL = 0.05
+
+    def _gated_trace_mode(self, e, f, y, theta0, f_coef, noise_opt):
+        """Resolve the NLL trace mode for ONE optimise call, with the
+        measured-bias gate (round-4 VERDICT item 6): when auto mode
+        selects the Hutchinson estimator, compare its gradient against
+        the exact scan's ONCE at theta0 and fall back to exact if they
+        disagree beyond _HUTCH_GATE_RTOL.  The one extra exact
+        evaluation amortises over the ~10-15 evaluations of an L-BFGS-B
+        maxiter=10 run; the verdict is cached per (kind, n, noise_opt)
+        so later refits at the same padded size skip the comparison."""
+        analytic = os.environ.get("GPR_CALC_TPU_NLL", "") != "autodiff"
+        n = e.m + 3 * f.m
+        if not analytic or _resolve_trace_mode(n) == "exact":
+            return "exact"
+        if os.environ.get("GPR_CALC_TPU_NLL_TRACE", "auto") == "hutch":
+            return "hutch"   # explicit opt-in skips the gate
+        key = (self.kernel.kind, n, noise_opt)
+        cached = self._trace_gate_cache.get(key)
+        if cached is not None:
+            return cached
+        theta = jnp.asarray(theta0, config.dtype())
+        noise_fixed = jnp.asarray([self.noise_e, self.noise_f],
+                                  config.dtype())
+        _, g_h = self._nll_fn("hutch")(theta, e, f, y, noise_fixed,
+                                       f_coef, noise_opt)
+        _, g_e = self._nll_fn("exact")(theta, e, f, y, noise_fixed,
+                                       f_coef, noise_opt)
+        g_h = np.asarray(g_h, float)
+        g_e = np.asarray(g_e, float)
+        err = float(np.linalg.norm(g_h - g_e))
+        ok = bool(np.all(np.isfinite(g_h))) and err <= (
+            self._HUTCH_GATE_RTOL * float(np.linalg.norm(g_e)) + 1e-3)
+        mode = "hutch" if ok else "exact"
+        self.logging.info(
+            "NLL trace gate at n=%d: |g_hutch - g_exact| = %.3e "
+            "(|g_exact| = %.3e) -> %s", n, err,
+            float(np.linalg.norm(g_e)), mode)
+        self._trace_gate_cache[key] = mode
+        return mode
 
     # -- LML / fit -----------------------------------------------------------
     def log_marginal_likelihood(self, params, eval_gradient=False,
@@ -1013,7 +1142,15 @@ class GP:
         if opt:
             print(f"Update GP model => {self.N_queue}/{maxiter}")
 
-            nll_fn = self._nll_fn()
+            theta0 = list(self.kernel.parameters())
+            bounds = [list(b) for b in self.kernel.bounds]
+            if noise_opt:
+                theta0 = theta0 + [self.noise_e]
+                bounds = bounds + [list(self.noise_bounds)]
+
+            self._nll_trace_used = self._gated_trace_mode(
+                e, f, y, theta0, f_coef, noise_opt)
+            nll_fn = self._nll_fn(self._nll_trace_used)
 
             def obj(theta):
                 noise_fixed = jnp.asarray([self.noise_e, self.noise_f],
@@ -1033,11 +1170,6 @@ class GP:
                     self.logging.info(strs)
                 return nll, grad
 
-            theta0 = list(self.kernel.parameters())
-            bounds = [list(b) for b in self.kernel.bounds]
-            if noise_opt:
-                theta0 = theta0 + [self.noise_e]
-                bounds = bounds + [list(self.noise_bounds)]
             params, _ = self.optimize(obj, theta0, bounds, maxiter=maxiter)
             if noise_opt:
                 self.kernel.update(params[:-1])
